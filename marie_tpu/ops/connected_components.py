@@ -1,0 +1,154 @@
+"""Connected components on device — iterative label propagation.
+
+The reference does CRAFT box extraction with OpenCV
+``connectedComponentsWithStats`` on host
+(``/root/reference/marie/models/craft/craft_utils.py:25``), which forces a
+device→host sync per page.  Here CC runs on the TPU as fixed-shape label
+propagation: each masked pixel starts with its linear index as label and
+repeatedly takes the min over its neighbourhood.  Plain propagation needs
+O(component diameter) sweeps; we slash that with a masked min-scan along
+rows and columns each iteration (labels jump across whole runs in one
+sweep), giving O(log diameter)-ish convergence for blob-like text regions.
+
+``component_boxes`` then compacts labels into a fixed number of slots and
+computes per-component stats with segment reductions — still on device,
+still static shapes.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_min_scan_axis1(lbl: jnp.ndarray, mask: jnp.ndarray, big) -> jnp.ndarray:
+    """Running masked min along axis 1, both directions.
+
+    Within a contiguous masked run, every pixel receives the run's min
+    label; the carry resets to `big` at unmasked pixels so labels never
+    leak across gaps.
+    """
+
+    def step(carry, x):
+        v, m = x
+        carry = jnp.where(m, jnp.minimum(carry, v), big)
+        return carry, carry
+
+    init = jnp.full((lbl.shape[0],), big, dtype=lbl.dtype)
+    # scan over columns: inputs shaped [W, H]
+    _, fwd = jax.lax.scan(step, init, (lbl.T, mask.T))
+    _, bwd = jax.lax.scan(step, init, (lbl.T[::-1], mask.T[::-1]))
+    return jnp.minimum(fwd.T, bwd[::-1].T)
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def connected_components(mask: jnp.ndarray, num_iters: int = 64) -> jnp.ndarray:
+    """Label 8-connected components of a boolean mask [H, W].
+
+    Runs at most ``num_iters`` propagation sweeps but exits early once the
+    labels stop changing (text blobs converge in a handful of sweeps; the
+    bound only matters for adversarial snake-shaped masks).
+
+    Returns int32 labels [H, W]: background = -1, components labelled by the
+    minimum linear index of their pixels (NOT compacted — see
+    :func:`component_boxes`).
+    """
+    h, w = mask.shape
+    big = jnp.int32(h * w)
+    lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    labels = jnp.where(mask, lin, big)
+
+    def neighbor_min(lbl):
+        p = jnp.pad(lbl, 1, constant_values=big)
+        m = lbl
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                m = jnp.minimum(m, p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w])
+        return jnp.where(mask, m, big)
+
+    def sweep(lbl):
+        lbl = neighbor_min(lbl)
+        lbl = jnp.where(mask, _masked_min_scan_axis1(lbl, mask, big), big)
+        lbl_t = _masked_min_scan_axis1(lbl.T, mask.T, big).T
+        return jnp.where(mask, lbl_t, big)
+
+    def cond(state):
+        i, _, changed = state
+        return (i < num_iters) & changed
+
+    def body(state):
+        i, lbl, _ = state
+        new = sweep(lbl)
+        return i + 1, new, jnp.any(new != lbl)
+
+    _, labels, _ = jax.lax.while_loop(cond, body, (0, labels, True))
+    return jnp.where(mask, labels, -1)
+
+
+@partial(jax.jit, static_argnames=("max_components",))
+def component_boxes(
+    labels: jnp.ndarray,
+    scores: jnp.ndarray | None = None,
+    max_components: int = 256,
+):
+    """Per-component stats from a label map.
+
+    Args:
+      labels: [H, W] int32 from :func:`connected_components` (-1 = background).
+      scores: optional [H, W] float map; per-component max is reported
+        (CRAFT uses the region-heatmap max as the word confidence).
+      max_components: fixed component budget K (extra components are dropped
+        deterministically by label order).
+
+    Returns dict of fixed-shape arrays:
+      boxes: [K, 4] xyxy (float32), zeros for empty slots
+      areas: [K] pixel counts (int32)
+      scores: [K] per-component max score (float32; 0 where empty)
+      valid: [K] bool
+    """
+    h, w = labels.shape
+    flat = labels.reshape(-1)
+    lin = jnp.arange(h * w, dtype=jnp.int32)
+
+    # representatives: pixels whose label equals their own linear index
+    is_rep = (flat == lin) & (flat >= 0)
+    # order representatives by linear index; take first K
+    rep_rank = jnp.where(is_rep, lin, h * w)
+    rep_sorted = jnp.sort(rep_rank)[:max_components]  # [K] label ids or h*w
+    valid = rep_sorted < h * w
+
+    # map every pixel's label -> slot via searchsorted over sorted rep labels
+    slot = jnp.searchsorted(rep_sorted, flat)
+    slot = jnp.clip(slot, 0, max_components - 1)
+    hit = (jnp.take(rep_sorted, slot) == flat) & (flat >= 0)
+    seg = jnp.where(hit, slot, max_components)  # overflow bucket K
+
+    ys = (lin // w).astype(jnp.float32)
+    xs = (lin % w).astype(jnp.float32)
+    num = max_components + 1
+
+    x0 = jax.ops.segment_min(jnp.where(hit, xs, jnp.inf), seg, num_segments=num)
+    y0 = jax.ops.segment_min(jnp.where(hit, ys, jnp.inf), seg, num_segments=num)
+    x1 = jax.ops.segment_max(jnp.where(hit, xs, -jnp.inf), seg, num_segments=num)
+    y1 = jax.ops.segment_max(jnp.where(hit, ys, -jnp.inf), seg, num_segments=num)
+    areas = jax.ops.segment_sum(hit.astype(jnp.int32), seg, num_segments=num)
+
+    boxes = jnp.stack([x0, y0, x1 + 1.0, y1 + 1.0], axis=-1)[:max_components]
+    boxes = jnp.where(valid[:, None], boxes, 0.0)
+
+    if scores is not None:
+        smax = jax.ops.segment_max(
+            jnp.where(hit, scores.reshape(-1), -jnp.inf), seg, num_segments=num
+        )[:max_components]
+        smax = jnp.where(valid, smax, 0.0)
+    else:
+        smax = valid.astype(jnp.float32)
+
+    return {
+        "boxes": boxes.astype(jnp.float32),
+        "areas": areas[:max_components],
+        "scores": smax.astype(jnp.float32),
+        "valid": valid,
+    }

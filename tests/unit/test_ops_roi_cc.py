@@ -1,0 +1,122 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from marie_tpu.ops import (
+    component_boxes,
+    connected_components,
+    ctc_greedy_decode,
+    deform_conv2d,
+    roi_align,
+    roi_align_rotated,
+)
+
+
+def test_roi_align_constant_map():
+    # constant feature map -> every bin equals the constant
+    feat = jnp.full((1, 3, 16, 16), 7.0)
+    rois = jnp.array([[0, 2.0, 2.0, 10.0, 10.0]])
+    out = roi_align(feat, rois, output_size=4, sampling_ratio=2)
+    assert out.shape == (1, 3, 4, 4)
+    np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-5)
+
+
+def test_roi_align_linear_gradient():
+    # f(x, y) = x: bilinear sampling is exact for linear functions, so each
+    # bin average equals the bin-center x coordinate.
+    h = w = 32
+    xs = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (h, w))
+    feat = xs[None, None]  # [1,1,H,W]
+    x0, x1 = 4.0, 12.0
+    rois = jnp.array([[0, x0, 8.0, x1, 16.0]])
+    p = 4
+    out = np.asarray(roi_align(feat, rois, output_size=p, sampling_ratio=4))
+    bin_w = (x1 - x0) / p
+    want = x0 - 0.5 + (np.arange(p) + 0.5) * bin_w
+    np.testing.assert_allclose(out[0, 0, 0], want, atol=1e-4)
+
+
+def test_roi_align_rotated_angle_zero_matches_plain():
+    rng = np.random.default_rng(3)
+    feat = jnp.array(rng.standard_normal((1, 2, 24, 24)), jnp.float32)
+    # plain roi (x0,y0,x1,y1) = (4,6,16,14)
+    plain = roi_align(feat, jnp.array([[0, 4.0, 6.0, 16.0, 14.0]]), output_size=4)
+    rot = roi_align_rotated(
+        feat, jnp.array([[0, 10.0, 10.0, 12.0, 8.0, 0.0]]), output_size=4
+    )
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(rot), atol=1e-4)
+
+
+def test_connected_components_matches_scipy():
+    from scipy import ndimage
+
+    rng = np.random.default_rng(4)
+    mask = rng.random((48, 64)) > 0.7
+    got = np.asarray(connected_components(jnp.array(mask), num_iters=64))
+    want, n_want = ndimage.label(mask, structure=np.ones((3, 3)))
+    # same partition: bijection between label sets
+    got_ids = got[mask]
+    want_ids = want[mask]
+    pairs = set(zip(got_ids.tolist(), want_ids.tolist()))
+    assert len(pairs) == n_want  # one got-label per scipy-label
+    assert len({g for g, _ in pairs}) == n_want
+    assert len({w for _, w in pairs}) == n_want
+    assert (got[~mask] == -1).all()
+
+
+def test_component_boxes():
+    mask = np.zeros((32, 32), bool)
+    mask[2:6, 3:9] = True  # box (3,2,9,6)
+    mask[20:25, 20:30] = True  # box (20,20,30,25)
+    scores = np.zeros((32, 32), np.float32)
+    scores[2:6, 3:9] = 0.9
+    scores[20:25, 20:30] = 0.5
+    labels = connected_components(jnp.array(mask), num_iters=8)
+    out = component_boxes(labels, jnp.array(scores), max_components=8)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == 2
+    boxes = np.asarray(out["boxes"])[valid]
+    np.testing.assert_allclose(boxes[0], [3, 2, 9, 6])
+    np.testing.assert_allclose(boxes[1], [20, 20, 30, 25])
+    np.testing.assert_allclose(np.asarray(out["scores"])[valid], [0.9, 0.5])
+    np.testing.assert_allclose(np.asarray(out["areas"])[valid], [24, 50])
+
+
+def test_ctc_greedy_decode():
+    # V=4, blank=0; frames: [1 1 0 2 2 2 0 1] -> [1, 2, 1]
+    t = 8
+    ids = [1, 1, 0, 2, 2, 2, 0, 1]
+    logits = np.full((1, t, 4), -10.0, np.float32)
+    for i, k in enumerate(ids):
+        logits[0, i, k] = 10.0
+    tokens, lengths, conf = ctc_greedy_decode(jnp.array(logits), blank_id=0)
+    assert int(lengths[0]) == 3
+    assert np.asarray(tokens)[0, :3].tolist() == [1, 2, 1]
+    assert float(conf[0]) > 0.99
+
+
+def test_deform_conv_zero_offsets_matches_conv():
+    import jax
+
+    rng = np.random.default_rng(5)
+    x = jnp.array(rng.standard_normal((2, 3, 12, 12)), jnp.float32)
+    w = jnp.array(rng.standard_normal((4, 3, 3, 3)), jnp.float32)
+    offsets = jnp.zeros((2, 2 * 9, 12, 12), jnp.float32)
+    got = deform_conv2d(x, offsets, w, stride=1, padding=1)
+    want = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_deform_conv_v2_mask():
+    rng = np.random.default_rng(6)
+    x = jnp.array(rng.standard_normal((1, 2, 8, 8)), jnp.float32)
+    w = jnp.array(rng.standard_normal((2, 2, 3, 3)), jnp.float32)
+    offsets = jnp.zeros((1, 18, 8, 8), jnp.float32)
+    mask_half = jnp.full((1, 9, 8, 8), 0.5, jnp.float32)
+    full = deform_conv2d(x, offsets, w, padding=1)
+    halved = deform_conv2d(x, offsets, w, mask=mask_half, padding=1)
+    np.testing.assert_allclose(np.asarray(halved), np.asarray(full) * 0.5, atol=1e-4)

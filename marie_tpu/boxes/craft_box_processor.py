@@ -1,0 +1,129 @@
+"""CRAFT box processor — detection forward + post-processing in ONE
+compiled device program per page bucket.
+
+Behaviour parity with the reference's ``BoxProcessorCraft``
+(``/root/reference/marie/boxes/craft_box_processor.py:244`` +
+``getDetBoxes``/``adjustResultCoordinates`` in
+``marie/models/craft/craft_utils.py:257,268``): region/affinity heatmaps
+are thresholded, connected components become word boxes (coordinates
+scaled ×2 back to page space), components are kept when their peak region
+score passes ``text_threshold``.  Unlike the reference (OpenCV on host),
+thresholding + CC + box stats run on the TPU; only the final fixed-size
+stats arrays come back to host.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from marie_tpu.boxes.box_processor import BoxProcessor
+from marie_tpu.models.configs import CraftConfig
+from marie_tpu.models.craft import CRAFT
+from marie_tpu.ops import component_boxes, connected_components
+from marie_tpu.preprocess import BucketSpec, pad_to
+from marie_tpu.preprocess.ops import normalize_page
+
+
+@partial(jax.jit, static_argnames=("model", "max_components"))
+def _detect_jit(
+    model: CRAFT,
+    variables,
+    page_u8: jnp.ndarray,  # [H, W, 3] uint8 (bucket-padded)
+    text_threshold: float,
+    low_text: float,
+    link_threshold: float,
+    max_components: int,
+):
+    """Page -> fixed-size component stats, fully on device."""
+    rgb = normalize_page(page_u8)
+    heat = model.apply(variables, rgb[None])[0]  # [H/2, W/2, 2]
+    region = heat[..., 0]
+    affinity = heat[..., 1]
+    mask = (region > low_text) | (affinity > link_threshold)
+    labels = connected_components(mask)
+    stats = component_boxes(labels, region, max_components=max_components)
+    return stats
+
+
+class BoxProcessorCraft(BoxProcessor):
+    """Word detector over the flax CRAFT model."""
+
+    def __init__(
+        self,
+        work_dir: str = "/tmp/boxes",
+        models_dir: str = "",
+        config: Optional[CraftConfig] = None,
+        variables=None,
+        text_threshold: float = 0.7,
+        low_text: float = 0.4,
+        link_threshold: float = 0.4,
+        min_area: int = 10,
+        max_components: int = 1024,
+        bucket_spec: Optional[BucketSpec] = None,
+        **kwargs,
+    ):
+        super().__init__(work_dir, models_dir, **kwargs)
+        self.config = config or CraftConfig.base()
+        self.model = CRAFT(self.config)
+        self.text_threshold = text_threshold
+        self.low_text = low_text
+        self.link_threshold = link_threshold
+        self.min_area = min_area
+        self.max_components = max_components
+        self.buckets = bucket_spec or BucketSpec()
+        if variables is None:
+            # random init (weights are loaded via the model registry in
+            # deployment; tests run with random weights)
+            dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(0), dummy)
+        self.variables = variables
+
+    def detect_words(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        h, w = image.shape[:2]
+        (bh, bw), scale = self.buckets.fit_with_scale(h, w)
+        if scale < 1.0:
+            import cv2
+
+            image = cv2.resize(
+                image, (int(w * scale), int(h * scale)), interpolation=cv2.INTER_AREA
+            )
+        padded = pad_to(image, bh, bw)
+
+        stats = _detect_jit(
+            self.model,
+            self.variables,
+            jnp.asarray(padded),
+            self.text_threshold,
+            self.low_text,
+            self.link_threshold,
+            self.max_components,
+        )
+        boxes = np.asarray(stats["boxes"])  # heatmap coords (stride 2)
+        scores = np.asarray(stats["scores"])
+        areas = np.asarray(stats["areas"])
+        valid = np.asarray(stats["valid"])
+
+        keep = valid & (scores >= self.text_threshold) & (areas >= self.min_area)
+        boxes = boxes[keep] * 2.0 / scale  # heatmap -> padded page -> original
+        scores = scores[keep]
+
+        # clip to original page, convert to xywh
+        boxes[:, 0] = np.clip(boxes[:, 0], 0, w)
+        boxes[:, 1] = np.clip(boxes[:, 1], 0, h)
+        boxes[:, 2] = np.clip(boxes[:, 2], 0, w)
+        boxes[:, 3] = np.clip(boxes[:, 3], 0, h)
+        xywh = np.stack(
+            [
+                boxes[:, 0],
+                boxes[:, 1],
+                boxes[:, 2] - boxes[:, 0],
+                boxes[:, 3] - boxes[:, 1],
+            ],
+            axis=-1,
+        )
+        nonempty = (xywh[:, 2] > 0) & (xywh[:, 3] > 0)
+        return xywh[nonempty], scores[nonempty]

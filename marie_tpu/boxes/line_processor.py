@@ -1,0 +1,122 @@
+"""Line grouping — vectorised equivalent of the reference's
+``/root/reference/marie/boxes/line_processor.py`` (``line_merge`` clusters
+word boxes into lines by vertical-interval overlap at descending IoU
+thresholds; ``find_line_number`` assigns each word the line with the best
+vertical overlap, 1-based).
+
+Box counts per page are small (≤ a few thousand), so this runs on host in
+numpy with O(N²) vectorised interval math — no python-loop pair scans.
+"""
+
+from typing import List, Sequence
+
+import numpy as np
+
+# descending thresholds — same annealing schedule idea as the reference
+_IOU_SCHEDULE = (0.8, 0.7, 0.6, 0.5, 0.4, 0.37, 0.35)
+
+
+def _vertical_interval_iou(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of the y-intervals of xywh boxes: [N,4] x [M,4] -> [N,M]."""
+    a0 = boxes_a[:, 1][:, None]
+    a1 = (boxes_a[:, 1] + boxes_a[:, 3])[:, None]
+    b0 = boxes_b[:, 1][None, :]
+    b1 = (boxes_b[:, 1] + boxes_b[:, 3])[None, :]
+    inter = np.maximum(0.0, np.minimum(a1, b1) - np.maximum(a0, b0))
+    union = (a1 - a0) + (b1 - b0) - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.where(union > 0, inter / union, 0.0)
+    return iou
+
+
+class _UnionFind:
+    def __init__(self, n: int):
+        self.parent = np.arange(n)
+
+    def find(self, x: int) -> int:
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def line_merge(image, bboxes: Sequence[Sequence[float]]) -> List[List[int]]:
+    """Merge word boxes (xywh) into line boxes (xywh), top-to-bottom.
+
+    ``image`` is accepted for interface parity with the reference; only its
+    presence is required (dimensions are not needed by the algorithm).
+    """
+    if len(bboxes) == 0:
+        return []
+    boxes = np.asarray(bboxes, dtype=np.float64)
+
+    # anneal: cluster at high IoU first, re-cluster the merged line boxes
+    # at progressively lower thresholds (reference's iou_scores loop)
+    current = boxes
+    for thresh in _IOU_SCHEDULE:
+        n = len(current)
+        if n <= 1:
+            break
+        iou = _vertical_interval_iou(current, current)
+        uf = _UnionFind(n)
+        ii, jj = np.nonzero(np.triu(iou >= thresh, k=1))
+        for a, b in zip(ii, jj):
+            uf.union(int(a), int(b))
+        roots = np.array([uf.find(i) for i in range(n)])
+        merged = []
+        for r in np.unique(roots):
+            grp = current[roots == r]
+            x0 = grp[:, 0].min()
+            y0 = grp[:, 1].min()
+            x1 = (grp[:, 0] + grp[:, 2]).max()
+            y1 = (grp[:, 1] + grp[:, 3]).max()
+            merged.append([x0, y0, x1 - x0, y1 - y0])
+        current = np.asarray(merged)
+
+    order = np.argsort(current[:, 1])
+    return [[int(round(v)) for v in current[i]] for i in order]
+
+
+def find_line_number(lines: Sequence[Sequence[float]], box: Sequence[float]) -> int:
+    """1-based line index for an xywh word box: best vertical-overlap line;
+    falls back to the nearest line bottom when nothing overlaps."""
+    if len(lines) == 0:
+        return -1
+    larr = np.asarray(lines, dtype=np.float64)
+    barr = np.asarray([box], dtype=np.float64)
+    iou = _vertical_interval_iou(barr, larr)[0]
+    if iou.max() > 0:
+        return int(np.argmax(iou)) + 1
+    # vertical-line / degenerate box: nearest line bottom to box centre
+    box_cy = box[1] + box[3] / 2.0
+    line_bottom = larr[:, 1] + larr[:, 3]
+    return int(np.argmin(np.abs(line_bottom - box_cy))) + 1
+
+
+def assign_line_numbers(
+    lines: Sequence[Sequence[float]], boxes: Sequence[Sequence[float]]
+) -> np.ndarray:
+    """Vectorised ``find_line_number`` over many boxes -> int array [N]."""
+    if len(boxes) == 0:
+        return np.zeros((0,), np.int32)
+    if len(lines) == 0:
+        return np.full((len(boxes),), -1, np.int32)
+    larr = np.asarray(lines, dtype=np.float64)
+    barr = np.asarray(boxes, dtype=np.float64)
+    iou = _vertical_interval_iou(barr, larr)  # [N, L]
+    best = np.argmax(iou, axis=1)
+    out = (best + 1).astype(np.int32)
+    misses = iou.max(axis=1) <= 0
+    if misses.any():
+        box_cy = barr[misses, 1] + barr[misses, 3] / 2.0
+        line_bottom = larr[:, 1] + larr[:, 3]
+        near = np.argmin(
+            np.abs(line_bottom[None, :] - box_cy[:, None]), axis=1
+        )
+        out[misses] = near.astype(np.int32) + 1
+    return out

@@ -1,0 +1,91 @@
+"""CRNN/CTC recognizer processor (the reference's CraftOcrProcessor uses
+the four-stage CRNN — ``/root/reference/marie/document/craft_ocr_processor.py:26``).
+
+Fragments resize to 32×W grayscale, width-bucketed; the CTC collapse runs
+on device (:func:`marie_tpu.ops.ctc_greedy_decode`).
+"""
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from marie_tpu.document.ocr_processor import OcrProcessor
+from marie_tpu.models.configs import CRNNConfig
+from marie_tpu.models.crnn import CRNN
+from marie_tpu.models.tokenizer import CTCCharTokenizer
+from marie_tpu.ops import ctc_greedy_decode
+from marie_tpu.preprocess.buckets import group_by_bucket, pad_batch
+
+
+class CrnnOcrProcessor(OcrProcessor):
+    def __init__(
+        self,
+        work_dir: str = "/tmp/icr",
+        config: Optional[CRNNConfig] = None,
+        variables=None,
+        tokenizer: Optional[CTCCharTokenizer] = None,
+        width_buckets: Sequence[int] = (64, 128, 256),
+        batch_sizes: Sequence[int] = (8, 16, 32, 64, 128),
+        **kwargs,
+    ):
+        super().__init__(work_dir, **kwargs)
+        self.config = config or CRNNConfig()
+        self.model = CRNN(self.config)
+        self.tokenizer = tokenizer or CTCCharTokenizer()
+        self.width_buckets = tuple(width_buckets)
+        self.batch_sizes = tuple(batch_sizes)
+        self.crop_h = self.config.input_height
+        if variables is None:
+            dummy = jnp.zeros((1, self.crop_h, self.width_buckets[0], 1), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(0), dummy)
+        self.variables = variables
+        self._fwd = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    def _prep(self, frag: np.ndarray) -> np.ndarray:
+        import cv2
+
+        if frag.ndim == 3:
+            frag = cv2.cvtColor(frag, cv2.COLOR_RGB2GRAY)
+        fh, fw = frag.shape[:2]
+        if fh == 0 or fw == 0:
+            return np.full((self.crop_h, 1), 1.0, np.float32)
+        scale = self.crop_h / fh
+        new_w = max(1, min(int(round(fw * scale)), self.width_buckets[-1]))
+        resized = cv2.resize(frag, (new_w, self.crop_h))
+        out = resized.astype(np.float32)
+        if out.max() > 1.5:
+            out = out / 255.0
+        return out
+
+    def recognize_from_fragments(
+        self, fragments: Sequence[np.ndarray]
+    ) -> List[Dict[str, Any]]:
+        n = len(fragments)
+        if n == 0:
+            return []
+        preps = [self._prep(f) for f in fragments]
+        widths = [p.shape[1] for p in preps]
+        groups = group_by_bucket(widths, self.width_buckets)
+
+        out: List[Optional[Dict[str, Any]]] = [None] * n
+        for bucket_w, indices in groups.items():
+            bs = pad_batch(len(indices), self.batch_sizes)
+            batch = np.full((bs, self.crop_h, bucket_w, 1), 1.0, np.float32)
+            for row, idx in enumerate(indices):
+                p = preps[idx]
+                batch[row, :, : p.shape[1], 0] = p
+            logits = self._fwd(self.variables, jnp.asarray(batch))
+            tokens, lengths, conf = ctc_greedy_decode(logits, blank_id=0)
+            tokens = np.asarray(tokens)
+            lengths = np.asarray(lengths)
+            conf = np.asarray(conf)
+            for row, idx in enumerate(indices):
+                ids = tokens[row, : lengths[row]]
+                out[idx] = {
+                    "text": self.tokenizer.decode(ids),
+                    "confidence": float(conf[row]),
+                }
+        return [o if o is not None else {"text": "", "confidence": 0.0} for o in out]

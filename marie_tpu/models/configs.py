@@ -1,0 +1,189 @@
+"""Model size configs.
+
+Presets mirror the reference's deployed models (TrOCR-base/-small on
+384×384 crops — ``/root/reference/marie/document/trocr_ocr_processor.py``;
+CRAFT VGG16-BN; LayoutLMv3-base) plus TPU-first "fast" presets with
+rectangular crops sized for serving throughput, and tiny presets for
+CPU tests.
+"""
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: Tuple[int, int] = (384, 384)  # (H, W)
+    patch_size: int = 16
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    channels: int = 3
+    use_cls_token: bool = True
+    dropout: float = 0.0
+
+    @property
+    def seq_len(self) -> int:
+        h, w = self.image_size
+        n = (h // self.patch_size) * (w // self.patch_size)
+        return n + (1 if self.use_cls_token else 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 512
+    hidden_dim: int = 768
+    num_layers: int = 6
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    max_len: int = 48
+    dropout: float = 0.0
+    bos_id: int = 0
+    eos_id: int = 1
+    pad_id: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class TrOCRConfig:
+    encoder: ViTConfig = dataclasses.field(default_factory=ViTConfig)
+    decoder: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
+
+    @staticmethod
+    def base() -> "TrOCRConfig":
+        """Parity-shaped preset (TrOCR-base: DeiT-base encoder, 384²)."""
+        return TrOCRConfig(
+            encoder=ViTConfig(),
+            decoder=DecoderConfig(
+                vocab_size=512, hidden_dim=768, num_layers=6, num_heads=12
+            ),
+        )
+
+    @staticmethod
+    def fast() -> "TrOCRConfig":
+        """TPU-first serving preset: rectangular word crops (48×320),
+        compact decoder — sized for ≥50 pages/s/chip."""
+        return TrOCRConfig(
+            encoder=ViTConfig(
+                image_size=(48, 320),
+                patch_size=16,
+                hidden_dim=384,
+                num_layers=6,
+                num_heads=6,
+                mlp_dim=1536,
+                use_cls_token=False,
+            ),
+            decoder=DecoderConfig(
+                vocab_size=512,
+                hidden_dim=384,
+                num_layers=4,
+                num_heads=6,
+                mlp_dim=1536,
+                max_len=32,
+            ),
+        )
+
+    @staticmethod
+    def tiny() -> "TrOCRConfig":
+        """CPU-test preset."""
+        return TrOCRConfig(
+            encoder=ViTConfig(
+                image_size=(32, 64),
+                patch_size=16,
+                hidden_dim=64,
+                num_layers=2,
+                num_heads=2,
+                mlp_dim=128,
+                use_cls_token=False,
+            ),
+            decoder=DecoderConfig(
+                vocab_size=96,
+                hidden_dim=64,
+                num_layers=2,
+                num_heads=2,
+                mlp_dim=128,
+                max_len=12,
+            ),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class CraftConfig:
+    """CRAFT detector (VGG16-BN U-Net, reference marie/models/craft/craft.py:31)."""
+
+    base_channels: int = 32
+    num_classes: int = 2  # region + affinity heatmaps
+
+    @staticmethod
+    def base() -> "CraftConfig":
+        return CraftConfig(base_channels=64)
+
+    @staticmethod
+    def tiny() -> "CraftConfig":
+        return CraftConfig(base_channels=8)
+
+
+@dataclasses.dataclass(frozen=True)
+class CRNNConfig:
+    """CTC recognizer (reference marie/models/icr/model.py four-stage)."""
+
+    num_classes: int = 96  # charset + blank
+    input_height: int = 32
+    feature_dim: int = 256
+    hidden_dim: int = 256
+    backbone: str = "resnet"  # vgg | resnet
+
+    @staticmethod
+    def tiny() -> "CRNNConfig":
+        return CRNNConfig(feature_dim=32, hidden_dim=32, backbone="vgg")
+
+
+@dataclasses.dataclass(frozen=True)
+class LayoutLMConfig:
+    """LayoutLMv3-style multimodal encoder
+    (reference marie/components/document_classifier/transformers.py)."""
+
+    vocab_size: int = 50265
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    max_seq_len: int = 512
+    max_2d_pos: int = 1024  # coordinate buckets
+    image_size: Tuple[int, int] = (224, 224)
+    patch_size: int = 16
+    use_image: bool = True
+    num_labels: int = 2
+    dropout: float = 0.0
+
+    @staticmethod
+    def base(num_labels: int = 2) -> "LayoutLMConfig":
+        return LayoutLMConfig(num_labels=num_labels)
+
+    @staticmethod
+    def tiny(num_labels: int = 2) -> "LayoutLMConfig":
+        return LayoutLMConfig(
+            vocab_size=128,
+            hidden_dim=64,
+            num_layers=2,
+            num_heads=2,
+            mlp_dim=128,
+            max_seq_len=64,
+            image_size=(32, 32),
+            use_image=True,
+            num_labels=num_labels,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class Pix2PixConfig:
+    """Overlay-cleanup generator (reference marie/models/pix2pix resnet_9blocks)."""
+
+    base_channels: int = 64
+    num_res_blocks: int = 9
+    in_channels: int = 3
+    out_channels: int = 3
+
+    @staticmethod
+    def tiny() -> "Pix2PixConfig":
+        return Pix2PixConfig(base_channels=8, num_res_blocks=2)

@@ -1,0 +1,250 @@
+"""TrOCR-style recognizer: ViT encoder + transformer decoder, with
+compile-once greedy and beam decoding.
+
+Capability parity with the reference's fairseq TrOCR
+(``/root/reference/marie/document/trocr_ocr_processor.py:188`` — beam=5
+decode via fairseq ``SequenceGenerator``, ``task.py:165``), re-designed
+for TPU: decoding is a ``lax.scan`` over a static ``max_len`` with
+per-layer KV caches and prefilled cross-attention K/V, so a whole batch
+of word crops decodes in ONE XLA program — no per-step host round-trips,
+no dynamic shapes, no recompiles across batches.
+"""
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from marie_tpu.models.configs import DecoderConfig, TrOCRConfig
+from marie_tpu.models.layers import DecoderLayer, SelfAttention, sinusoidal_positions
+from marie_tpu.models.vit import ViTEncoder
+
+Array = jnp.ndarray
+
+
+class TrOCRDecoder(nn.Module):
+    cfg: DecoderConfig
+
+    def setup(self):
+        c = self.cfg
+        self.token_embed = nn.Embed(c.vocab_size, c.hidden_dim)
+        self.pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, c.max_len, c.hidden_dim),
+        )
+        self.layers = [
+            DecoderLayer(c.num_heads, c.hidden_dim, c.mlp_dim, name=f"layer_{i}")
+            for i in range(c.num_layers)
+        ]
+        self.ln_f = nn.LayerNorm()
+        self.lm_head = nn.Dense(c.vocab_size, use_bias=False)
+
+    def prefill(self, enc: Array) -> List[Tuple[Array, Array]]:
+        """Project encoder states to per-layer cross-attention K/V once."""
+        return [layer.compute_cross_kv(enc) for layer in self.layers]
+
+    def __call__(
+        self,
+        tokens: Array,  # [B, L]
+        cross_kvs: List[Tuple[Array, Array]],
+        enc_len: Optional[Array] = None,
+    ) -> Array:
+        """Full-sequence teacher-forced logits [B, L, V] (training/scoring)."""
+        l = tokens.shape[1]
+        x = self.token_embed(tokens) + self.pos_embed[:, :l].astype(
+            self.token_embed.embedding.dtype
+        )
+        for layer, ckv in zip(self.layers, cross_kvs):
+            x, _ = layer(x, ckv, enc_len)
+        return self.lm_head(self.ln_f(x))
+
+    def step(
+        self,
+        token: Array,  # [B] int32 current token
+        pos: Array,  # scalar int32 position
+        cross_kvs: List[Tuple[Array, Array]],
+        enc_len: Optional[Array],
+        self_caches: List[Tuple[Array, Array]],
+    ):
+        """One decode step -> (logits [B, V], new self caches)."""
+        x = self.token_embed(token)[:, None, :]  # [B,1,D]
+        x = x + jax.lax.dynamic_slice(
+            self.pos_embed, (0, pos, 0), (1, 1, self.pos_embed.shape[-1])
+        ).astype(x.dtype)
+        new_caches = []
+        for layer, ckv, sc in zip(self.layers, cross_kvs, self_caches):
+            x, nc = layer(x, ckv, enc_len, self_cache=sc, cache_index=pos)
+            new_caches.append(nc)
+        logits = self.lm_head(self.ln_f(x))[:, 0]
+        return logits, new_caches
+
+
+class TrOCRModel(nn.Module):
+    cfg: TrOCRConfig
+
+    def setup(self):
+        self.encoder = ViTEncoder(self.cfg.encoder)
+        self.decoder = TrOCRDecoder(self.cfg.decoder)
+
+    def encode(self, images: Array) -> Array:
+        return self.encoder(images)
+
+    def prefill(self, enc: Array):
+        return self.decoder.prefill(enc)
+
+    def decode_full(self, tokens, cross_kvs, enc_len=None):
+        return self.decoder(tokens, cross_kvs, enc_len)
+
+    def decode_step(self, token, pos, cross_kvs, enc_len, self_caches):
+        return self.decoder.step(token, pos, cross_kvs, enc_len, self_caches)
+
+    def __call__(self, images: Array, tokens: Array) -> Array:
+        """Teacher-forced forward (training): [B,H,W,C], [B,L] -> [B,L,V]."""
+        enc = self.encode(images)
+        cross = self.prefill(enc)
+        return self.decode_full(tokens, cross)
+
+
+def _init_self_caches(cfg: DecoderConfig, batch: int, dtype=jnp.float32):
+    dh = cfg.hidden_dim // cfg.num_heads
+    return [
+        SelfAttention.init_cache(batch, cfg.num_heads, cfg.max_len, dh, dtype)
+        for _ in range(cfg.num_layers)
+    ]
+
+
+@partial(jax.jit, static_argnames=("model",))
+def greedy_decode(model: TrOCRModel, params, images: Array):
+    """Batched greedy decode, one compiled program.
+
+    Returns:
+      tokens: [B, max_len] int32 (starts after BOS; pad-filled after EOS)
+      lengths: [B] int32 tokens emitted before EOS
+      confidences: [B] float32 exp(mean log-prob of emitted tokens)
+    """
+    c = model.cfg.decoder
+    b = images.shape[0]
+    enc = model.apply(params, images, method=TrOCRModel.encode)
+    cross = model.apply(params, enc, method=TrOCRModel.prefill)
+    caches = _init_self_caches(c, b, enc.dtype)
+
+    bos = jnp.full((b,), c.bos_id, jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+
+    def body(carry, pos):
+        token, caches, done, logp_sum = carry
+        logits, caches = model.apply(
+            params, token, pos, cross, None, caches,
+            method=TrOCRModel.decode_step,
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        step_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(done, c.pad_id, nxt)
+        logp_sum = logp_sum + jnp.where(done, 0.0, step_logp)
+        new_done = done | (nxt == c.eos_id)
+        out_token = jnp.where(done | (nxt == c.eos_id), c.pad_id, nxt)
+        return (nxt, caches, new_done, logp_sum), (out_token, ~done)
+
+    (_, _, done, logp_sum), (toks, alive) = jax.lax.scan(
+        body, (bos, caches, done0, jnp.zeros((b,), jnp.float32)),
+        jnp.arange(c.max_len),
+    )
+    tokens = toks.T  # [B, max_len]
+    emitted = (tokens != c.pad_id).sum(axis=1)
+    steps = alive.T.sum(axis=1)  # includes the EOS step
+    conf = jnp.exp(logp_sum / jnp.maximum(steps, 1))
+    return tokens, emitted.astype(jnp.int32), conf.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("model", "beam_size", "len_penalty"))
+def beam_decode(
+    model: TrOCRModel,
+    params,
+    images: Array,
+    beam_size: int = 5,
+    len_penalty: float = 1.0,
+):
+    """Batched beam search, one compiled program.
+
+    Mirrors fairseq ``SequenceGenerator`` semantics (beam=5, length-
+    normalised scores) used by the reference's TrOCR decode path.
+
+    Returns:
+      tokens: [B, max_len] best hypothesis (pad-filled)
+      lengths: [B] int32
+      confidences: [B] float32 exp(score / length)
+    """
+    c = model.cfg.decoder
+    b = images.shape[0]
+    k = beam_size
+    v = c.vocab_size
+
+    enc = model.apply(params, images, method=TrOCRModel.encode)
+    cross = model.apply(params, enc, method=TrOCRModel.prefill)
+    # tile to beam: [B*K, ...] with beam-major inner dim
+    cross = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, k, axis=0), cross
+    )
+    caches = _init_self_caches(c, b * k, enc.dtype)
+
+    tokens0 = jnp.full((b, k, c.max_len), c.pad_id, jnp.int32)
+    cur = jnp.full((b, k), c.bos_id, jnp.int32)
+    scores0 = jnp.tile(
+        jnp.array([0.0] + [-1e30] * (k - 1), jnp.float32), (b, 1)
+    )  # only beam 0 live at start (all beams identical)
+    fin0 = jnp.zeros((b, k), bool)
+    lens0 = jnp.zeros((b, k), jnp.int32)
+
+    def body(carry, pos):
+        cur, tokens, scores, fin, lens, caches = carry
+        logits, caches = model.apply(
+            params, cur.reshape(b * k), pos, cross, None, caches,
+            method=TrOCRModel.decode_step,
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(b, k, v)
+
+        # finished beams may only emit PAD, score unchanged
+        pad_row = jnp.full((v,), -1e30).at[c.pad_id].set(0.0)
+        logp = jnp.where(fin[:, :, None], pad_row[None, None, :], logp)
+        cand = scores[:, :, None] + logp  # [B,K,V]
+
+        flat = cand.reshape(b, k * v)
+        new_scores, idx = jax.lax.top_k(flat, k)  # [B,K]
+        beam_idx = idx // v
+        tok = (idx % v).astype(jnp.int32)
+
+        # gather state along beams
+        tokens = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
+        fin = jnp.take_along_axis(fin, beam_idx, axis=1)
+        lens = jnp.take_along_axis(lens, beam_idx, axis=1)
+        flat_gather = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)
+        caches = jax.tree_util.tree_map(
+            lambda x: x[flat_gather], caches
+        )
+
+        is_eos = (tok == c.eos_id) & ~fin
+        write = jnp.where(fin | (tok == c.eos_id), c.pad_id, tok)
+        tokens = tokens.at[:, :, pos].set(write)
+        lens = jnp.where(fin, lens, lens + (~(tok == c.eos_id)).astype(jnp.int32))
+        fin = fin | is_eos
+        return (tok, tokens, new_scores, fin, lens, caches), None
+
+    (cur, tokens, scores, fin, lens, _), _ = jax.lax.scan(
+        body, (cur, tokens0, scores0, fin0, lens0, caches), jnp.arange(c.max_len)
+    )
+
+    # length-normalised final scores; unfinished beams keep raw normalisation
+    denom = jnp.maximum(lens + 1, 1).astype(jnp.float32) ** len_penalty
+    final = scores / denom
+    best = jnp.argmax(final, axis=1)  # [B]
+    best_tokens = jnp.take_along_axis(
+        tokens, best[:, None, None], axis=1
+    )[:, 0]
+    best_len = jnp.take_along_axis(lens, best[:, None], axis=1)[:, 0]
+    best_score = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
+    conf = jnp.exp(best_score)
+    return best_tokens, best_len.astype(jnp.int32), conf.astype(jnp.float32)

@@ -1,0 +1,146 @@
+"""OcrEngine — composition of a BoxProcessor (detection) and an
+OcrProcessor (recognition) over pages and regions.
+
+Behaviour parity with the reference
+(``/root/reference/marie/ocr/ocr_engine.py:28`` — full-page vs region
+extraction, per-page meta with ``lines``/``lines_bboxes``/``format``,
+xywh→xyxy conversion on request).
+"""
+
+from abc import ABC, abstractmethod
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from marie_tpu.boxes.box_processor import BoxProcessor
+from marie_tpu.document.ocr_processor import OcrProcessor
+from marie_tpu.enums import CoordinateFormat, PSMode
+from marie_tpu.logging_core import MarieLogger
+
+
+class OcrEngine(ABC):
+    """Extracts text from frames (full page) or regions."""
+
+    def __init__(self, **kwargs):
+        self.logger = MarieLogger(type(self).__name__)
+
+    @abstractmethod
+    def extract(
+        self,
+        frames: Union[np.ndarray, List[np.ndarray]],
+        pms_mode: PSMode = PSMode.SPARSE,
+        coordinate_format: CoordinateFormat = CoordinateFormat.XYWH,
+        regions: Optional[List[Dict[str, Any]]] = None,
+        queue_id: str = "",
+        **kwargs,
+    ) -> List[Dict[str, Any]]:
+        """Returns one result dict per page (reference schema:
+        meta/words/lines with meta.page, meta.lines, meta.lines_bboxes,
+        meta.format)."""
+
+
+class PipelineOcrEngine(OcrEngine):
+    """Concrete engine over a (box_processor, ocr_processor) pair."""
+
+    def __init__(
+        self,
+        box_processor: BoxProcessor,
+        ocr_processor: OcrProcessor,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.box_processor = box_processor
+        self.ocr_processor = ocr_processor
+
+    def extract(
+        self,
+        frames,
+        pms_mode: PSMode = PSMode.SPARSE,
+        coordinate_format: CoordinateFormat = CoordinateFormat.XYWH,
+        regions=None,
+        queue_id: str = "",
+        **kwargs,
+    ) -> List[Dict[str, Any]]:
+        frames = _as_frame_list(frames)
+        if regions:
+            return self._extract_regions(
+                frames, pms_mode, coordinate_format, regions, queue_id, **kwargs
+            )
+        return self._extract_fullpage(
+            frames, pms_mode, coordinate_format, queue_id, **kwargs
+        )
+
+    # ------------------------------------------------------------------
+    def _extract_fullpage(
+        self, frames, pms_mode, coordinate_format, queue_id, **kwargs
+    ):
+        results = []
+        checksum = kwargs.get("checksum", "")
+        for i, frame in enumerate(frames):
+            boxes, fragments, lines, _, line_bboxes = (
+                self.box_processor.extract_bounding_boxes(
+                    queue_id, checksum, frame, pms_mode
+                )
+            )
+            result, _ = self.ocr_processor.recognize(
+                queue_id, checksum, frame, boxes, fragments, lines
+            )
+            if coordinate_format == CoordinateFormat.XYXY:
+                for word in result["words"]:
+                    x, y, w, h = word["box"]
+                    word["box"] = [x, y, x + w, y + h]
+            result["meta"]["page"] = i
+            result["meta"]["lines"] = _tolist(lines)
+            result["meta"]["lines_bboxes"] = _tolist(line_bboxes)
+            result["meta"]["format"] = coordinate_format.name.lower()
+            results.append(result)
+        return results
+
+    def _extract_regions(
+        self, frames, pms_mode, coordinate_format, regions, queue_id, **kwargs
+    ):
+        """Region extraction: each region is cut out and recognised with
+        its own PSMode (region['mode'] overrides), results keyed by id."""
+        output = []
+        for region in regions:
+            missing = {"id", "pageIndex", "x", "y", "w", "h"} - set(region)
+            if missing:
+                raise ValueError(f"Required key missing in region: {region}")
+            page_idx = int(region["pageIndex"])
+            if page_idx >= len(frames):
+                raise ValueError(f"region pageIndex {page_idx} out of range")
+            frame = frames[page_idx]
+            x, y, w, h = (int(region[k]) for k in ("x", "y", "w", "h"))
+            x0, y0 = max(x, 0), max(y, 0)
+            snippet = frame[y0 : y + h, x0 : x + w]
+            mode = PSMode.from_value(region.get("mode", "raw_line"))
+            page_result = self._extract_fullpage(
+                [snippet], mode, coordinate_format, queue_id, **kwargs
+            )[0]
+            text = " ".join(wd["text"] for wd in page_result["words"])
+            conf = (
+                float(np.mean([wd["confidence"] for wd in page_result["words"]]))
+                if page_result["words"]
+                else 0.0
+            )
+            output.append(
+                {
+                    "id": region["id"],
+                    "text": text,
+                    "confidence": round(conf, 4),
+                    "words": page_result["words"],
+                }
+            )
+        return output
+
+
+def _as_frame_list(frames) -> List[np.ndarray]:
+    if isinstance(frames, np.ndarray) and frames.ndim == 3:
+        return [frames]
+    return list(frames)
+
+
+def _tolist(arr):
+    if isinstance(arr, np.ndarray):
+        return arr.tolist()
+    return list(arr)

@@ -1,0 +1,140 @@
+"""Jitted page/crop preprocessing ops.
+
+The reference preprocesses on host with OpenCV/PIL
+(``/root/reference/marie/utils/image_utils.py``, ``resize_image.py``);
+here the per-page graph (grayscale → normalize → binarize) runs on device
+and word crops are cut with a single batched bilinear-sampling op
+(:func:`crop_resize`) instead of N host-side ``img[y:y+h, x:x+w]`` slices —
+so a page's pixels are uploaded once and never leave HBM until text
+comes out.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+@jax.jit
+def to_grayscale(img: Array) -> Array:
+    """[H, W, 3] -> [H, W] luma."""
+    w = jnp.array([0.299, 0.587, 0.114], img.dtype)
+    return img @ w
+
+
+@jax.jit
+def normalize_page(img: Array) -> Array:
+    """uint8 [H, W, C] -> float32 in [0, 1]."""
+    return img.astype(jnp.float32) / 255.0
+
+
+@jax.jit
+def otsu_binarize(gray: Array) -> Array:
+    """Otsu thresholding on device. gray float [H, W] in [0,1] -> bool mask
+    of INK pixels (True = dark)."""
+    nbins = 256
+    flat = jnp.clip((gray * (nbins - 1)).astype(jnp.int32), 0, nbins - 1)
+    hist = jnp.zeros((nbins,), jnp.float32).at[flat.reshape(-1)].add(1.0)
+    total = jnp.sum(hist)
+    bins = jnp.arange(nbins, dtype=jnp.float32)
+
+    w0 = jnp.cumsum(hist)
+    w1 = total - w0
+    sum_all = jnp.sum(hist * bins)
+    sum0 = jnp.cumsum(hist * bins)
+    mu0 = sum0 / jnp.maximum(w0, 1.0)
+    mu1 = (sum_all - sum0) / jnp.maximum(w1, 1.0)
+    between = w0 * w1 * (mu0 - mu1) ** 2
+    t = jnp.argmax(between).astype(jnp.float32) / (nbins - 1)
+    return gray <= t
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def crop_resize(
+    image: Array,  # [H, W, C] float
+    boxes: Array,  # [N, 4] xyxy float (page coords)
+    out_h: int,
+    out_w: int,
+    preserve_aspect: bool = True,
+):
+    """Cut N boxes out of a page and resize each to (out_h, out_w).
+
+    Aspect-preserving: each crop is scaled so its height fits ``out_h``;
+    the width scales by the same factor and is right-padded with white.
+    Returns (crops [N, out_h, out_w, C], eff_w [N] effective widths).
+    """
+    h, w = image.shape[0], image.shape[1]
+    x0, y0, x1, y1 = (boxes[:, i] for i in range(4))
+    bh = jnp.maximum(y1 - y0, 1.0)
+    bw = jnp.maximum(x1 - x0, 1.0)
+
+    if preserve_aspect:
+        scale = out_h / bh
+        eff_w = jnp.minimum(jnp.round(bw * scale), out_w)
+    else:
+        eff_w = jnp.full_like(bw, out_w)
+
+    # sample grid per crop: ys over [y0, y1), xs over [x0, x0 + out_w/scale)
+    ys_frac = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h  # [out_h]
+    xs_idx = jnp.arange(out_w, dtype=jnp.float32) + 0.5  # [out_w]
+
+    def one(b_x0, b_y0, b_bh, b_bw, b_eff):
+        sy = b_y0 + ys_frac * b_bh  # [out_h]
+        step = b_bh / out_h  # = 1/scale
+        sx = b_x0 + xs_idx * step  # [out_w] — beyond eff_w samples pad area
+        yy = jnp.broadcast_to(sy[:, None], (out_h, out_w))
+        xx = jnp.broadcast_to(sx[None, :], (out_h, out_w))
+        vals = _bilinear_hwc(image, yy - 0.5, xx - 0.5)
+        pad_mask = (jnp.arange(out_w)[None, :] >= b_eff)[..., None]
+        return jnp.where(pad_mask, 1.0, vals)
+
+    crops = jax.vmap(one)(x0, y0, bh, bw, eff_w)
+    return crops, eff_w.astype(jnp.int32)
+
+
+def _bilinear_hwc(img: Array, ys: Array, xs: Array) -> Array:
+    """Bilinear sample [H, W, C] at float coords; clamps at borders."""
+    h, w = img.shape[0], img.shape[1]
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    ly = (ys - y0)[..., None]
+    lx = (xs - x0)[..., None]
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return (
+        v00 * (1 - ly) * (1 - lx)
+        + v01 * (1 - ly) * lx
+        + v10 * ly * (1 - lx)
+        + v11 * ly * lx
+    )
+
+
+@partial(jax.jit, static_argnames=("target_h", "target_w"))
+def resize_page(image: Array, target_h: int, target_w: int) -> Array:
+    """Bilinear resize [H, W, C] -> [target_h, target_w, C]."""
+    return jax.image.resize(
+        image, (target_h, target_w, image.shape[2]), method="bilinear"
+    )
+
+
+@partial(jax.jit, static_argnames=("bucket_h", "bucket_w"))
+def prepare_page(
+    img_u8: Array, bucket_h: int, bucket_w: int, scale: float = 1.0
+):
+    """Fused page-prep graph: uint8 page (already padded on host to the
+    bucket) -> dict of device tensors used by the pipeline stages.
+
+    Returns {'rgb': [H,W,3] f32 0..1, 'gray': [H,W], 'ink': [H,W] bool}.
+    """
+    rgb = normalize_page(img_u8)
+    gray = to_grayscale(rgb)
+    ink = otsu_binarize(gray)
+    return {"rgb": rgb, "gray": gray, "ink": ink}

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""End-to-end OCR benchmark — prints ONE JSON line.
+
+Workload (BASELINE.md config "batched fixed-shape-bucketed OCR"):
+synthetic 300dpi-class pages (1024×768, ~100 words each) through the full
+serving path — CRAFT detection forward + on-device CC post-processing +
+line grouping + width-bucketed TrOCR greedy decode (serving preset).
+Boxes come from the deterministic ink mask (``box_source='ink'``) so the
+measured graph is identical in shape/cost to the trained-weights
+deployment while being stable without model assets.
+
+Metric: pages/sec/chip end-to-end.  vs_baseline = value / 50 (the
+BASELINE.json target of ≥50 pages/sec/chip on v5e).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+BASELINE_PAGES_PER_SEC = 50.0
+PAGE_H, PAGE_W = 1024, 768
+N_WARMUP_PAGES = 2
+N_BENCH_PAGES = 16
+
+
+def make_pages(n, seed=0):
+    """Synthetic text pages: rendered words via PIL."""
+    from PIL import Image, ImageDraw
+
+    rng = np.random.default_rng(seed)
+    words = [
+        "invoice", "total", "amount", "2024", "payment", "due", "net",
+        "terms", "claim", "policy", "member", "provider", "service",
+        "balance", "statement", "account", "number", "date", "reference",
+    ]
+    pages = []
+    for k in range(n):
+        img = Image.new("RGB", (PAGE_W, PAGE_H), (255, 255, 255))
+        draw = ImageDraw.Draw(img)
+        y = 40
+        while y < PAGE_H - 60:
+            x = 40
+            while x < PAGE_W - 120:
+                wtext = words[int(rng.integers(0, len(words)))]
+                draw.text((x, y), wtext, fill=(0, 0, 0))
+                x += 12 + 7 * len(wtext) + int(rng.integers(0, 30))
+            y += 24 + int(rng.integers(0, 12))
+        pages.append(np.asarray(img))
+    return pages
+
+
+def main():
+    import jax
+
+    from marie_tpu.boxes.craft_box_processor import BoxProcessorCraft
+    from marie_tpu.document.trocr_ocr_processor import TrOcrProcessor
+    from marie_tpu.models.configs import CraftConfig, TrOCRConfig
+    from marie_tpu.ocr.ocr_engine import PipelineOcrEngine
+    from marie_tpu.preprocess import BucketSpec
+
+    platform = jax.devices()[0].platform
+
+    box = BoxProcessorCraft(
+        config=CraftConfig.base(),
+        box_source="ink",
+        min_area=4,
+        bucket_spec=BucketSpec(shapes=((PAGE_H, PAGE_W),)),
+    )
+    icr = TrOcrProcessor(config=TrOCRConfig.fast(), beam_size=1)
+    engine = PipelineOcrEngine(box, icr)
+
+    warm = make_pages(N_WARMUP_PAGES, seed=123)
+    t0 = time.time()
+    engine.extract(warm)
+    compile_s = time.time() - t0
+
+    pages = make_pages(N_BENCH_PAGES, seed=7)
+    t0 = time.time()
+    results = engine.extract(pages)
+    dt = time.time() - t0
+
+    n_words = sum(len(r["words"]) for r in results)
+    pages_per_sec = N_BENCH_PAGES / dt
+    out = {
+        "metric": "end_to_end_ocr_throughput",
+        "value": round(pages_per_sec, 2),
+        "unit": "pages/sec/chip",
+        "vs_baseline": round(pages_per_sec / BASELINE_PAGES_PER_SEC, 3),
+        "detail": {
+            "platform": platform,
+            "page_shape": [PAGE_H, PAGE_W],
+            "pages": N_BENCH_PAGES,
+            "total_words": n_words,
+            "words_per_sec": round(n_words / dt, 1),
+            "p50_page_latency_ms": round(dt / N_BENCH_PAGES * 1000, 1),
+            "compile_s": round(compile_s, 1),
+            "recognizer": "trocr-fast greedy",
+            "detector": "craft-base fwd + on-device CC (ink boxes)",
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

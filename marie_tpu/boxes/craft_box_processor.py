@@ -28,7 +28,7 @@ from marie_tpu.preprocess import BucketSpec, pad_to
 from marie_tpu.preprocess.ops import normalize_page
 
 
-@partial(jax.jit, static_argnames=("model", "max_components"))
+@partial(jax.jit, static_argnames=("model", "max_components", "box_source"))
 def _detect_jit(
     model: CRAFT,
     variables,
@@ -37,15 +37,39 @@ def _detect_jit(
     low_text: float,
     link_threshold: float,
     max_components: int,
+    box_source: str = "heatmap",
 ):
-    """Page -> fixed-size component stats, fully on device."""
+    """Page -> fixed-size component stats, fully on device.
+
+    ``box_source='heatmap'`` is the production path (thresholded CRAFT
+    region/affinity maps).  ``box_source='ink'`` runs the identical CRAFT
+    forward (same compute graph, same cost) but takes the CC mask from the
+    page's binarised ink with horizontal closing — deterministic boxes for
+    benchmarking and CI where no trained weights exist.
+    """
     rgb = normalize_page(page_u8)
     heat = model.apply(variables, rgb[None])[0]  # [H/2, W/2, 2]
     region = heat[..., 0]
     affinity = heat[..., 1]
-    mask = (region > low_text) | (affinity > link_threshold)
+    if box_source == "ink":
+        from marie_tpu.preprocess.ops import otsu_binarize, to_grayscale
+
+        gray = to_grayscale(rgb)
+        ink = otsu_binarize(gray)
+        # downsample to heatmap stride and join characters horizontally
+        ink2 = jax.lax.reduce_window(
+            ink.astype(jnp.float32), -jnp.inf, jax.lax.max, (2, 2), (2, 2), "VALID"
+        )
+        joined = jax.lax.reduce_window(
+            ink2, -jnp.inf, jax.lax.max, (1, 5), (1, 1), "SAME"
+        )
+        mask = (joined > 0) | (region > 2.0)  # keep heat dependency alive
+        scores = jnp.maximum(ink2, region * 0.0) + 1e-3
+    else:
+        mask = (region > low_text) | (affinity > link_threshold)
+        scores = region
     labels = connected_components(mask)
-    stats = component_boxes(labels, region, max_components=max_components)
+    stats = component_boxes(labels, scores, max_components=max_components)
     return stats
 
 
@@ -64,6 +88,7 @@ class BoxProcessorCraft(BoxProcessor):
         min_area: int = 10,
         max_components: int = 1024,
         bucket_spec: Optional[BucketSpec] = None,
+        box_source: str = "heatmap",
         **kwargs,
     ):
         super().__init__(work_dir, models_dir, **kwargs)
@@ -74,12 +99,13 @@ class BoxProcessorCraft(BoxProcessor):
         self.link_threshold = link_threshold
         self.min_area = min_area
         self.max_components = max_components
+        self.box_source = box_source
         self.buckets = bucket_spec or BucketSpec()
         if variables is None:
             # random init (weights are loaded via the model registry in
             # deployment; tests run with random weights)
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-            variables = self.model.init(jax.random.PRNGKey(0), dummy)
+            variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
         self.variables = variables
 
     def detect_words(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -101,13 +127,15 @@ class BoxProcessorCraft(BoxProcessor):
             self.low_text,
             self.link_threshold,
             self.max_components,
+            self.box_source,
         )
         boxes = np.asarray(stats["boxes"])  # heatmap coords (stride 2)
         scores = np.asarray(stats["scores"])
         areas = np.asarray(stats["areas"])
         valid = np.asarray(stats["valid"])
 
-        keep = valid & (scores >= self.text_threshold) & (areas >= self.min_area)
+        score_floor = 0.0 if self.box_source == "ink" else self.text_threshold
+        keep = valid & (scores >= score_floor) & (areas >= self.min_area)
         boxes = boxes[keep] * 2.0 / scale  # heatmap -> padded page -> original
         scores = scores[keep]
 

@@ -1,0 +1,101 @@
+"""gRPC client (reference: ``/root/reference/marie/clients/base/grpc.py:25``)."""
+
+import asyncio
+from typing import Any, Dict, List, Optional, Union
+
+import grpc
+
+from marie_tpu.excepts import BadServer
+from marie_tpu.helper import run_async
+from marie_tpu.logging_core import MarieLogger
+from marie_tpu.types.docs import Document, DocumentArray
+from marie_tpu.types.request import DataRequest
+
+_PROCESS_DATA = "/jina.JinaDataRequestRPC/process_data"
+_DRY_RUN = "/jina.JinaGatewayDryRunRPC/dry_run"
+_INFO = "/jina.JinaInfoRPC/_status"
+
+_MAX_MSG = 64 * 1024 * 1024
+_OPTIONS = [
+    ("grpc.max_send_message_length", _MAX_MSG),
+    ("grpc.max_receive_message_length", _MAX_MSG),
+]
+
+
+class GRPCClient:
+    def __init__(self, host: str = "127.0.0.1", port: Optional[int] = None, **kwargs):
+        if port is None:
+            raise ValueError("port is required")
+        self.address = f"{host}:{port}"
+        self.logger = MarieLogger("GRPCClient")
+
+    # --- async API ----------------------------------------------------
+    async def apost(
+        self,
+        on: str = "/",
+        inputs: Union[DocumentArray, List[Document], None] = None,
+        parameters: Optional[Dict[str, Any]] = None,
+        target_executor: str = "",
+        timeout: Optional[float] = None,
+        return_responses: bool = False,
+    ):
+        req = DataRequest.from_docs(
+            inputs if inputs is not None else DocumentArray(),
+            endpoint=on,
+            parameters=parameters,
+            target_executor=target_executor,
+        )
+        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+            stub = ch.unary_unary(
+                _PROCESS_DATA,
+                request_serializer=lambda r: r.to_bytes(),
+                response_deserializer=DataRequest.from_bytes,
+            )
+            resp: DataRequest = await stub(req, timeout=timeout)
+        if resp.is_error():
+            st = resp.proto.header.status
+            raise BadServer(
+                f"request failed in {st.exception.executor or 'server'}: "
+                f"{st.description}"
+            )
+        return resp if return_responses else resp.docs
+
+    async def adry_run(self, timeout: float = 5.0) -> bool:
+        from marie_tpu.proto import marie_pb2
+
+        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+            stub = ch.unary_unary(
+                _DRY_RUN,
+                request_serializer=lambda b: b,
+                response_deserializer=lambda b: b,
+            )
+            raw = await stub(b"", timeout=timeout)
+        st = marie_pb2.StatusProto()
+        st.ParseFromString(raw)
+        return st.code == marie_pb2.StatusProto.SUCCESS
+
+    async def ainfo(self, timeout: float = 5.0) -> dict:
+        import json
+
+        from marie_tpu.proto import marie_pb2
+
+        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+            stub = ch.unary_unary(
+                _INFO,
+                request_serializer=lambda b: b,
+                response_deserializer=lambda b: b,
+            )
+            raw = await stub(b"", timeout=timeout)
+        proto = marie_pb2.InfoProto()
+        proto.ParseFromString(raw)
+        return json.loads(proto.jina.decode())
+
+    # --- sync wrappers -------------------------------------------------
+    def post(self, on: str = "/", inputs=None, **kwargs):
+        return run_async(self.apost(on=on, inputs=inputs, **kwargs))
+
+    def dry_run(self, **kwargs) -> bool:
+        return run_async(self.adry_run(**kwargs))
+
+    def info(self, **kwargs) -> dict:
+        return run_async(self.ainfo(**kwargs))

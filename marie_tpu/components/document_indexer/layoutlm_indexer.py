@@ -1,0 +1,122 @@
+"""Document indexer (NER / KV extraction) over LayoutLM token classification.
+
+Capability parity with the reference's ``TransformersDocumentIndexer``
+(``/root/reference/marie/components/document_indexer/transformers.py:91`` —
+512-token windows with stride-128 sliding window at :510-527, BIO entity
+aggregation).  The window stack is static per page length bucket; window
+logits are overlap-averaged before BIO decoding.
+"""
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from marie_tpu.components.base import BaseDocumentIndexer, PageInput
+from marie_tpu.components.word_tokenizer import HashWordTokenizer
+from marie_tpu.models.configs import LayoutLMConfig
+from marie_tpu.models.layoutlm import (
+    LayoutLMv3ForTokenClassification,
+    merge_window_logits,
+    sliding_windows,
+)
+
+
+class LayoutDocumentIndexer(BaseDocumentIndexer):
+    def __init__(
+        self,
+        labels: Sequence[str] = ("O", "B-KEY", "I-KEY", "B-VALUE", "I-VALUE"),
+        config: Optional[LayoutLMConfig] = None,
+        params=None,
+        tokenizer: Optional[HashWordTokenizer] = None,
+        window: Optional[int] = None,
+        stride: int = 128,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.labels = list(labels)
+        self.config = config or LayoutLMConfig.base(num_labels=len(self.labels))
+        self.model = LayoutLMv3ForTokenClassification(self.config)
+        self.tokenizer = tokenizer or HashWordTokenizer(self.config.vocab_size)
+        self.window = window or self.config.max_seq_len
+        self.stride = min(stride, self.window)
+        if params is None:
+            l = self.window
+            params = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, l), jnp.int32),
+                jnp.zeros((1, l, 4), jnp.int32),
+                jnp.ones((1,), jnp.int32),
+                None,
+            )
+        self.params = params
+        self._fwd = jax.jit(lambda p, t, b, s: self.model.apply(p, t, b, s, None))
+
+    def index(self, pages: Sequence[PageInput]) -> List[Dict[str, Any]]:
+        out = []
+        for page in pages:
+            out.append(self._index_page(page))
+        return out
+
+    def _index_page(self, page: PageInput) -> Dict[str, Any]:
+        n = len(page.words)
+        if n == 0:
+            return {"entities": []}
+        l = self.window
+        tokens = np.zeros((max(n, 1),), np.int32)
+        boxes = np.zeros((max(n, 1), 4), np.int32)
+        t, b, _ = self.tokenizer.encode_page(
+            page.words, page.boxes, page.page_size, max(n, 1), self.config.max_2d_pos
+        )
+        tokens[: len(t)] = t[: len(tokens)]
+        boxes[: len(b)] = b[: len(boxes)]
+
+        win_t, win_b, starts, valid = sliding_windows(
+            jnp.asarray(tokens), jnp.asarray(boxes), window=l, stride=self.stride
+        )
+        seq_len = jnp.sum(valid, axis=1).astype(jnp.int32)
+        logits = self._fwd(self.params, win_t, win_b, seq_len)
+        merged = merge_window_logits(logits, starts, valid, n)
+        probs = np.asarray(jax.nn.softmax(merged, axis=-1))
+        pred = probs.argmax(axis=-1)
+        return {"entities": self._bio_decode(pred, probs, page.words)}
+
+    def _bio_decode(self, pred, probs, words) -> List[Dict[str, Any]]:
+        """Aggregate BIO tags into entities with word spans."""
+        entities = []
+        cur = None
+        for i, p in enumerate(pred):
+            label = self.labels[int(p)]
+            score = float(probs[i, int(p)])
+            if label.startswith("B-") or (
+                label.startswith("I-") and (cur is None or cur["label"] != label[2:])
+            ):
+                if cur:
+                    entities.append(cur)
+                cur = {
+                    "label": label[2:],
+                    "words": [words[i]],
+                    "scores": [score],
+                    "word_span": [i, i + 1],
+                }
+            elif label.startswith("I-") and cur is not None:
+                cur["words"].append(words[i])
+                cur["scores"].append(score)
+                cur["word_span"][1] = i + 1
+            else:  # O
+                if cur:
+                    entities.append(cur)
+                    cur = None
+        if cur:
+            entities.append(cur)
+        return [
+            {
+                "label": e["label"],
+                "text": " ".join(e["words"]),
+                "score": float(np.mean(e["scores"])),
+                "word_span": tuple(e["word_span"]),
+            }
+            for e in entities
+        ]

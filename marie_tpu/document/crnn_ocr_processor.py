@@ -40,7 +40,7 @@ class CrnnOcrProcessor(OcrProcessor):
         self.crop_h = self.config.input_height
         if variables is None:
             dummy = jnp.zeros((1, self.crop_h, self.width_buckets[0], 1), jnp.float32)
-            variables = self.model.init(jax.random.PRNGKey(0), dummy)
+            variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
         self.variables = variables
         self._fwd = jax.jit(lambda v, x: self.model.apply(v, x))
 

@@ -50,7 +50,7 @@ class TrOcrProcessor(OcrProcessor):
         if params is None:
             dummy_img = jnp.zeros((1, h, w, 3), jnp.float32)
             dummy_tok = jnp.zeros((1, 2), jnp.int32)
-            params = self.model.init(jax.random.PRNGKey(0), dummy_img, dummy_tok)
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy_img, dummy_tok)
         self.params = params
 
     # ------------------------------------------------------------------

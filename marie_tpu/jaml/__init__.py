@@ -36,9 +36,13 @@ class _Registry:
         return cls._classes.get(name)
 
 
-class JAMLCompatibleType(type):
+from abc import ABCMeta
+
+
+class JAMLCompatibleType(ABCMeta):
     """Metaclass that auto-registers every subclass for YAML construction
-    (reference: marie/jaml/__init__.py:531 JAMLCompatible registration)."""
+    (reference: marie/jaml/__init__.py:531 JAMLCompatible registration).
+    Derives from ABCMeta so JAMLCompatible classes can also be ABCs."""
 
     def __new__(mcs, name, bases, namespace):
         klass = super().__new__(mcs, name, bases, namespace)

@@ -1,0 +1,149 @@
+"""Pod — one serving process.
+
+Parity with the reference (``/root/reference/marie/orchestrate/pods/__init__.py:268``
++ ``serve/executors/run.py:74``): ``Pod.start`` forks a child process that
+builds the request handler + runtime and serves until terminated; the
+parent waits on a readiness event.
+"""
+
+import multiprocessing
+import os
+import pickle
+import time
+from typing import Any, Dict, Optional
+
+from marie_tpu.excepts import RuntimeFailToStart
+from marie_tpu.logging_core import MarieLogger
+
+
+def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> None:
+    """Child-process entrypoint (reference run.py:74 run())."""
+    import asyncio
+
+    from marie_tpu.serve.runtimes.asyncio_runtime import AsyncNewLoopRuntime
+
+    if kind == "worker":
+        from marie_tpu.serve.runtimes.worker.request_handling import (
+            WorkerRequestHandler,
+        )
+
+        handler = WorkerRequestHandler(
+            uses=kwargs.get("uses"),
+            uses_with=kwargs.get("uses_with"),
+            name=kwargs.get("name", "executor"),
+            workspace=kwargs.get("workspace"),
+        )
+    elif kind == "gateway":
+        from marie_tpu.serve.runtimes.gateway.request_handling import (
+            GatewayRequestHandler,
+        )
+
+        handler = GatewayRequestHandler(
+            graph_representation=kwargs["graph_representation"],
+            executor_addresses=kwargs["executor_addresses"],
+            prefetch=kwargs.get("prefetch", 0),
+            floating_deployments=kwargs.get("floating_deployments"),
+            name=kwargs.get("name", "gateway"),
+        )
+    elif kind == "head":
+        from marie_tpu.enums import PollingType
+        from marie_tpu.serve.runtimes.head.request_handling import (
+            HeaderRequestHandler,
+        )
+
+        handler = HeaderRequestHandler(
+            shard_addresses=kwargs["shard_addresses"],
+            polling=PollingType(kwargs.get("polling", "all")),
+            name=kwargs.get("name", "head"),
+        )
+    else:
+        raise ValueError(f"unknown pod kind {kind}")
+
+    runtime = AsyncNewLoopRuntime(
+        handler,
+        protocol=kwargs.get("protocol", "grpc"),
+        protocols=kwargs.get("protocols"),
+        ports=kwargs.get("ports"),
+        port=kwargs.get("port"),
+        host=kwargs.get("bind_host", "0.0.0.0"),
+        name=kwargs.get("name", kind),
+    )
+
+    async def _serve():
+        await runtime.server.setup_server()
+        # publish the actually-bound port, then signal readiness
+        srv = runtime.server
+        port_value.value = getattr(srv, "port", 0) or getattr(
+            srv, "servers", [None]
+        )[0].port
+        ready_event.set()
+        try:
+            await runtime.server.run_server()
+        finally:
+            await runtime.server.shutdown()
+            if hasattr(handler, "close"):
+                await handler.close()
+
+    try:
+        asyncio.run(_serve())
+    except (KeyboardInterrupt, SystemExit):
+        pass
+
+
+class Pod:
+    def __init__(self, kind: str, **kwargs):
+        self.kind = kind
+        self.kwargs = kwargs
+        self.name = kwargs.get("name", kind)
+        self.logger = MarieLogger(f"pod/{self.name}")
+        ctx = multiprocessing.get_context("spawn")
+        self._ready = ctx.Event()
+        self._port = ctx.Value("i", kwargs.get("port") or 0)
+        self._process = ctx.Process(
+            target=_pod_main,
+            args=(kind, kwargs, self._ready, self._port),
+            daemon=True,
+            name=f"marie-pod-{self.name}",
+        )
+
+    def start(self, timeout: float = 60.0) -> "Pod":
+        self._process.start()
+        deadline = time.time() + timeout
+        while not self._ready.wait(0.2):
+            if not self._process.is_alive():
+                raise RuntimeFailToStart(
+                    f"pod {self.name} died during startup "
+                    f"(exitcode={self._process.exitcode}); check that the "
+                    f"executor module is importable in subprocesses"
+                )
+            if time.time() > deadline:
+                self.close()
+                raise RuntimeFailToStart(
+                    f"pod {self.name} did not become ready within {timeout}s"
+                )
+        return self
+
+    @property
+    def port(self) -> int:
+        return self._port.value
+
+    @property
+    def address(self) -> str:
+        return f"127.0.0.1:{self.port}"
+
+    def is_alive(self) -> bool:
+        return self._process.is_alive()
+
+    def close(self, timeout: float = 10.0) -> None:
+        if self._process.is_alive():
+            self._process.terminate()
+            self._process.join(timeout)
+            if self._process.is_alive():
+                self._process.kill()
+                self._process.join(5)
+
+    def __enter__(self) -> "Pod":
+        return self.start()
+
+    def __exit__(self, *args) -> None:
+        self.close()

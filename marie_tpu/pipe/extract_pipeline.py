@@ -1,0 +1,214 @@
+"""ExtractPipeline — the full document workload.
+
+Behaviour parity with the reference
+(``/root/reference/marie/pipe/extract_pipeline.py:46``): burst pages →
+(optional overlay cleanup / boundary) → OCR → classify + index → render
+artifacts (text / searchable PDF / Adlib / BLOBS) → store metadata, all
+rooted in a checksum-keyed asset dir.  Runtime feature flags follow the
+reference's ``runtime_conf`` shape (``page_classifier.enabled`` …).
+"""
+
+import os
+import shutil
+from datetime import datetime
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from marie_tpu.enums import CoordinateFormat, PSMode
+from marie_tpu.helper import ensure_exists
+from marie_tpu.logging_core import MDC, TimeContext
+from marie_tpu.ocr.ocr_engine import OcrEngine
+from marie_tpu.pipe.base_pipeline import BasePipeline
+from marie_tpu.utils.image_utils import ensure_max_page_size, hash_frames_fast
+
+
+class ExtractPipeline(BasePipeline):
+    def __init__(
+        self,
+        ocr_engine: Optional[OcrEngine] = None,
+        classifiers: Optional[Sequence] = None,
+        indexers: Optional[Sequence] = None,
+        overlay_processor=None,
+        boundary_processor=None,
+        work_dir: str = "/tmp/generators",
+        renderers: Sequence[str] = ("text", "pdf", "blobs", "adlib"),
+        **kwargs,
+    ):
+        super().__init__(classifiers=classifiers, indexers=indexers, **kwargs)
+        if ocr_engine is None:
+            from marie_tpu.ocr.default_ocr_engine import DefaultOcrEngine
+
+            ocr_engine = DefaultOcrEngine()
+        self.ocr_engine = ocr_engine
+        self.overlay_processor = overlay_processor
+        self.boundary_processor = boundary_processor
+        self.work_dir = work_dir
+        self.renderers = tuple(renderers)
+
+    # ------------------------------------------------------------------
+    def execute(
+        self,
+        ref_id: str,
+        ref_type: str,
+        frames: List[np.ndarray],
+        pms_mode: PSMode = PSMode.SPARSE,
+        coordinate_format: CoordinateFormat = CoordinateFormat.XYWH,
+        regions: Optional[List[Dict[str, Any]]] = None,
+        queue_id: str = "",
+        job_id: str = "",
+        runtime_conf: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        if ref_id is None or ref_type is None:
+            raise ValueError("Invalid reference type or id")
+        runtime_conf = runtime_conf or {}
+        frames = [np.asarray(f) for f in frames]
+
+        checksum = hash_frames_fast(frames)
+        root_asset_dir = os.path.join(self.work_dir, checksum)
+        if os.path.exists(root_asset_dir):
+            ts = datetime.now().strftime("%Y%m%d%H%M%S")
+            shutil.move(root_asset_dir, f"{root_asset_dir}-{ts}")
+        ensure_exists(root_asset_dir)
+
+        MDC.put("request_id", job_id or checksum[:8])
+        if regions:
+            return self.execute_regions_pipeline(
+                ref_id, ref_type, frames, regions, root_asset_dir,
+                pms_mode, coordinate_format, job_id, runtime_conf,
+            )
+        return self.execute_frames_pipeline(
+            ref_id, ref_type, frames, root_asset_dir, job_id,
+            pms_mode, coordinate_format, runtime_conf,
+        )
+
+    # ------------------------------------------------------------------
+    def execute_frames_pipeline(
+        self,
+        ref_id: str,
+        ref_type: str,
+        frames: List[np.ndarray],
+        root_asset_dir: str,
+        job_id: str,
+        pms_mode: PSMode = PSMode.SPARSE,
+        coordinate_format: CoordinateFormat = CoordinateFormat.XYWH,
+        runtime_conf: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        runtime_conf = runtime_conf or {}
+
+        def flag(name: str, default: bool) -> bool:
+            return bool(runtime_conf.get(name, {}).get("enabled", default))
+
+        classifier_enabled = flag("page_classifier", True)
+        indexer_enabled = flag("page_indexer", True)
+        cleaner_enabled = flag("page_cleaner", False)
+        boundary_enabled = flag("page_boundary", False)
+
+        metadata: Dict[str, Any] = {
+            "ref_id": ref_id,
+            "ref_type": ref_type,
+            "job_id": job_id,
+            "pages": len(frames),
+            "pipeline": type(self).__name__,
+        }
+
+        # clamp oversized pages (reference ensure_max_page_size)
+        frames = [ensure_max_page_size(f)[0] for f in frames]
+
+        if boundary_enabled and self.boundary_processor is not None:
+            with TimeContext("boundary", self.logger):
+                boundary_meta = []
+                for i, f in enumerate(frames):
+                    res = self.boundary_processor.run(f)
+                    boundary_meta.append({"page": i, **res.get("meta", {})})
+                    frames[i] = res.get("aligned", f)
+                metadata["boundary"] = boundary_meta
+
+        clean_frames = frames
+        if cleaner_enabled and self.overlay_processor is not None:
+            with TimeContext("overlay-cleanup", self.logger):
+                clean_frames = [
+                    self.overlay_processor.segment_frame(f"{ref_id}_{i}", f)[2]
+                    for i, f in enumerate(frames)
+                ]
+
+        with TimeContext("ocr", self.logger):
+            ocr_results = self.ocr_engine.extract(
+                clean_frames, pms_mode, coordinate_format
+            )
+        metadata["ocr"] = ocr_results
+
+        self.execute_classifier_and_indexer_pipeline(
+            frames, ocr_results, metadata, classifier_enabled, indexer_enabled
+        )
+
+        with TimeContext("render", self.logger):
+            self._render_artifacts(frames, ocr_results, root_asset_dir)
+        metadata["assets"] = self._asset_listing(root_asset_dir)
+        return metadata
+
+    # ------------------------------------------------------------------
+    def execute_regions_pipeline(
+        self,
+        ref_id: str,
+        ref_type: str,
+        frames: List[np.ndarray],
+        regions: List[Dict[str, Any]],
+        root_asset_dir: str,
+        pms_mode: PSMode,
+        coordinate_format: CoordinateFormat,
+        job_id: str,
+        runtime_conf: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        with TimeContext("ocr-regions", self.logger):
+            results = self.ocr_engine.extract(
+                frames, pms_mode, coordinate_format, regions=regions
+            )
+        return {
+            "ref_id": ref_id,
+            "ref_type": ref_type,
+            "job_id": job_id,
+            "pages": len(frames),
+            "regions": results,
+        }
+
+    # ------------------------------------------------------------------
+    def _render_artifacts(self, frames, ocr_results, root_asset_dir: str) -> None:
+        import copy
+
+        if "text" in self.renderers:
+            from marie_tpu.renderer import TextRenderer
+
+            TextRenderer({"preserve_interword_spaces": True}).render(
+                frames, copy.deepcopy(ocr_results),
+                os.path.join(root_asset_dir, "results.txt"),
+            )
+        if "pdf" in self.renderers:
+            from marie_tpu.renderer import PdfRenderer
+
+            PdfRenderer().render(
+                frames, copy.deepcopy(ocr_results),
+                os.path.join(root_asset_dir, "results.pdf"),
+            )
+        if "blobs" in self.renderers:
+            from marie_tpu.renderer import BlobRenderer
+
+            BlobRenderer().render(
+                frames, copy.deepcopy(ocr_results),
+                os.path.join(root_asset_dir, "blobs"),
+            )
+        if "adlib" in self.renderers:
+            from marie_tpu.renderer import AdlibRenderer
+
+            AdlibRenderer().render(
+                frames, copy.deepcopy(ocr_results),
+                os.path.join(root_asset_dir, "adlib"),
+            )
+
+    @staticmethod
+    def _asset_listing(root_asset_dir: str) -> List[str]:
+        out = []
+        for base, _, files in os.walk(root_asset_dir):
+            for f in files:
+                out.append(os.path.join(base, f))
+        return sorted(out)

@@ -1,0 +1,84 @@
+"""AsyncNewLoopRuntime — one asyncio loop per serving process.
+
+Parity with the reference (``/root/reference/marie/serve/runtimes/asyncio.py:33``):
+builds the protocol server for a request handler, runs it until
+SIGINT/SIGTERM or programmatic cancellation, tears down cleanly.
+"""
+
+import asyncio
+import signal
+import threading
+from typing import Optional
+
+from marie_tpu.logging_core import MarieLogger
+
+
+class AsyncNewLoopRuntime:
+    def __init__(
+        self,
+        req_handler,
+        protocol: str = "grpc",
+        port: Optional[int] = None,
+        host: str = "0.0.0.0",
+        name: str = "runtime",
+        protocols=None,
+        ports=None,
+    ):
+        self.logger = MarieLogger(f"runtime/{name}")
+        self.req_handler = req_handler
+        self.name = name
+        self._cancel_event: Optional[asyncio.Event] = None
+        self.server = self._build_server(
+            protocol, port, host, name, protocols, ports
+        )
+
+    def _build_server(self, protocol, port, host, name, protocols, ports):
+        from marie_tpu.serve.runtimes.servers import (
+            CompositeServer,
+            GRPCServer,
+            HTTPServer,
+        )
+
+        if protocols and len(protocols) > 1:
+            return CompositeServer(
+                self.req_handler, protocols=protocols, ports=ports, host=host,
+                name=name,
+            )
+        proto = (protocols[0] if protocols else protocol).lower()
+        cls = {"grpc": GRPCServer, "http": HTTPServer}.get(proto)
+        if cls is None:
+            raise ValueError(f"unknown protocol {proto!r}")
+        return cls(self.req_handler, port=port, host=host, name=name)
+
+    # ------------------------------------------------------------------
+    async def _serve(self) -> None:
+        self._cancel_event = asyncio.Event()
+        await self.server.setup_server()
+
+        loop = asyncio.get_running_loop()
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGINT, signal.SIGTERM):
+                try:
+                    loop.add_signal_handler(sig, self._cancel_event.set)
+                except (NotImplementedError, RuntimeError):
+                    pass
+
+        run_task = asyncio.create_task(self.server.run_server())
+        cancel_task = asyncio.create_task(self._cancel_event.wait())
+        try:
+            await asyncio.wait(
+                [run_task, cancel_task], return_when=asyncio.FIRST_COMPLETED
+            )
+        finally:
+            run_task.cancel()
+            cancel_task.cancel()
+            await self.server.shutdown()
+            if hasattr(self.req_handler, "close"):
+                await self.req_handler.close()
+
+    def run_forever(self) -> None:
+        asyncio.run(self._serve())
+
+    def cancel(self) -> None:
+        if self._cancel_event is not None:
+            self._cancel_event.set()

@@ -1,0 +1,57 @@
+"""GatewayRequestHandler — the entry server's request handler.
+
+Parity with the reference
+(``/root/reference/marie/serve/runtimes/gateway/request_handling.py:20``):
+wraps a :class:`GatewayStreamer`; exposes the same handler interface as
+the worker so the same protocol servers serve both roles.
+"""
+
+from typing import Any, Dict, List, Optional, Sequence
+
+from marie_tpu.logging_core import MarieLogger
+from marie_tpu.serve.runtimes.gateway.streamer import GatewayStreamer
+from marie_tpu.types.request import DataRequest
+
+
+class GatewayRequestHandler:
+    def __init__(
+        self,
+        graph_representation: Dict[str, List[str]],
+        executor_addresses: Dict[str, List[str]],
+        prefetch: int = 0,
+        timeout: Optional[float] = None,
+        floating_deployments: Optional[Sequence[str]] = None,
+        name: str = "gateway",
+        **kwargs,
+    ):
+        self.logger = MarieLogger(f"gateway/{name}")
+        self.streamer = GatewayStreamer(
+            graph_representation,
+            executor_addresses,
+            prefetch=prefetch,
+            timeout=timeout,
+            floating_deployments=floating_deployments,
+        )
+
+    async def process_data(self, requests: Sequence[DataRequest]) -> DataRequest:
+        return await self.streamer.process_single_data(requests[0])
+
+    async def stream(self, request_iterator):
+        async for resp in self.streamer.stream(request_iterator):
+            yield resp
+
+    async def dry_run(self) -> None:
+        """Probe all deployments' endpoint discovery (gateway dry run)."""
+        for deployment in self.streamer.connection_pool.deployments():
+            await self.streamer.connection_pool.send_discover_endpoint(deployment)
+
+    def endpoints(self) -> Dict[str, Any]:
+        return {"endpoints": ["/"], "write_endpoints": [], "schemas": {}}
+
+    def info(self) -> Dict[str, Any]:
+        from marie_tpu.helper import get_full_version
+
+        return get_full_version()
+
+    async def close(self) -> None:
+        await self.streamer.close()

@@ -1,0 +1,167 @@
+"""gRPC server — the framework's primary data plane.
+
+Service-surface parity with the reference
+(``/root/reference/marie/proto/docarray_v2/jina.proto:166-330`` — the
+service/method names are kept so tooling carries over):
+``jina.JinaDataRequestRPC/process_data``,
+``jina.JinaSingleDataRequestRPC/process_single_data``, ``jina.JinaRPC/Call``
+(bidi stream), ``jina.JinaDiscoverEndpointsRPC/endpoint_discovery``,
+``jina.JinaInfoRPC/_status``, ``jina.JinaGatewayDryRunRPC/dry_run``,
+snapshot/restore.  Handlers are registered with
+``grpc.method_handlers_generic_handler`` (no codegen plugin needed) and a
+standard health service responds to ``grpc.health.v1.Health/Check``.
+"""
+
+import asyncio
+import json
+from typing import Optional, Sequence
+
+import grpc
+
+from marie_tpu.logging_core import MarieLogger
+from marie_tpu.proto import marie_pb2
+from marie_tpu.types.request import DataRequest
+
+_MAX_MSG = 64 * 1024 * 1024
+
+_GRPC_OPTIONS = [
+    ("grpc.max_send_message_length", _MAX_MSG),
+    ("grpc.max_receive_message_length", _MAX_MSG),
+    ("grpc.so_reuseport", 0),
+]
+
+
+def _req_deserializer(data: bytes) -> DataRequest:
+    return DataRequest.from_bytes(data)
+
+
+def _req_serializer(req: DataRequest) -> bytes:
+    return req.to_bytes()
+
+
+class _HealthServicer:
+    """grpc.health.v1.Health implementation (serving by default)."""
+
+    def __init__(self):
+        self.status = 1  # SERVING
+
+    async def check(self, request: bytes, context) -> bytes:
+        # HealthCheckResponse { ServingStatus status = 1; } — hand-encoded
+        # varint proto: field 1, varint value
+        return bytes([0x08, self.status])
+
+
+class GRPCServer:
+    """Serves a request handler (worker / gateway / head) over gRPC."""
+
+    def __init__(
+        self,
+        req_handler,
+        port: Optional[int] = None,
+        host: str = "0.0.0.0",
+        name: str = "grpc",
+        **kwargs,
+    ):
+        from marie_tpu.helper import random_port
+
+        self.req_handler = req_handler
+        self.port = port or random_port()
+        self.host = host
+        self.logger = MarieLogger(f"GRPCServer/{name}")
+        self.server: Optional[grpc.aio.Server] = None
+        self.health = _HealthServicer()
+
+    # ------------------------------------------------------------------
+    async def setup_server(self) -> None:
+        self.server = grpc.aio.server(options=_GRPC_OPTIONS)
+
+        async def process_data(request: DataRequest, context) -> DataRequest:
+            return await self.req_handler.process_data([request])
+
+        async def process_single_data(request: DataRequest, context) -> DataRequest:
+            return await self.req_handler.process_data([request])
+
+        async def call_stream(request_iterator, context):
+            async for req in request_iterator:
+                yield await self.req_handler.process_data([req])
+
+        async def endpoint_discovery(request, context) -> bytes:
+            eps = self.req_handler.endpoints()
+            proto = marie_pb2.EndpointsProto()
+            proto.endpoints.extend(eps["endpoints"])
+            proto.write_endpoints.extend(eps.get("write_endpoints", []))
+            proto.schemas = json.dumps(eps.get("schemas", {})).encode()
+            return proto.SerializeToString()
+
+        async def status(request, context) -> bytes:
+            proto = marie_pb2.InfoProto()
+            proto.jina = json.dumps(self.req_handler.info()).encode()
+            proto.envs = b"{}"
+            return proto.SerializeToString()
+
+        async def dry_run(request, context) -> bytes:
+            st = marie_pb2.StatusProto()
+            try:
+                if hasattr(self.req_handler, "dry_run"):
+                    await self.req_handler.dry_run()
+                st.code = marie_pb2.StatusProto.SUCCESS
+            except Exception as ex:  # noqa: BLE001
+                st.code = marie_pb2.StatusProto.ERROR
+                st.description = repr(ex)
+            return st.SerializeToString()
+
+        ident = lambda b: b  # noqa: E731 — raw-bytes (de)serializer
+
+        def unary(fn, req_de=ident, res_se=ident):
+            return grpc.unary_unary_rpc_method_handler(
+                fn, request_deserializer=req_de, response_serializer=res_se
+            )
+
+        services = {
+            "jina.JinaDataRequestRPC": {
+                "process_data": unary(
+                    process_data, _req_deserializer, _req_serializer
+                ),
+            },
+            "jina.JinaSingleDataRequestRPC": {
+                "process_single_data": unary(
+                    process_single_data, _req_deserializer, _req_serializer
+                ),
+            },
+            "jina.JinaRPC": {
+                "Call": grpc.stream_stream_rpc_method_handler(
+                    call_stream,
+                    request_deserializer=_req_deserializer,
+                    response_serializer=_req_serializer,
+                ),
+            },
+            "jina.JinaDiscoverEndpointsRPC": {
+                "endpoint_discovery": unary(endpoint_discovery),
+            },
+            "jina.JinaInfoRPC": {"_status": unary(status)},
+            "jina.JinaGatewayDryRunRPC": {"dry_run": unary(dry_run)},
+            "grpc.health.v1.Health": {"Check": unary(self.health.check)},
+        }
+        for service_name, methods in services.items():
+            self.server.add_generic_rpc_handlers(
+                (grpc.method_handlers_generic_handler(service_name, methods),)
+            )
+
+        bound = self.server.add_insecure_port(f"{self.host}:{self.port}")
+        if bound == 0:
+            raise OSError(f"cannot bind gRPC server to {self.host}:{self.port}")
+        self.port = bound
+        await self.server.start()
+        self.logger.debug(f"gRPC server serving on {self.host}:{self.port}")
+
+    async def run_server(self) -> None:
+        await self.server.wait_for_termination()
+
+    async def shutdown(self) -> None:
+        # the runtime owns the handler's lifecycle; servers only stop transport
+        if self.server is not None:
+            await self.server.stop(grace=1.0)
+
+    @property
+    def address(self) -> str:
+        return f"{'127.0.0.1' if self.host == '0.0.0.0' else self.host}:{self.port}"

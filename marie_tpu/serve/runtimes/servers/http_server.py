@@ -1,0 +1,139 @@
+"""HTTP server (aiohttp) — REST data plane.
+
+Route parity with the reference's FastAPI gateway apps
+(``/root/reference/marie/serve/runtimes/gateway/http_fastapi_app.py``):
+``POST /post`` with ``{"execEndpoint", "data", "parameters", "targetExecutor"}``,
+``GET /`` and ``/health`` + ``/dry_run`` probes, ``/status`` info.
+FastAPI/uvicorn are not available in this environment; aiohttp provides
+the same surface.
+"""
+
+import json
+from typing import Optional
+
+from marie_tpu.logging_core import MarieLogger
+from marie_tpu.types.docs import DocumentArray
+from marie_tpu.types.request import DataRequest
+
+
+class HTTPServer:
+    def __init__(
+        self,
+        req_handler,
+        port: Optional[int] = None,
+        host: str = "0.0.0.0",
+        name: str = "http",
+        extra_routes=None,
+        **kwargs,
+    ):
+        from marie_tpu.helper import random_port
+
+        self.req_handler = req_handler
+        self.port = port or random_port()
+        self.host = host
+        self.logger = MarieLogger(f"HTTPServer/{name}")
+        self._runner = None
+        self._extra_routes = extra_routes or []
+
+    async def setup_server(self) -> None:
+        from aiohttp import web
+
+        app = web.Application(client_max_size=64 * 1024 * 1024)
+
+        async def index(request):
+            return web.json_response({"ok": True})
+
+        async def health(request):
+            return web.json_response({"status": "OK"})
+
+        async def dry_run(request):
+            try:
+                if hasattr(self.req_handler, "dry_run"):
+                    await self.req_handler.dry_run()
+                return web.json_response({"code": 0, "description": ""})
+            except Exception as ex:  # noqa: BLE001
+                return web.json_response(
+                    {"code": 1, "description": repr(ex)}, status=500
+                )
+
+        async def status(request):
+            return web.json_response({"jina": self.req_handler.info(), "envs": {}})
+
+        async def post(request):
+            try:
+                body = await request.json()
+            except json.JSONDecodeError:
+                return web.json_response(
+                    {"error": "invalid JSON body"}, status=400
+                )
+            endpoint = body.get("execEndpoint", body.get("exec_endpoint", "/"))
+            docs_raw = body.get("data", [])
+            req = DataRequest.from_docs(
+                DocumentArray.from_dict(docs_raw) if docs_raw else DocumentArray(),
+                endpoint=endpoint,
+                parameters=body.get("parameters") or {},
+                target_executor=body.get("targetExecutor", "") or "",
+            )
+            resp = await self.req_handler.process_data([req])
+            payload = {
+                "header": {
+                    "requestId": resp.request_id,
+                    "execEndpoint": resp.exec_endpoint,
+                    "status": _status_dict(resp),
+                },
+                "parameters": resp.parameters,
+                "routes": [
+                    {"executor": r.executor, "startTime": r.start_time, "endTime": r.end_time}
+                    for r in resp.routes
+                ],
+                "data": resp.docs.to_dict(),
+            }
+            code = 500 if resp.is_error() else 200
+            return web.json_response(payload, status=code)
+
+        async def endpoints(request):
+            return web.json_response(self.req_handler.endpoints())
+
+        app.router.add_get("/", index)
+        app.router.add_get("/health", health)
+        app.router.add_get("/dry_run", dry_run)
+        app.router.add_get("/status", status)
+        app.router.add_get("/endpoints", endpoints)
+        app.router.add_post("/post", post)
+        for route in self._extra_routes:
+            app.router.add_route(route["method"], route["path"], route["handler"])
+
+        self._runner = web.AppRunner(app)
+        await self._runner.setup()
+        site = web.TCPSite(self._runner, self.host, self.port)
+        await site.start()
+        self.logger.debug(f"HTTP server serving on {self.host}:{self.port}")
+
+    async def run_server(self) -> None:
+        import asyncio
+
+        while True:  # aiohttp runs inside the loop; park forever
+            await asyncio.sleep(3600)
+
+    async def shutdown(self) -> None:
+        # the runtime owns the handler's lifecycle; servers only stop transport
+        if self._runner is not None:
+            await self._runner.cleanup()
+
+    @property
+    def address(self) -> str:
+        host = "127.0.0.1" if self.host == "0.0.0.0" else self.host
+        return f"http://{host}:{self.port}"
+
+
+def _status_dict(resp: DataRequest) -> dict:
+    st = resp.proto.header.status
+    out = {"code": int(st.code), "description": st.description}
+    if st.exception.name:
+        out["exception"] = {
+            "name": st.exception.name,
+            "args": list(st.exception.args),
+            "stacks": list(st.exception.stacks),
+            "executor": st.exception.executor,
+        }
+    return out

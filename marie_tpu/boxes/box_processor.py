@@ -58,8 +58,6 @@ class BoxProcessor(JAMLCompatible):
         * prediction_meta: list of per-box dicts (score)
         * line_bboxes: [L, 4] xywh line boxes, top-to-bottom
         """
-        from marie_tpu.boxes.line_processor import assign_line_numbers, line_merge
-
         image = _ensure_rgb(image)
         h, w = image.shape[:2]
 
@@ -71,12 +69,31 @@ class BoxProcessor(JAMLCompatible):
         else:  # SPARSE / LINE — full word detection
             boxes, scores = self.detect_words(image)
 
+        boxes_int, scores, lines, line_bboxes = self.organize_boxes(
+            boxes, scores, (h, w), psmode
+        )
+        fragments = [
+            image[y : y + bh, x : x + bw] for x, y, bw, bh in boxes_int
+        ]
+        meta = [{"score": float(s)} for s in scores]
+        return boxes_int, fragments, lines, meta, line_bboxes
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def organize_boxes(boxes, scores, image_hw, psmode: PSMode = PSMode.SPARSE):
+        """Line-group + reading-order raw detections.
+
+        Returns (boxes_int [N,4] xywh, scores [N], lines [N] 1-based,
+        line_bboxes [L,4]) with boxes sorted by (line, x).
+        """
+        from marie_tpu.boxes.line_processor import assign_line_numbers, line_merge
+
+        h, w = image_hw
         if len(boxes) == 0:
             return (
                 np.zeros((0, 4), np.int32),
-                [],
+                np.zeros((0,), np.float32),
                 np.zeros((0,), np.int32),
-                [],
                 np.zeros((0, 4), np.int32),
             )
 
@@ -88,7 +105,7 @@ class BoxProcessor(JAMLCompatible):
             line_bboxes = [list(map(int, b)) for b in boxes]
             lines = np.arange(1, len(boxes) + 1, dtype=np.int32)
         else:
-            line_bboxes = line_merge(image, boxes)
+            line_bboxes = line_merge(None, boxes)
             lines = assign_line_numbers(line_bboxes, boxes)
 
         # reading order: by (line, x)
@@ -102,18 +119,7 @@ class BoxProcessor(JAMLCompatible):
         boxes_int[:, 1] = np.clip(boxes_int[:, 1], 0, h - 1)
         boxes_int[:, 2] = np.clip(boxes_int[:, 2], 1, w)
         boxes_int[:, 3] = np.clip(boxes_int[:, 3], 1, h)
-
-        fragments = [
-            image[y : y + bh, x : x + bw] for x, y, bw, bh in boxes_int
-        ]
-        meta = [{"score": float(s)} for s in scores]
-        return (
-            boxes_int,
-            fragments,
-            lines,
-            meta,
-            np.asarray(line_bboxes, np.int32),
-        )
+        return boxes_int, scores, lines, np.asarray(line_bboxes, np.int32)
 
     # ------------------------------------------------------------------
     def _lines_from_projection(self, image: np.ndarray):

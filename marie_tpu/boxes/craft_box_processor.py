@@ -48,7 +48,8 @@ def _detect_jit(
     benchmarking and CI where no trained weights exist.
     """
     rgb = normalize_page(page_u8)
-    heat = model.apply(variables, rgb[None])[0]  # [H/2, W/2, 2]
+    vdt = jax.tree_util.tree_leaves(variables)[0].dtype
+    heat = model.apply(variables, rgb[None].astype(vdt))[0].astype(jnp.float32)
     region = heat[..., 0]
     affinity = heat[..., 1]
     if box_source == "ink":
@@ -89,6 +90,7 @@ class BoxProcessorCraft(BoxProcessor):
         max_components: int = 1024,
         bucket_spec: Optional[BucketSpec] = None,
         box_source: str = "heatmap",
+        param_dtype: str = "float32",
         **kwargs,
     ):
         super().__init__(work_dir, models_dir, **kwargs)
@@ -106,9 +108,33 @@ class BoxProcessorCraft(BoxProcessor):
             # deployment; tests run with random weights)
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
+        if param_dtype == "bfloat16":
+            from marie_tpu.utils.dtype import cast_floats
+
+            variables = cast_floats(variables, jnp.bfloat16)
         self.variables = variables
 
     def detect_words(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        boxes, scores, _, _ = self.detect_with_page(image)
+        return boxes, scores
+
+    def detect_with_page(self, image: np.ndarray):
+        """Detect AND keep the page on device for fused recognition.
+
+        Returns (boxes_xywh [N,4] original coords, scores [N],
+        page_u8_device [bh,bw,3] jnp.uint8 bucket-padded, scale) — the
+        recogniser crops straight from ``page_u8_device`` so word pixels
+        never make a host round trip (BASELINE north star).
+        """
+        handle = self.detect_dispatch(image)
+        boxes, scores = self.detect_collect(handle)
+        return boxes, scores, handle[1], handle[2]
+
+    def detect_dispatch(self, image: np.ndarray):
+        """Phase 1: upload the page + launch detection WITHOUT waiting.
+
+        Returns an opaque handle; multiple pages can be in flight so host
+        round-trip latency overlaps across pages (software pipelining)."""
         h, w = image.shape[:2]
         (bh, bw), scale = self.buckets.fit_with_scale(h, w)
         if scale < 1.0:
@@ -118,21 +144,34 @@ class BoxProcessorCraft(BoxProcessor):
                 image, (int(w * scale), int(h * scale)), interpolation=cv2.INTER_AREA
             )
         padded = pad_to(image, bh, bw)
+        page_dev = jnp.asarray(padded)  # ONE upload per page (uint8)
 
         stats = _detect_jit(
             self.model,
             self.variables,
-            jnp.asarray(padded),
+            page_dev,
             self.text_threshold,
             self.low_text,
             self.link_threshold,
             self.max_components,
             self.box_source,
         )
-        boxes = np.asarray(stats["boxes"])  # heatmap coords (stride 2)
-        scores = np.asarray(stats["scores"])
-        areas = np.asarray(stats["areas"])
-        valid = np.asarray(stats["valid"])
+        return (stats, page_dev, scale, (h, w))
+
+    def detect_collect(self, handle, stats=None):
+        """Phase 2: wait for a dispatched detection, filter on host.
+
+        ``stats`` may be pre-fetched host arrays (batched multi-page fetch
+        — see the engine's fused path); otherwise ONE device→host transfer
+        covers all stats fields.
+        """
+        stats_dev, _page_dev, scale, (h, w) = handle
+        if stats is None:
+            stats = jax.device_get(stats_dev)
+        boxes = stats["boxes"]  # heatmap coords (stride 2)
+        scores = stats["scores"]
+        areas = stats["areas"]
+        valid = stats["valid"]
 
         score_floor = 0.0 if self.box_source == "ink" else self.text_threshold
         keep = valid & (scores >= score_floor) & (areas >= self.min_area)

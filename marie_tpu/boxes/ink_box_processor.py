@@ -64,6 +64,12 @@ class InkBoxProcessor(BoxProcessor):
         self.buckets = bucket_spec or BucketSpec()
 
     def detect_words(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        boxes, scores, _, _ = self.detect_with_page(image)
+        return boxes, scores
+
+    def detect_with_page(self, image: np.ndarray):
+        """Like :meth:`BoxProcessorCraft.detect_with_page`: returns
+        (boxes, scores, page_u8_device, scale) for fused recognition."""
         h, w = image.shape[:2]
         (bh, bw), scale = self.buckets.fit_with_scale(h, w)
         if scale < 1.0:
@@ -73,8 +79,9 @@ class InkBoxProcessor(BoxProcessor):
                 image, (int(w * scale), int(h * scale)), interpolation=cv2.INTER_AREA
             )
         padded = pad_to(image, bh, bw)
+        page_dev = jnp.asarray(padded)
         stats = _ink_detect_jit(
-            jnp.asarray(padded), self.join_x, self.join_y, self.max_components
+            page_dev, self.join_x, self.join_y, self.max_components
         )
         boxes = np.asarray(stats["boxes"]) / scale
         areas = np.asarray(stats["areas"])
@@ -95,4 +102,4 @@ class InkBoxProcessor(BoxProcessor):
         xywh[:, 2] = np.minimum(xywh[:, 2], w - xywh[:, 0])
         xywh[:, 3] = np.minimum(xywh[:, 3], h - xywh[:, 1])
         scores = np.ones((len(xywh),), np.float32)
-        return xywh, scores
+        return xywh, scores, page_dev, scale

@@ -28,7 +28,7 @@ class CrnnOcrProcessor(OcrProcessor):
         variables=None,
         tokenizer: Optional[CTCCharTokenizer] = None,
         width_buckets: Sequence[int] = (64, 128, 256),
-        batch_sizes: Sequence[int] = (8, 16, 32, 64, 128),
+        batch_sizes: Sequence[int] = (8, 32, 128),
         **kwargs,
     ):
         super().__init__(work_dir, **kwargs)
@@ -71,21 +71,24 @@ class CrnnOcrProcessor(OcrProcessor):
         groups = group_by_bucket(widths, self.width_buckets)
 
         out: List[Optional[Dict[str, Any]]] = [None] * n
+        max_bs = self.batch_sizes[-1]
         for bucket_w, indices in groups.items():
-            bs = pad_batch(len(indices), self.batch_sizes)
-            batch = np.full((bs, self.crop_h, bucket_w, 1), 1.0, np.float32)
-            for row, idx in enumerate(indices):
-                p = preps[idx]
-                batch[row, :, : p.shape[1], 0] = p
-            logits = self._fwd(self.variables, jnp.asarray(batch))
-            tokens, lengths, conf = ctc_greedy_decode(logits, blank_id=0)
-            tokens = np.asarray(tokens)
-            lengths = np.asarray(lengths)
-            conf = np.asarray(conf)
-            for row, idx in enumerate(indices):
-                ids = tokens[row, : lengths[row]]
-                out[idx] = {
-                    "text": self.tokenizer.decode(ids),
-                    "confidence": float(conf[row]),
-                }
+            for chunk_start in range(0, len(indices), max_bs):
+                chunk = indices[chunk_start : chunk_start + max_bs]
+                bs = pad_batch(len(chunk), self.batch_sizes)
+                batch = np.full((bs, self.crop_h, bucket_w, 1), 1.0, np.float32)
+                for row, idx in enumerate(chunk):
+                    p = preps[idx]
+                    batch[row, :, : p.shape[1], 0] = p
+                logits = self._fwd(self.variables, jnp.asarray(batch))
+                tokens, lengths, conf = ctc_greedy_decode(logits, blank_id=0)
+                tokens = np.asarray(tokens)
+                lengths = np.asarray(lengths)
+                conf = np.asarray(conf)
+                for row, idx in enumerate(chunk):
+                    ids = tokens[row, : lengths[row]]
+                    out[idx] = {
+                        "text": self.tokenizer.decode(ids),
+                        "confidence": float(conf[row]),
+                    }
         return [o if o is not None else {"text": "", "confidence": 0.0} for o in out]

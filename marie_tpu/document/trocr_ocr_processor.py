@@ -17,11 +17,38 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from marie_tpu.document.ocr_processor import OcrProcessor
 from marie_tpu.models.configs import TrOCRConfig
 from marie_tpu.models.tokenizer import CharTokenizer
 from marie_tpu.models.trocr import TrOCRModel, beam_decode, greedy_decode
 from marie_tpu.preprocess.buckets import group_by_bucket, pad_batch
+from marie_tpu.preprocess.ops import crop_resize
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _crop_batch_on_device(page_u8: jnp.ndarray, boxes_xyxy: jnp.ndarray,
+                          out_h: int, out_w: int) -> jnp.ndarray:
+    """uint8 page (already on device) + boxes -> float crop batch, on device."""
+    rgb = page_u8.astype(jnp.float32) / 255.0
+    crops, _ = crop_resize(rgb, boxes_xyxy, out_h, out_w)
+    return crops
+
+
+@partial(jax.jit, static_argnames=("model", "out_h", "out_w", "beam_size", "dtype"))
+def _crop_and_decode(model, params, page_u8, boxes_xyxy, out_h, out_w,
+                     beam_size: int = 1, dtype=jnp.float32):
+    """ONE program: cut crops from the on-device page and decode them —
+    a single dispatch per chunk instead of crop + decode round trips."""
+    rgb = page_u8.astype(jnp.float32) / 255.0
+    crops, _ = crop_resize(rgb, boxes_xyxy, out_h, out_w)
+    crops = crops.astype(dtype)
+    if beam_size > 1:
+        tokens, lengths, conf = beam_decode(model, params, crops, beam_size)
+    else:
+        tokens, lengths, conf = greedy_decode(model, params, crops)
+    return tokens, conf
 
 
 class TrOcrProcessor(OcrProcessor):
@@ -32,8 +59,9 @@ class TrOcrProcessor(OcrProcessor):
         params=None,
         tokenizer: Optional[CharTokenizer] = None,
         beam_size: int = 1,
-        batch_sizes: Sequence[int] = (8, 16, 32, 64, 128),
+        batch_sizes: Sequence[int] = (8, 32, 128),
         width_buckets: Optional[Sequence[int]] = None,
+        param_dtype: str = "float32",
         **kwargs,
     ):
         super().__init__(work_dir, **kwargs)
@@ -51,7 +79,108 @@ class TrOcrProcessor(OcrProcessor):
             dummy_img = jnp.zeros((1, h, w, 3), jnp.float32)
             dummy_tok = jnp.zeros((1, 2), jnp.int32)
             params = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy_img, dummy_tok)
+        self.compute_dtype = jnp.bfloat16 if param_dtype == "bfloat16" else jnp.float32
+        if param_dtype == "bfloat16":
+            from marie_tpu.utils.dtype import cast_floats
+
+            params = cast_floats(params, jnp.bfloat16)
         self.params = params
+
+    def warmup(self, page_hw=None) -> None:
+        """Pre-compile the decode program for every configured batch size so
+        serving never pays a JIT compile mid-request (shape discipline:
+        SURVEY.md §7 hard-part #1).  With ``page_hw`` the fused
+        crop+decode program is compiled for that page bucket too."""
+        for bs in self.batch_sizes:
+            if page_hw is not None:
+                page = jnp.zeros((*page_hw, 3), jnp.uint8)
+                boxes = jnp.tile(
+                    jnp.asarray([[0.0, 0.0, 8.0, 8.0]], jnp.float32), (bs, 1)
+                )
+                out = _crop_and_decode(
+                    self.model, self.params, page, boxes,
+                    self.crop_h, self.crop_w, self.beam_size,
+                    self.compute_dtype,
+                )
+            else:
+                imgs = jnp.zeros((bs, self.crop_h, self.crop_w, 3), jnp.float32)
+                if self.beam_size > 1:
+                    out = beam_decode(
+                        self.model, self.params, imgs, beam_size=self.beam_size
+                    )
+                else:
+                    out = greedy_decode(self.model, self.params, imgs)
+            jax.block_until_ready(out)
+
+    # ------------------------------------------------------------------
+    def recognize_from_page(
+        self,
+        page_dev,  # jnp.uint8 [H, W, 3] — already on device (from detection)
+        boxes_xywh: np.ndarray,  # [N, 4] original-image coords
+        scale: float = 1.0,  # original -> padded-page scale
+    ) -> List[Dict[str, Any]]:
+        """Fused recognition: crops are cut ON DEVICE from the page the
+        detector already uploaded — per page only the tiny box array goes
+        up and the token ids come back (no crop pixels on the wire)."""
+        return self.recognize_collect(
+            self.recognize_dispatch(page_dev, boxes_xywh, scale)
+        )
+
+    def recognize_dispatch(self, page_dev, boxes_xywh, scale: float = 1.0):
+        """Launch fused crop+decode for all chunks WITHOUT waiting."""
+        n = len(boxes_xywh)
+        if n == 0:
+            return []
+        xyxy = np.asarray(boxes_xywh, np.float32) * scale
+        xyxy = np.stack(
+            [xyxy[:, 0], xyxy[:, 1], xyxy[:, 0] + xyxy[:, 2], xyxy[:, 1] + xyxy[:, 3]],
+            axis=-1,
+        )
+        max_bs = self.batch_sizes[-1]
+        futures = []
+        for start in range(0, n, max_bs):
+            chunk = xyxy[start : start + max_bs]
+            bs = pad_batch(len(chunk), self.batch_sizes)
+            padded = np.zeros((bs, 4), np.float32)
+            padded[:, 2:] = 1.0  # dummy 1×1 boxes for pad rows
+            padded[: len(chunk)] = chunk
+            tok_dev, conf_dev = _crop_and_decode(
+                self.model, self.params, page_dev, jnp.asarray(padded),
+                self.crop_h, self.crop_w, self.beam_size, self.compute_dtype,
+            )
+            futures.append((len(chunk), tok_dev, conf_dev))
+        return futures
+
+    def recognize_collect(self, futures) -> List[Dict[str, Any]]:
+        return self.recognize_collect_many([futures])[0]
+
+    def recognize_collect_many(self, futures_lists) -> List[List[Dict[str, Any]]]:
+        """Collect MANY pages' dispatched chunks with ONE device→host
+        transfer: token/conf arrays are concatenated on device first, so
+        a 16-page batch pays a single round trip instead of ~50."""
+        flat = [f for fl in futures_lists for f in fl]
+        if not flat:
+            return [[] for _ in futures_lists]
+        toks = jnp.concatenate([t for (_, t, _) in flat], axis=0)
+        confs = jnp.concatenate([c for (_, _, c) in flat], axis=0)
+        tokens, conf = jax.device_get((toks, confs))
+
+        out_all: List[List[Dict[str, Any]]] = []
+        row = 0
+        for fl in futures_lists:
+            page_out: List[Dict[str, Any]] = []
+            for n_chunk, tok_dev, _ in fl:
+                bs = tok_dev.shape[0]
+                for r in range(n_chunk):
+                    page_out.append(
+                        {
+                            "text": self.tokenizer.decode(tokens[row + r]),
+                            "confidence": float(conf[row + r]),
+                        }
+                    )
+                row += bs
+            out_all.append(page_out)
+        return out_all
 
     # ------------------------------------------------------------------
     def _prep_fragment(self, frag: np.ndarray) -> np.ndarray:
@@ -84,28 +213,37 @@ class TrOcrProcessor(OcrProcessor):
         groups = group_by_bucket(widths, self.width_buckets)
 
         out: List[Optional[Dict[str, Any]]] = [None] * n
+        max_bs = self.batch_sizes[-1]
         for bucket_w, indices in groups.items():
             # NOTE: the encoder is compiled for its full input width; width
             # bucketing pads the *content*, the tensor is always crop_w wide.
             # (Smaller-width encoder variants are a later optimisation.)
-            bs = pad_batch(len(indices), self.batch_sizes)
-            batch = np.full((bs, self.crop_h, self.crop_w, 3), 1.0, np.float32)
-            for row, idx in enumerate(indices):
-                p = preps[idx]
-                batch[row, :, : p.shape[1]] = p
-
-            imgs = jnp.asarray(batch)
-            if self.beam_size > 1:
-                tokens, lengths, conf = beam_decode(
-                    self.model, self.params, imgs, beam_size=self.beam_size
+            # Large fragment sets are CHUNKED at the largest compiled batch
+            # size — never a fresh shape, however many pages are batched.
+            for chunk_start in range(0, len(indices), max_bs):
+                chunk = indices[chunk_start : chunk_start + max_bs]
+                bs = pad_batch(len(chunk), self.batch_sizes)
+                batch = np.full(
+                    (bs, self.crop_h, self.crop_w, 3), 1.0, np.float32
                 )
-            else:
-                tokens, lengths, conf = greedy_decode(self.model, self.params, imgs)
-            tokens = np.asarray(tokens)
-            conf = np.asarray(conf)
-            for row, idx in enumerate(indices):
-                out[idx] = {
-                    "text": self.tokenizer.decode(tokens[row]),
-                    "confidence": float(conf[row]),
-                }
+                for row, idx in enumerate(chunk):
+                    p = preps[idx]
+                    batch[row, :, : p.shape[1]] = p
+
+                imgs = jnp.asarray(batch, self.compute_dtype)
+                if self.beam_size > 1:
+                    tokens, lengths, conf = beam_decode(
+                        self.model, self.params, imgs, beam_size=self.beam_size
+                    )
+                else:
+                    tokens, lengths, conf = greedy_decode(
+                        self.model, self.params, imgs
+                    )
+                tokens = np.asarray(tokens)
+                conf = np.asarray(conf)
+                for row, idx in enumerate(chunk):
+                    out[idx] = {
+                        "text": self.tokenizer.decode(tokens[row]),
+                        "confidence": float(conf[row]),
+                    }
         return [o if o is not None else {"text": "", "confidence": 0.0} for o in out]

@@ -74,16 +74,118 @@ class PipelineOcrEngine(OcrEngine):
     def _extract_fullpage(
         self, frames, pms_mode, coordinate_format, queue_id, **kwargs
     ):
-        results = []
+        """Detect every page first, then recognise in one batched pass.
+
+        Fused path (when detector exposes ``detect_with_page`` and the
+        recogniser ``recognize_from_page``, SPARSE/LINE modes): the page is
+        uploaded once, crops are cut+decoded on device — word pixels never
+        cross the host↔device link.  Fallback: host fragments, batched
+        across pages to fill the fixed-size decode buckets."""
+        from marie_tpu.document.ocr_processor import assemble_page_result
+
         checksum = kwargs.get("checksum", "")
-        for i, frame in enumerate(frames):
-            boxes, fragments, lines, _, line_bboxes = (
-                self.box_processor.extract_bounding_boxes(
-                    queue_id, checksum, frame, pms_mode
-                )
+        fused = (
+            pms_mode in (PSMode.SPARSE, PSMode.LINE)
+            and hasattr(self.box_processor, "detect_with_page")
+            and hasattr(self.ocr_processor, "recognize_from_page")
+        )
+
+        per_page = []
+        all_fragments = []
+        word_results = []
+        if fused:
+            # software pipeline: dispatch every page's detection first (all
+            # uploads + detect programs go out back-to-back), then collect
+            # and recognise — host round trips overlap with device work.
+            can_pipeline = hasattr(self.box_processor, "detect_dispatch")
+            if can_pipeline:
+                handles = [
+                    self.box_processor.detect_dispatch(_ensure_rgb_np(f))
+                    for f in frames
+                ]
+            deep_pipeline = can_pipeline and hasattr(
+                self.ocr_processor, "recognize_dispatch"
             )
-            result, _ = self.ocr_processor.recognize(
-                queue_id, checksum, frame, boxes, fragments, lines
+            # batched stats fetch: stack every page's fixed-size stats on
+            # device, transfer each field ONCE for the whole frame list
+            stats_host = None
+            if can_pipeline and len(handles) > 1:
+                import jax
+                import jax.numpy as _jnp
+
+                stacked = {
+                    k: _jnp.stack([h[0][k] for h in handles])
+                    for k in handles[0][0]
+                }
+                fetched = jax.device_get(stacked)
+                stats_host = [
+                    {k: fetched[k][i] for k in fetched}
+                    for i in range(len(handles))
+                ]
+            rec_futures = []
+            for i, frame in enumerate(frames):
+                if can_pipeline:
+                    handle = handles[i]
+                    raw_boxes, scores = self.box_processor.detect_collect(
+                        handle,
+                        stats=None if stats_host is None else stats_host[i],
+                    )
+                    page_dev, scale = handle[1], handle[2]
+                else:
+                    raw_boxes, scores, page_dev, scale = (
+                        self.box_processor.detect_with_page(_ensure_rgb_np(frame))
+                    )
+                boxes, scores, lines, line_bboxes = (
+                    self.box_processor.organize_boxes(
+                        raw_boxes, scores, frame.shape[:2], pms_mode
+                    )
+                )
+                per_page.append((frame, boxes, lines, line_bboxes, len(boxes)))
+                if deep_pipeline:
+                    rec_futures.append(
+                        self.ocr_processor.recognize_dispatch(
+                            page_dev, boxes, scale
+                        )
+                    )
+                else:
+                    word_results.extend(
+                        self.ocr_processor.recognize_from_page(
+                            page_dev, boxes, scale
+                        )
+                    )
+            if deep_pipeline:
+                if hasattr(self.ocr_processor, "recognize_collect_many"):
+                    for page_words in self.ocr_processor.recognize_collect_many(
+                        rec_futures
+                    ):
+                        word_results.extend(page_words)
+                else:
+                    for futures in rec_futures:
+                        word_results.extend(
+                            self.ocr_processor.recognize_collect(futures)
+                        )
+        else:
+            for frame in frames:
+                boxes, fragments, lines, _, line_bboxes = (
+                    self.box_processor.extract_bounding_boxes(
+                        queue_id, checksum, frame, pms_mode
+                    )
+                )
+                per_page.append((frame, boxes, lines, line_bboxes, len(fragments)))
+                all_fragments.extend(fragments)
+            word_results = (
+                self.ocr_processor.recognize_from_fragments(all_fragments)
+                if all_fragments
+                else []
+            )
+
+        results = []
+        offset = 0
+        for i, (frame, boxes, lines, line_bboxes, n) in enumerate(per_page):
+            page_words = word_results[offset : offset + n]
+            offset += n
+            result = assemble_page_result(
+                (frame.shape[0], frame.shape[1]), boxes, lines, page_words
             )
             if coordinate_format == CoordinateFormat.XYXY:
                 for word in result["words"]:
@@ -138,6 +240,14 @@ def _as_frame_list(frames) -> List[np.ndarray]:
     if isinstance(frames, np.ndarray) and frames.ndim == 3:
         return [frames]
     return list(frames)
+
+
+def _ensure_rgb_np(image: np.ndarray) -> np.ndarray:
+    if image.ndim == 2:
+        return np.stack([image] * 3, axis=-1)
+    if image.shape[-1] == 4:
+        return image[..., :3]
+    return image
 
 
 def _tolist(arr):

@@ -1,0 +1,63 @@
+"""CLI argument parser tree (reference: ``/root/reference/marie/parsers/__init__.py:188``)."""
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="marie",
+        description="marie-tpu: TPU-native document-AI serving framework",
+    )
+    sub = parser.add_subparsers(dest="cli", required=True)
+
+    # server (reference: parsers/server.py set_server_parser)
+    server = sub.add_parser("server", help="start/control the marie server")
+    server.add_argument("--start", action="store_true", help="start the server")
+    server.add_argument("--uses", type=str, help="YAML config for the flow")
+    server.add_argument("--port", type=int, default=None)
+    server.add_argument("--protocol", type=str, default="grpc,http")
+    server.add_argument("--env-file", type=str, default=None)
+    server.add_argument("--watch", action="store_true", help="live status console")
+
+    # executor
+    executor = sub.add_parser("executor", help="run a single executor")
+    executor.add_argument("--uses", type=str, required=True)
+    executor.add_argument("--port", type=int, default=None)
+    executor.add_argument("--name", type=str, default="executor")
+    executor.add_argument("--protocol", type=str, default="grpc")
+
+    # flow
+    flow = sub.add_parser("flow", help="run a flow from YAML")
+    flow.add_argument("--uses", type=str, required=True)
+    flow.add_argument("--port", type=int, default=None)
+
+    # ping
+    ping = sub.add_parser("ping", help="health-check a runtime")
+    ping.add_argument("host", type=str, help="host:port")
+
+    # client
+    client = sub.add_parser("client", help="send a request")
+    client.add_argument("host", type=str, help="host:port")
+    client.add_argument("--endpoint", type=str, default="/")
+    client.add_argument("--protocol", type=str, default="grpc")
+    client.add_argument("--data", type=str, default="{}", help="JSON doc list or text")
+
+    # job commands (reference REST /api/jobs/*)
+    job = sub.add_parser("job", help="job queue operations")
+    job_sub = job.add_subparsers(dest="job_cmd", required=True)
+    for name in ("submit", "list", "info", "stop", "delete"):
+        p = job_sub.add_parser(name)
+        p.add_argument("--server", type=str, default="127.0.0.1:8080")
+        if name == "submit":
+            p.add_argument("--entrypoint", type=str, required=True)
+            p.add_argument("--metadata", type=str, default="{}")
+        elif name != "list":
+            p.add_argument("job_id", type=str)
+
+    # check / export / help
+    check = sub.add_parser("check", help="environment + device diagnostics")
+    export = sub.add_parser("export", help="export flow configs")
+    export.add_argument("--uses", type=str, required=True)
+    export.add_argument("--kind", type=str, default="graph", choices=["graph", "yaml"])
+
+    return parser

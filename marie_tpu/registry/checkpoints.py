@@ -1,0 +1,59 @@
+"""Checkpoint save/load for flax param trees (orbax-backed) plus torch
+state-dict conversion utilities.
+
+The reference ships PyTorch ``.pt`` checkpoints; weights are converted
+once into orbax checkpoints with the converters here (torch-cpu is
+available in this environment for reading ``state_dict``s).
+"""
+
+import os
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+
+def save_params(params: Any, path: str) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, like: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        return ckptr.restore(path, target=like)
+    return ckptr.restore(path)
+
+
+def torch_state_dict(pt_path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint into numpy arrays (no CUDA required)."""
+    import torch
+
+    sd = torch.load(pt_path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def convert_linear(w: np.ndarray) -> np.ndarray:
+    """torch Linear weight [out, in] -> flax Dense kernel [in, out]."""
+    return np.ascontiguousarray(w.T)
+
+
+def convert_conv2d(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d weight [O, I, Kh, Kw] -> flax Conv kernel [Kh, Kw, I, O]."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def map_state_dict(
+    sd: Dict[str, np.ndarray],
+    rules: Dict[str, Callable[[Dict[str, np.ndarray]], np.ndarray]],
+) -> Dict[str, np.ndarray]:
+    """Apply {flax_path: fn(sd)->array} mapping rules."""
+    return {path: fn(sd) for path, fn in rules.items()}

@@ -1,0 +1,353 @@
+"""SQL-backed job scheduler — pg-boss-style queue semantics.
+
+Parity with the reference's ``PostgreSQLJobScheduler``
+(``/root/reference/marie/scheduler/psql.py:70``): job table with state
+machine (created→active→completed/failed/retry/cancelled/expired),
+atomic fetch-next (the ``FOR UPDATE SKIP LOCKED`` plan of
+``plans.py:188`` becomes an atomic conditional UPDATE — same contract:
+no two pollers get the same job), retry with backoff, adaptive poll
+interval (1.25s → 16s, ``psql.py:39-40``), monitor/sync maintenance
+loops, archive.
+
+Backend is sqlite3 (WAL) because psycopg2 is absent in this
+environment; every statement is standard SQL and the class takes a
+connection factory so a PostgreSQL DB-API connection slots straight in.
+"""
+
+import asyncio
+import json
+import sqlite3
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+from marie_tpu.enums import WorkState
+from marie_tpu.logging_core import MarieLogger
+from marie_tpu.scheduler.job_scheduler import JobScheduler
+from marie_tpu.scheduler.models import ExistingWorkPolicy, WorkInfo
+
+POLL_MIN = 1.25
+POLL_MAX = 16.0
+MONITOR_INTERVAL = 5.0
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS job (
+  id TEXT PRIMARY KEY,
+  name TEXT NOT NULL,
+  priority INTEGER DEFAULT 0,
+  state TEXT NOT NULL,
+  retry_limit INTEGER DEFAULT 2,
+  retry_count INTEGER DEFAULT 0,
+  retry_delay REAL DEFAULT 1.0,
+  retry_backoff INTEGER DEFAULT 1,
+  start_after REAL DEFAULT 0,
+  expire_in_seconds REAL DEFAULT 0,
+  data TEXT,
+  created_on REAL,
+  started_on REAL,
+  completed_on REAL
+);
+CREATE INDEX IF NOT EXISTS job_fetch_idx ON job (name, state, priority DESC, created_on);
+CREATE TABLE IF NOT EXISTS job_history (
+  id TEXT, state TEXT, ts REAL, detail TEXT
+);
+CREATE TABLE IF NOT EXISTS archive (
+  id TEXT PRIMARY KEY, name TEXT, state TEXT, data TEXT, archived_on REAL
+);
+"""
+
+
+class SqlJobScheduler(JobScheduler):
+    def __init__(
+        self,
+        db_path: str = "/tmp/marie/scheduler.db",
+        job_handler: Optional[Callable] = None,  # async fn(WorkInfo) -> bool
+        queue_names: Optional[List[str]] = None,
+        max_concurrent: int = 2,
+    ):
+        import os
+
+        if db_path != ":memory:":
+            os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
+        self.db_path = db_path
+        self.logger = MarieLogger("SqlJobScheduler")
+        self.job_handler = job_handler
+        self.queue_names = queue_names or ["default"]
+        self.max_concurrent = max_concurrent
+        self._local = threading.local()
+        self._running = False
+        self._tasks: List[asyncio.Task] = []
+        self._poll_interval = POLL_MIN
+        self._active = 0
+        conn = self._conn()
+        conn.executescript(_SCHEMA)
+        conn.commit()
+
+    def _conn(self) -> sqlite3.Connection:
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = sqlite3.connect(self.db_path, timeout=30)
+            conn.execute("PRAGMA journal_mode=WAL")
+            conn.row_factory = sqlite3.Row
+            self._local.conn = conn
+        return conn
+
+    # ------------------------------------------------------------------
+    async def start(self) -> None:
+        self._running = True
+        self._tasks = [
+            asyncio.create_task(self._poll_loop()),
+            asyncio.create_task(self._monitor_loop()),
+        ]
+
+    async def stop(self) -> None:
+        self._running = False
+        for t in self._tasks:
+            t.cancel()
+        self._tasks = []
+
+    # ------------------------------------------------------------------
+    async def submit_job(self, work_info: WorkInfo, **kwargs) -> str:
+        conn = self._conn()
+        if work_info.policy == ExistingWorkPolicy.REJECT_DUPLICATE:
+            row = conn.execute(
+                "SELECT id FROM job WHERE name=? AND state IN ('created','retry','active')",
+                (work_info.name,),
+            ).fetchone()
+            if row:
+                raise ValueError(
+                    f"duplicate job for queue {work_info.name} (policy=reject)"
+                )
+        conn.execute(
+            "INSERT INTO job (id,name,priority,state,retry_limit,retry_count,"
+            "retry_delay,retry_backoff,start_after,expire_in_seconds,data,"
+            "created_on) VALUES (?,?,?,?,?,?,?,?,?,?,?,?)",
+            (
+                work_info.id,
+                work_info.name,
+                work_info.priority,
+                WorkState.CREATED.value,
+                work_info.retry_limit,
+                work_info.retry_count,
+                work_info.retry_delay,
+                int(work_info.retry_backoff),
+                work_info.start_after,
+                work_info.expire_in_seconds,
+                json.dumps(work_info.data),
+                work_info.created_on,
+            ),
+        )
+        self._history(conn, work_info.id, WorkState.CREATED.value)
+        conn.commit()
+        self._poll_interval = POLL_MIN  # wake up fast after new work
+        return work_info.id
+
+    def _history(self, conn, job_id: str, state: str, detail: str = "") -> None:
+        conn.execute(
+            "INSERT INTO job_history (id,state,ts,detail) VALUES (?,?,?,?)",
+            (job_id, state, time.time(), detail),
+        )
+
+    # ------------------------------------------------------------------
+    def fetch_next(self, queue: str) -> Optional[WorkInfo]:
+        """Atomically claim the next runnable job (SKIP LOCKED contract)."""
+        conn = self._conn()
+        now = time.time()
+        with conn:  # transaction
+            row = conn.execute(
+                "SELECT * FROM job WHERE name=? AND state IN ('created','retry') "
+                "AND start_after<=? ORDER BY priority DESC, created_on LIMIT 1",
+                (queue, now),
+            ).fetchone()
+            if row is None:
+                return None
+            cur = conn.execute(
+                "UPDATE job SET state='active', started_on=? "
+                "WHERE id=? AND state IN ('created','retry')",
+                (now, row["id"]),
+            )
+            if cur.rowcount == 0:  # lost the race
+                return None
+            self._history(conn, row["id"], WorkState.ACTIVE.value)
+        return self._row_to_work(row, state=WorkState.ACTIVE, started_on=now)
+
+    @staticmethod
+    def _row_to_work(row, state=None, started_on=None) -> WorkInfo:
+        return WorkInfo(
+            id=row["id"],
+            name=row["name"],
+            priority=row["priority"],
+            state=state or WorkState(row["state"]),
+            retry_limit=row["retry_limit"],
+            retry_count=row["retry_count"],
+            retry_delay=row["retry_delay"],
+            retry_backoff=bool(row["retry_backoff"]),
+            start_after=row["start_after"],
+            expire_in_seconds=row["expire_in_seconds"],
+            data=json.loads(row["data"] or "{}"),
+            created_on=row["created_on"],
+            started_on=started_on or row["started_on"],
+            completed_on=row["completed_on"],
+        )
+
+    # ------------------------------------------------------------------
+    def complete_job(self, job_id: str) -> None:
+        conn = self._conn()
+        with conn:
+            conn.execute(
+                "UPDATE job SET state='completed', completed_on=? WHERE id=?",
+                (time.time(), job_id),
+            )
+            self._history(conn, job_id, WorkState.COMPLETED.value)
+
+    def fail_job(self, job_id: str, error: str = "") -> None:
+        """Fail → retry when budget remains, else terminal failed."""
+        conn = self._conn()
+        with conn:
+            row = conn.execute(
+                "SELECT retry_count, retry_limit, retry_delay, retry_backoff "
+                "FROM job WHERE id=?",
+                (job_id,),
+            ).fetchone()
+            if row is None:
+                return
+            if row["retry_count"] < row["retry_limit"]:
+                delay = row["retry_delay"] * (
+                    2 ** row["retry_count"] if row["retry_backoff"] else 1
+                )
+                conn.execute(
+                    "UPDATE job SET state='retry', retry_count=retry_count+1, "
+                    "start_after=? WHERE id=?",
+                    (time.time() + delay, job_id),
+                )
+                self._history(conn, job_id, WorkState.RETRY.value, error)
+            else:
+                conn.execute(
+                    "UPDATE job SET state='failed', completed_on=? WHERE id=?",
+                    (time.time(), job_id),
+                )
+                self._history(conn, job_id, WorkState.FAILED.value, error)
+
+    async def cancel_job(self, job_id: str) -> bool:
+        conn = self._conn()
+        with conn:
+            cur = conn.execute(
+                "UPDATE job SET state='cancelled', completed_on=? "
+                "WHERE id=? AND state NOT IN ('completed','failed')",
+                (time.time(), job_id),
+            )
+            if cur.rowcount:
+                self._history(conn, job_id, WorkState.CANCELLED.value)
+        return bool(cur.rowcount)
+
+    async def resume_job(self, job_id: str) -> bool:
+        conn = self._conn()
+        with conn:
+            cur = conn.execute(
+                "UPDATE job SET state='created', start_after=0 "
+                "WHERE id=? AND state IN ('cancelled','failed','expired')",
+                (job_id,),
+            )
+            if cur.rowcount:
+                self._history(conn, job_id, "resumed")
+        self._poll_interval = POLL_MIN
+        return bool(cur.rowcount)
+
+    async def get_job(self, job_id: str) -> Optional[WorkInfo]:
+        row = self._conn().execute(
+            "SELECT * FROM job WHERE id=?", (job_id,)
+        ).fetchone()
+        return self._row_to_work(row) if row else None
+
+    async def list_jobs(self, state=None, limit: int = 100) -> List[WorkInfo]:
+        conn = self._conn()
+        if state is not None:
+            rows = conn.execute(
+                "SELECT * FROM job WHERE state=? ORDER BY created_on DESC LIMIT ?",
+                (state.value, limit),
+            ).fetchall()
+        else:
+            rows = conn.execute(
+                "SELECT * FROM job ORDER BY created_on DESC LIMIT ?", (limit,)
+            ).fetchall()
+        return [self._row_to_work(r) for r in rows]
+
+    def job_history(self, job_id: str) -> List[Dict[str, Any]]:
+        rows = self._conn().execute(
+            "SELECT state, ts, detail FROM job_history WHERE id=? ORDER BY ts",
+            (job_id,),
+        ).fetchall()
+        return [dict(r) for r in rows]
+
+    # ------------------------------------------------------------------
+    async def _poll_loop(self) -> None:
+        """Adaptive polling: 1.25s when busy, backing off to 16s idle."""
+        while self._running:
+            try:
+                got_work = False
+                for queue in self.queue_names:
+                    while self._active < self.max_concurrent:
+                        work = self.fetch_next(queue)
+                        if work is None:
+                            break
+                        got_work = True
+                        asyncio.create_task(self._run_job(work))
+                self._poll_interval = (
+                    POLL_MIN
+                    if got_work
+                    else min(self._poll_interval * 2, POLL_MAX)
+                )
+            except Exception as ex:  # noqa: BLE001
+                self.logger.error(f"poll loop error: {ex!r}")
+            await asyncio.sleep(self._poll_interval)
+
+    async def _run_job(self, work: WorkInfo) -> None:
+        self._active += 1
+        try:
+            if self.job_handler is None:
+                self.complete_job(work.id)
+                return
+            ok = await self.job_handler(work)
+            if ok:
+                self.complete_job(work.id)
+            else:
+                self.fail_job(work.id, "handler returned falsy")
+        except Exception as ex:  # noqa: BLE001
+            self.fail_job(work.id, repr(ex))
+        finally:
+            self._active -= 1
+
+    async def _monitor_loop(self) -> None:
+        """Maintenance: expire overdue active jobs, archive old terminals."""
+        while self._running:
+            try:
+                conn = self._conn()
+                now = time.time()
+                with conn:
+                    rows = conn.execute(
+                        "SELECT id FROM job WHERE state='active' AND "
+                        "expire_in_seconds>0 AND started_on+expire_in_seconds<?",
+                        (now,),
+                    ).fetchall()
+                    for r in rows:
+                        conn.execute(
+                            "UPDATE job SET state='expired', completed_on=? WHERE id=?",
+                            (now, r["id"]),
+                        )
+                        self._history(conn, r["id"], WorkState.EXPIRED.value)
+                    # archive terminal jobs older than an hour
+                    old = conn.execute(
+                        "SELECT * FROM job WHERE state IN "
+                        "('completed','failed','cancelled','expired') "
+                        "AND completed_on < ?",
+                        (now - 3600,),
+                    ).fetchall()
+                    for r in old:
+                        conn.execute(
+                            "INSERT OR REPLACE INTO archive VALUES (?,?,?,?,?)",
+                            (r["id"], r["name"], r["state"], r["data"], now),
+                        )
+                        conn.execute("DELETE FROM job WHERE id=?", (r["id"],))
+            except Exception as ex:  # noqa: BLE001
+                self.logger.error(f"monitor loop error: {ex!r}")
+            await asyncio.sleep(MONITOR_INTERVAL)

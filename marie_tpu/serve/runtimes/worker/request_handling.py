@@ -54,6 +54,20 @@ class WorkerRequestHandler:
                 uses, expected_cls=BaseExecutor, extra_kwargs=uses_with
             )
         if isinstance(uses, str):
+            import os
+
+            if not os.path.exists(uses) and "." in uses and "\n" not in uses:
+                # dotted class path, e.g. mypkg.executors.MyExecutor
+                import importlib
+
+                mod_name, _, cls_name = uses.rpartition(".")
+                try:
+                    klass = getattr(importlib.import_module(mod_name), cls_name)
+                    return klass(
+                        runtime_args=runtime_args, workspace=workspace, **uses_with
+                    )
+                except (ImportError, AttributeError):
+                    pass  # fall through to YAML loading for a clear error
             return BaseExecutor.load_config(
                 uses, runtime_args=runtime_args, **uses_with
             )

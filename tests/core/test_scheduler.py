@@ -1,0 +1,126 @@
+import asyncio
+import time
+
+import pytest
+
+from marie_tpu.enums import WorkState
+from marie_tpu.scheduler.models import ExistingWorkPolicy, WorkInfo
+from marie_tpu.scheduler.sql import SqlJobScheduler
+
+
+@pytest.fixture
+def sched(tmp_path):
+    return SqlJobScheduler(str(tmp_path / "sched.db"))
+
+
+async def test_submit_and_fetch(sched):
+    work = WorkInfo(name="q1", data={"x": 1})
+    job_id = await sched.submit_job(work)
+    got = sched.fetch_next("q1")
+    assert got is not None
+    assert got.id == job_id
+    assert got.state == WorkState.ACTIVE
+    assert got.data == {"x": 1}
+    # no double-fetch (SKIP LOCKED contract)
+    assert sched.fetch_next("q1") is None
+
+
+async def test_priority_order(sched):
+    low = await sched.submit_job(WorkInfo(name="q", priority=0))
+    high = await sched.submit_job(WorkInfo(name="q", priority=5))
+    first = sched.fetch_next("q")
+    assert first.id == high
+
+
+async def test_complete_and_history(sched):
+    job_id = await sched.submit_job(WorkInfo(name="q"))
+    sched.fetch_next("q")
+    sched.complete_job(job_id)
+    job = await sched.get_job(job_id)
+    assert job.state == WorkState.COMPLETED
+    states = [h["state"] for h in sched.job_history(job_id)]
+    assert states == ["created", "active", "completed"]
+
+
+async def test_fail_retries_then_terminal(sched):
+    job_id = await sched.submit_job(
+        WorkInfo(name="q", retry_limit=2, retry_delay=0.0, retry_backoff=False)
+    )
+    for i in range(2):
+        got = sched.fetch_next("q")
+        assert got is not None, f"retry {i} not fetchable"
+        sched.fail_job(job_id, "boom")
+        job = await sched.get_job(job_id)
+        assert job.state == WorkState.RETRY
+    sched.fetch_next("q")
+    sched.fail_job(job_id, "boom-final")
+    job = await sched.get_job(job_id)
+    assert job.state == WorkState.FAILED
+
+
+async def test_cancel_and_resume(sched):
+    job_id = await sched.submit_job(WorkInfo(name="q"))
+    assert await sched.cancel_job(job_id)
+    assert (await sched.get_job(job_id)).state == WorkState.CANCELLED
+    assert sched.fetch_next("q") is None
+    assert await sched.resume_job(job_id)
+    assert sched.fetch_next("q").id == job_id
+
+
+async def test_start_after_delay(sched):
+    await sched.submit_job(WorkInfo(name="q", start_after=time.time() + 60))
+    assert sched.fetch_next("q") is None  # not runnable yet
+
+
+async def test_reject_duplicate_policy(sched):
+    await sched.submit_job(WorkInfo(name="uniq"))
+    with pytest.raises(ValueError):
+        await sched.submit_job(
+            WorkInfo(name="uniq", policy=ExistingWorkPolicy.REJECT_DUPLICATE)
+        )
+
+
+async def test_poll_loop_runs_handler(tmp_path):
+    done = []
+
+    async def handler(work):
+        done.append(work.id)
+        return True
+
+    sched = SqlJobScheduler(str(tmp_path / "s.db"), job_handler=handler)
+    sched._poll_interval = 0.05
+    import marie_tpu.scheduler.sql as sqlmod
+
+    old_min = sqlmod.POLL_MIN
+    sqlmod.POLL_MIN = 0.05
+    try:
+        await sched.start()
+        job_id = await sched.submit_job(WorkInfo(name="default"))
+        for _ in range(80):
+            job = await sched.get_job(job_id)
+            if job.state == WorkState.COMPLETED:
+                break
+            await asyncio.sleep(0.05)
+        assert done == [job_id]
+        assert (await sched.get_job(job_id)).state == WorkState.COMPLETED
+    finally:
+        await sched.stop()
+        sqlmod.POLL_MIN = old_min
+
+
+async def test_multiprocess_like_contention(tmp_path):
+    """Two scheduler instances on the same DB never claim the same job."""
+    db = str(tmp_path / "shared.db")
+    a = SqlJobScheduler(db)
+    b = SqlJobScheduler(db)
+    ids = set()
+    for _ in range(10):
+        ids.add(await a.submit_job(WorkInfo(name="q")))
+    claimed = []
+    for _ in range(20):
+        for s in (a, b):
+            got = s.fetch_next("q")
+            if got:
+                claimed.append(got.id)
+    assert len(claimed) == 10
+    assert len(set(claimed)) == 10

@@ -1,0 +1,157 @@
+"""Document boundary registration — detect the page boundary, deskew and
+align to the frame.
+
+Capability parity with the reference's
+``UnilmDocumentBoundaryRegistration``
+(``/root/reference/marie/components/document_registration/unilm_dit.py:100``
+— DiT+MaskRCNN boundary + ``registration_method='fit_to_page'``).  This
+implementation is weight-free and device-resident: the content boundary
+comes from the ink mask's component extent; the skew angle is found by a
+**vectorised angle sweep** — the page is rotated for all candidate angles
+in one batched bilinear-sampling op and the angle maximising the
+row-projection variance (sharpest text lines) wins; alignment warps the
+page so the boundary fits the frame.  A model-based detector can be
+plugged in via ``boundary_fn``.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from marie_tpu.jaml import JAMLCompatible
+from marie_tpu.logging_core import MarieLogger
+from marie_tpu.preprocess.ops import otsu_binarize, to_grayscale
+
+
+@dataclasses.dataclass
+class DocumentBoundaryPrediction:
+    detected: bool
+    box: List[int]  # xywh content boundary
+    angle: float  # skew degrees (CCW positive)
+    score: float
+    aligned: Optional[np.ndarray] = None  # registered page
+
+    def to_dict(self):
+        return {
+            "detected": self.detected,
+            "box": self.box,
+            "angle": self.angle,
+            "score": self.score,
+        }
+
+
+def _rotate_coords(h, w, angle_rad):
+    """Sampling grid for rotating around the page centre."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    c, s = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    sy = cy + (ys - cy) * c - (xs - cx) * s
+    sx = cx + (ys - cy) * s + (xs - cx) * c
+    return sy, sx
+
+
+@partial(jax.jit, static_argnames=("num_angles",))
+def _deskew_jit(gray: jnp.ndarray, max_angle_deg: float, num_angles: int):
+    """Angle sweep: returns (best_angle_rad, score). One batched program."""
+    h, w = gray.shape
+    ink = otsu_binarize(gray).astype(jnp.float32)
+    angles = jnp.linspace(
+        -max_angle_deg, max_angle_deg, num_angles
+    ) * (jnp.pi / 180.0)
+
+    def profile_var(angle):
+        sy, sx = _rotate_coords(h, w, angle)
+        y0 = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, h - 1)
+        x0 = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
+        rotated = ink[y0, x0]
+        rows = rotated.sum(axis=1)
+        return jnp.var(rows)
+
+    variances = jax.vmap(profile_var)(angles)
+    best = jnp.argmax(variances)
+    return angles[best], variances[best] / jnp.maximum(variances.mean(), 1e-6)
+
+
+@jax.jit
+def _align_jit(page: jnp.ndarray, angle_rad: jnp.ndarray):
+    """Rotate the page by -angle (bilinear), white background."""
+    h, w = page.shape[:2]
+    sy, sx = _rotate_coords(h, w, -angle_rad)
+    from marie_tpu.preprocess.ops import _bilinear_hwc
+
+    rgb = page.astype(jnp.float32)
+    out = _bilinear_hwc(rgb, sy, sx)
+    oob = (sy < 0) | (sy > h - 1) | (sx < 0) | (sx > w - 1)
+    out = jnp.where(oob[..., None], 255.0, out)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+class DocumentBoundaryRegistration(JAMLCompatible):
+    def __init__(
+        self,
+        max_skew_deg: float = 7.0,
+        num_angles: int = 57,
+        registration_method: str = "fit_to_page",
+        boundary_fn: Optional[Callable] = None,
+        **kwargs,
+    ):
+        self.logger = MarieLogger("BoundaryRegistration")
+        self.max_skew_deg = max_skew_deg
+        self.num_angles = num_angles
+        self.registration_method = registration_method
+        self.boundary_fn = boundary_fn
+
+    def run(self, frame: np.ndarray) -> dict:
+        pred = self.register(frame)
+        return {"meta": pred.to_dict(), "aligned": pred.aligned}
+
+    def register(self, frame: np.ndarray) -> DocumentBoundaryPrediction:
+        frame = np.asarray(frame)
+        if frame.ndim == 2:
+            frame = np.stack([frame] * 3, -1)
+        gray = to_grayscale(jnp.asarray(frame, jnp.float32) / 255.0)
+
+        angle_rad, score = _deskew_jit(gray, self.max_skew_deg, self.num_angles)
+        aligned_dev = _align_jit(jnp.asarray(frame), angle_rad)
+        aligned = np.asarray(aligned_dev)
+        angle_deg = float(angle_rad) * 180.0 / np.pi
+
+        # content boundary on the aligned page
+        if self.boundary_fn is not None:
+            box = self.boundary_fn(aligned)
+        else:
+            g2 = to_grayscale(jnp.asarray(aligned, jnp.float32) / 255.0)
+            ink = np.asarray(otsu_binarize(g2))
+            ys, xs = np.nonzero(ink)
+            if len(ys) == 0:
+                h, w = aligned.shape[:2]
+                box = [0, 0, w, h]
+            else:
+                box = [
+                    int(xs.min()),
+                    int(ys.min()),
+                    int(xs.max() - xs.min() + 1),
+                    int(ys.max() - ys.min() + 1),
+                ]
+
+        if self.registration_method == "fit_to_page":
+            import cv2
+
+            h, w = aligned.shape[:2]
+            x, y, bw, bh = box
+            crop = aligned[y : y + bh, x : x + bw]
+            aligned = cv2.resize(crop, (w, h), interpolation=cv2.INTER_LINEAR)
+
+        return DocumentBoundaryPrediction(
+            detected=True,
+            box=box,
+            angle=round(angle_deg, 3),
+            score=float(score),
+            aligned=aligned,
+        )

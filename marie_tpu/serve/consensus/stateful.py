@@ -1,0 +1,92 @@
+"""Stateful replicated executors over RAFT.
+
+Parity with the reference's stateful deployment path
+(``/root/reference/marie/serve/executors/run.py:16 run_raft`` +
+``Deployment(stateful=True)``): writes go through the leader's log; every
+replica's FSM applies committed DataRequests to its local executor, so
+all replicas converge on the same state.  Followers answer "not the
+leader" and clients retry against the next replica (the reference's
+client-side follow-up, ``networking/__init__.py:399-405``).
+"""
+
+import asyncio
+import threading
+from typing import Optional
+
+from marie_tpu.logging_core import MarieLogger
+from marie_tpu.serve.consensus import RaftNode
+from marie_tpu.types.request import DataRequest
+
+
+class NotTheLeader(Exception):
+    def __init__(self, leader_id: str = ""):
+        self.leader_id = leader_id
+        super().__init__(f"not the leader (leader={leader_id or 'unknown'})")
+
+
+class StatefulExecutorAdapter:
+    """Wraps a WorkerRequestHandler with RAFT-replicated writes.
+
+    ``process_write`` submits the serialized request to the raft log and
+    waits for local application; committed entries are applied to the
+    executor on EVERY replica (in log order, single-threaded).
+    """
+
+    def __init__(self, handler, node_id: str, bind_addr: str):
+        self.logger = MarieLogger(f"stateful/{node_id}")
+        self.handler = handler
+        self._applied_index = 0
+        self._apply_events: dict = {}
+        self._lock = threading.Lock()
+        self._loop = asyncio.new_event_loop()
+        self._loop_thread = threading.Thread(
+            target=self._loop.run_forever, daemon=True
+        )
+        self._loop_thread.start()
+        self.node = RaftNode(node_id, bind_addr, apply_fn=self._apply)
+
+    # --- FSM ----------------------------------------------------------
+    def _apply(self, data: bytes, index: int) -> None:
+        """Committed log entry -> execute on the local executor (ordered)."""
+        req = DataRequest.from_bytes(data)
+        fut = asyncio.run_coroutine_threadsafe(
+            self.handler.process_data([req]), self._loop
+        )
+        fut.result(timeout=60)
+        with self._lock:
+            self._applied_index = index
+            ev = self._apply_events.pop(index, None)
+        if ev is not None:
+            ev.set()
+
+    # --- write path ---------------------------------------------------
+    def process_write(self, request: DataRequest, timeout: float = 30.0):
+        """Replicate + apply a write. Raises NotTheLeader on followers."""
+        idx = self.node.submit(request.to_bytes())
+        if idx == 0:
+            raise NotTheLeader(self.node.leader_id)
+        ev = threading.Event()
+        with self._lock:
+            if self._applied_index >= idx:
+                return idx
+            self._apply_events[idx] = ev
+        if not ev.wait(timeout):
+            raise TimeoutError(f"entry {idx} not applied within {timeout}s")
+        return idx
+
+    # --- lifecycle ----------------------------------------------------
+    def start(self) -> "StatefulExecutorAdapter":
+        self.node.start()
+        return self
+
+    def add_voter(self, node_id: str, addr: str) -> None:
+        self.node.add_voter(node_id, addr)
+
+    @property
+    def is_leader(self) -> bool:
+        return self.node.is_leader
+
+    def shutdown(self) -> None:
+        self.node.shutdown()
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._loop_thread.join(timeout=5)

@@ -76,10 +76,27 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
         port_value.value = getattr(srv, "port", 0) or getattr(
             srv, "servers", [None]
         )[0].port
+        # self-register with discovery (reference: workers hold etcd leases)
+        discovery_client = None
+        if kwargs.get("discovery_address"):
+            import json
+
+            from marie_tpu.serve.discovery import DiscoveryClient
+
+            discovery_client = DiscoveryClient(kwargs["discovery_address"])
+            deployment = kwargs.get("deployment", kwargs.get("name", kind))
+            key = f"gateway/{deployment}/{kwargs.get('name', kind)}"
+            await discovery_client.register(
+                key,
+                json.dumps({"address": f"127.0.0.1:{port_value.value}"}),
+                ttl=6.0,
+            )
         ready_event.set()
         try:
             await runtime.server.run_server()
         finally:
+            if discovery_client is not None:
+                await discovery_client.close()
             await runtime.server.shutdown()
             if hasattr(handler, "close"):
                 await handler.close()

@@ -37,6 +37,7 @@ class AsyncNewLoopRuntime:
             CompositeServer,
             GRPCServer,
             HTTPServer,
+            WebSocketServer,
         )
 
         if protocols and len(protocols) > 1:
@@ -45,7 +46,7 @@ class AsyncNewLoopRuntime:
                 name=name,
             )
         proto = (protocols[0] if protocols else protocol).lower()
-        cls = {"grpc": GRPCServer, "http": HTTPServer}.get(proto)
+        cls = {"grpc": GRPCServer, "http": HTTPServer, "websocket": WebSocketServer}.get(proto)
         if cls is None:
             raise ValueError(f"unknown protocol {proto!r}")
         return cls(self.req_handler, port=port, host=host, name=name)

@@ -36,6 +36,63 @@ class GatewayRequestHandler:
     async def process_data(self, requests: Sequence[DataRequest]) -> DataRequest:
         return await self.streamer.process_single_data(requests[0])
 
+    # ------------------------------------------------------------------
+    async def start_discovery(
+        self, discovery_address: str, prefix: str = "gateway/"
+    ) -> None:
+        """Discovery-driven elasticity: watch the registry and rebuild the
+        streamer when workers come and go (reference MarieServerGateway
+        ``gateway_server_online``/``offline`` + ``update_gateway_streamer``,
+        marie_gateway.py:623-894).
+
+        Workers register as ``<prefix><deployment>/<replica-id>`` with a
+        JSON value ``{"address": "host:port"}`` under a lease; expiry or
+        delete removes them from routing.
+        """
+        import asyncio
+        import json
+
+        from marie_tpu.serve.discovery import DiscoveryClient
+
+        self._discovery = DiscoveryClient(discovery_address)
+        self._discovery_prefix = prefix
+
+        async def rebuild():
+            items = await self._discovery.get_prefix(prefix)
+            deployments: Dict[str, List[str]] = {}
+            for key, raw in items.items():
+                rest = key[len(prefix):]
+                deployment = rest.split("/")[0]
+                try:
+                    address = json.loads(raw)["address"]
+                except (json.JSONDecodeError, KeyError):
+                    address = raw
+                deployments.setdefault(deployment, []).append(address)
+            if not deployments:
+                return
+            graph = {"start-gateway": list(deployments)}
+            for d in deployments:
+                graph[d] = ["end-gateway"]
+            self.streamer.update_topology(graph, deployments)
+            self.logger.info(
+                f"topology rebuilt from discovery: {sorted(deployments)}"
+            )
+
+        await rebuild()
+
+        def on_event(event: dict) -> None:
+            asyncio.get_event_loop().create_task(rebuild())
+
+        self._watch_task = await self._discovery.watch(prefix, on_event)
+
+    async def stop_discovery(self) -> None:
+        task = getattr(self, "_watch_task", None)
+        if task is not None:
+            task.cancel()
+        client = getattr(self, "_discovery", None)
+        if client is not None:
+            await client.close()
+
     async def stream(self, request_iterator):
         async for resp in self.streamer.stream(request_iterator):
             yield resp

@@ -1,5 +1,6 @@
 from marie_tpu.serve.runtimes.servers.grpc_server import GRPCServer
 from marie_tpu.serve.runtimes.servers.http_server import HTTPServer
+from marie_tpu.serve.runtimes.servers.websocket_server import WebSocketServer
 from marie_tpu.serve.runtimes.servers.composite import CompositeServer
 
-__all__ = ["GRPCServer", "HTTPServer", "CompositeServer"]
+__all__ = ["GRPCServer", "HTTPServer", "WebSocketServer", "CompositeServer"]

@@ -17,11 +17,12 @@ class CompositeServer:
     ):
         from marie_tpu.serve.runtimes.servers.grpc_server import GRPCServer
         from marie_tpu.serve.runtimes.servers.http_server import HTTPServer
+        from marie_tpu.serve.runtimes.servers.websocket_server import WebSocketServer
 
         ports = list(ports or [None] * len(protocols))
         self.servers: List = []
         for proto, port in zip(protocols, ports):
-            cls = {"grpc": GRPCServer, "http": HTTPServer}[proto.lower()]
+            cls = {"grpc": GRPCServer, "http": HTTPServer, "websocket": WebSocketServer}[proto.lower()]
             self.servers.append(
                 cls(req_handler, port=port, host=host, name=f"{name}/{proto}")
             )

@@ -110,6 +110,41 @@ class GRPCServer:
                 st.description = repr(ex)
             return st.SerializeToString()
 
+        async def snapshot(request: bytes, context) -> bytes:
+            """JinaExecutorSnapshot parity: trigger executor snapshot."""
+            import uuid
+
+            proto = marie_pb2.SnapshotStatusProto()
+            proto.id.value = uuid.uuid4().hex
+            try:
+                snapshot_file = f"/tmp/marie/snapshots/{proto.id.value}"
+                import os
+
+                os.makedirs(os.path.dirname(snapshot_file), exist_ok=True)
+                self.req_handler.snapshot(snapshot_file)
+                proto.status = marie_pb2.SnapshotStatusProto.SUCCEEDED
+                proto.snapshot_file = snapshot_file
+            except Exception as ex:  # noqa: BLE001
+                self.logger.error(f"snapshot failed: {ex!r}")
+                proto.status = marie_pb2.SnapshotStatusProto.FAILED
+            return proto.SerializeToString()
+
+        async def restore(request: bytes, context) -> bytes:
+            """JinaExecutorRestore parity: restore executor state."""
+            import uuid
+
+            cmd = marie_pb2.RestoreSnapshotCommand()
+            cmd.ParseFromString(request)
+            proto = marie_pb2.RestoreSnapshotStatusProto()
+            proto.id.value = uuid.uuid4().hex
+            try:
+                self.req_handler.restore(cmd.snapshot_file)
+                proto.status = marie_pb2.SnapshotStatusProto.SUCCEEDED
+            except Exception as ex:  # noqa: BLE001
+                self.logger.error(f"restore failed: {ex!r}")
+                proto.status = marie_pb2.SnapshotStatusProto.FAILED
+            return proto.SerializeToString()
+
         ident = lambda b: b  # noqa: E731 — raw-bytes (de)serializer
 
         def unary(fn, req_de=ident, res_se=ident):
@@ -140,6 +175,8 @@ class GRPCServer:
             },
             "jina.JinaInfoRPC": {"_status": unary(status)},
             "jina.JinaGatewayDryRunRPC": {"dry_run": unary(dry_run)},
+            "jina.JinaExecutorSnapshot": {"snapshot": unary(snapshot)},
+            "jina.JinaExecutorRestore": {"restore": unary(restore)},
             "grpc.health.v1.Health": {"Check": unary(self.health.check)},
         }
         for service_name, methods in services.items():

@@ -1,0 +1,101 @@
+"""WebSocket server (reference:
+``/root/reference/marie/serve/runtimes/servers/websocket.py:10`` — the
+streaming JSON protocol of the websocket gateway).
+
+Each incoming JSON message is one request (same shape as HTTP ``/post``);
+responses stream back on the same socket in completion order.
+"""
+
+import asyncio
+import json
+from typing import Optional
+
+from marie_tpu.logging_core import MarieLogger
+from marie_tpu.types.docs import DocumentArray
+from marie_tpu.types.request import DataRequest
+
+
+class WebSocketServer:
+    def __init__(
+        self,
+        req_handler,
+        port: Optional[int] = None,
+        host: str = "0.0.0.0",
+        name: str = "websocket",
+        **kwargs,
+    ):
+        from marie_tpu.helper import random_port
+
+        self.req_handler = req_handler
+        self.port = port or random_port()
+        self.host = host
+        self.logger = MarieLogger(f"WebSocketServer/{name}")
+        self._runner = None
+
+    async def setup_server(self) -> None:
+        from aiohttp import WSMsgType, web
+
+        async def ws_handler(request):
+            ws = web.WebSocketResponse(max_msg_size=64 * 1024 * 1024)
+            await ws.prepare(request)
+            pending = set()
+
+            async def process(body):
+                req = DataRequest.from_docs(
+                    DocumentArray.from_dict(body.get("data", [])),
+                    endpoint=body.get("execEndpoint", "/"),
+                    parameters=body.get("parameters") or {},
+                    target_executor=body.get("targetExecutor", "") or "",
+                )
+                resp = await self.req_handler.process_data([req])
+                await ws.send_json(
+                    {
+                        "header": {
+                            "requestId": resp.request_id,
+                            "status": {
+                                "code": int(resp.proto.header.status.code),
+                                "description": resp.proto.header.status.description,
+                            },
+                        },
+                        "data": resp.docs.to_dict(),
+                        "parameters": resp.parameters,
+                    }
+                )
+
+            async for msg in ws:
+                if msg.type == WSMsgType.TEXT:
+                    try:
+                        body = json.loads(msg.data)
+                    except json.JSONDecodeError:
+                        await ws.send_json({"error": "invalid JSON"})
+                        continue
+                    task = asyncio.create_task(process(body))
+                    pending.add(task)
+                    task.add_done_callback(pending.discard)
+                elif msg.type == WSMsgType.ERROR:
+                    break
+            for task in pending:
+                task.cancel()
+            return ws
+
+        app = web.Application()
+        app.router.add_get("/", ws_handler)
+        app.router.add_get("/ws", ws_handler)
+        self._runner = web.AppRunner(app)
+        await self._runner.setup()
+        site = web.TCPSite(self._runner, self.host, self.port)
+        await site.start()
+        self.logger.debug(f"websocket server on {self.host}:{self.port}")
+
+    async def run_server(self) -> None:
+        while True:
+            await asyncio.sleep(3600)
+
+    async def shutdown(self) -> None:
+        if self._runner is not None:
+            await self._runner.cleanup()
+
+    @property
+    def address(self) -> str:
+        host = "127.0.0.1" if self.host == "0.0.0.0" else self.host
+        return f"ws://{host}:{self.port}"

@@ -26,10 +26,12 @@ class WorkerRequestHandler:
         uses_with: Optional[Dict[str, Any]] = None,
         name: str = "executor",
         workspace: Optional[str] = None,
+        hot_reload: bool = False,
         **kwargs,
     ):
         self.logger = MarieLogger(f"worker/{name}")
         self.name = name
+        self._uses, self._uses_with, self._workspace = uses, uses_with, workspace
         if executor is not None:
             self._executor = executor
         else:
@@ -39,6 +41,53 @@ class WorkerRequestHandler:
             self._batch_queues[ep] = BatchQueue(
                 self._make_batch_fn(ep), **cfg
             )
+        self._reload_task = None
+        if hot_reload:
+            import asyncio
+
+            try:
+                self._reload_task = asyncio.get_running_loop().create_task(
+                    self._hot_reload_loop()
+                )
+            except RuntimeError:
+                pass  # no loop yet; caller can start it via start_hot_reload
+
+    # ------------------------------------------------------------------
+    async def _hot_reload_loop(self, interval: float = 1.0) -> None:
+        """Reload the executor when its source module changes on disk
+        (reference ``_hot_reload`` via watchfiles, request_handling.py:231;
+        here an mtime poll — no watchfiles dependency)."""
+        import importlib
+        import inspect
+        import os
+        import asyncio
+
+        module = inspect.getmodule(type(self._executor))
+        src = getattr(module, "__file__", None)
+        if src is None:
+            return
+        last = os.path.getmtime(src)
+        while True:
+            await asyncio.sleep(interval)
+            try:
+                mtime = os.path.getmtime(src)
+            except OSError:
+                continue
+            if mtime == last:
+                continue
+            last = mtime
+            self.logger.info(f"source change detected in {src}; reloading")
+            try:
+                importlib.reload(module)
+                cls = getattr(module, type(self._executor).__name__)
+                self._executor.close()
+                self._executor = cls(
+                    runtime_args={"name": self.name},
+                    workspace=self._workspace,
+                    **(self._uses_with or {}),
+                )
+            except Exception as ex:  # noqa: BLE001 — keep serving old code
+                self.logger.error(f"hot reload failed: {ex!r}")
 
     # ------------------------------------------------------------------
     @staticmethod

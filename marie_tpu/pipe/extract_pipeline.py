@@ -31,11 +31,13 @@ class ExtractPipeline(BasePipeline):
         indexers: Optional[Sequence] = None,
         overlay_processor=None,
         boundary_processor=None,
+        template_matcher=None,
         work_dir: str = "/tmp/generators",
         renderers: Sequence[str] = ("text", "pdf", "blobs", "adlib"),
         **kwargs,
     ):
         super().__init__(classifiers=classifiers, indexers=indexers, **kwargs)
+        self.template_matcher = template_matcher
         if ocr_engine is None:
             from marie_tpu.ocr.default_ocr_engine import DefaultOcrEngine
 
@@ -137,6 +139,19 @@ class ExtractPipeline(BasePipeline):
                 clean_frames, pms_mode, coordinate_format
             )
         metadata["ocr"] = ocr_results
+
+        if self.template_matcher is not None and flag("template_matching", True):
+            with TimeContext("template-matching", self.logger):
+                matches = self.template_matcher.match(clean_frames)
+                metadata["template_matching"] = [
+                    {
+                        "frame_index": m.frame_index,
+                        "label": m.label,
+                        "bbox": m.bbox,
+                        "score": round(m.score, 4),
+                    }
+                    for m in matches
+                ]
 
         self.execute_classifier_and_indexer_pipeline(
             frames, ocr_results, metadata, classifier_enabled, indexer_enabled

@@ -33,6 +33,10 @@ def main(argv=None) -> int:
 
 
 def _server(args) -> int:
+    if args.watch:
+        from marie_tpu_server.watch import main as watch_main
+
+        return watch_main([args.uses] if args.uses else None)
     from marie_tpu_server import run_server
 
     return run_server(

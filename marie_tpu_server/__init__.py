@@ -63,8 +63,13 @@ def run_server(
     return 0
 
 
-async def _run_control_plane(flow, rest_port: int) -> None:
+async def _run_control_plane(
+    flow, rest_port: int, state_dir: str = "/tmp/marie"
+) -> None:
     """REST job API + scheduler bound to the running flow."""
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
     from aiohttp import web
 
     from marie_tpu.clients import Client
@@ -77,9 +82,9 @@ async def _run_control_plane(flow, rest_port: int) -> None:
     from marie_tpu.storage.kv.sqlite_kv import SqliteKV
     from marie_tpu.types.docs import Document, DocumentArray
 
-    Toast.register(NativeToastHandler("/tmp/marie/events.jsonl"), native=True)
+    Toast.register(NativeToastHandler(os.path.join(state_dir, "events.jsonl")), native=True)
 
-    kv = SqliteKV("/tmp/marie/kv.db")
+    kv = SqliteKV(os.path.join(state_dir, "kv.db"))
     client = Client(port=flow.port_gateway)
 
     async def distributor(job_id: str, info):
@@ -112,7 +117,7 @@ async def _run_control_plane(flow, rest_port: int) -> None:
             await asyncio.sleep(0.25)
 
     scheduler = SqlJobScheduler(
-        "/tmp/marie/scheduler.db", job_handler=scheduler_handler
+        os.path.join(state_dir, "scheduler.db"), job_handler=scheduler_handler
     )
     await scheduler.start()
 
@@ -153,11 +158,58 @@ async def _run_control_plane(flow, rest_port: int) -> None:
     async def health(request):
         return web.json_response({"status": "OK"})
 
+    # SSE event stream (reference marie_gateway SSE endpoints)
+    subscribers: list = []
+
+    class _SSEToast:
+        def notify(self, event, notification, **kw):
+            for q in list(subscribers):
+                q.put_nowait({"event": event, **notification})
+
+    Toast.register(_SSEToast())
+
+    async def events_stream(request):
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            }
+        )
+        await resp.prepare(request)
+        q: asyncio.Queue = asyncio.Queue()
+        subscribers.append(q)
+        try:
+            while True:
+                ev = await q.get()
+                await resp.write(
+                    f"event: {ev.get('event', 'message')}\n"
+                    f"data: {json.dumps(ev)}\n\n".encode()
+                )
+        except (ConnectionResetError, asyncio.CancelledError):
+            pass
+        finally:
+            subscribers.remove(q)
+        return resp
+
+    async def nodes(request):
+        """Deployment/node listing (reference /api/invoke nodes command)."""
+        return web.json_response(
+            {
+                "gateway": f"127.0.0.1:{flow.port_gateway}",
+                "deployments": {
+                    name: dep.addresses
+                    for name, dep in flow._deployments.items()
+                },
+            }
+        )
+
     app.router.add_post("/api/jobs/submit", submit)
     app.router.add_get("/api/jobs", list_jobs)
     app.router.add_get("/api/jobs/{job_id}", job_info)
     app.router.add_post("/api/jobs/{job_id}/stop", stop_job)
     app.router.add_delete("/api/jobs/{job_id}", delete_job)
+    app.router.add_get("/api/events", events_stream)
+    app.router.add_get("/api/nodes", nodes)
     app.router.add_get("/health/status", health)
 
     runner = web.AppRunner(app)

@@ -1,0 +1,78 @@
+"""Server shell control plane: REST job API over a live flow
+(reference §3.4 job submission path)."""
+
+import asyncio
+import json
+
+import pytest
+
+import aiohttp
+
+from marie_tpu.helper import random_port
+from marie_tpu.orchestrate.flow import Flow
+from marie_tpu_server import _run_control_plane
+from tests.integration.executors import EchoExecutor
+
+
+@pytest.fixture
+def flow():
+    with Flow().add(uses=EchoExecutor, name="echo") as f:
+        yield f
+
+
+async def test_job_rest_api_lifecycle(flow, tmp_path, monkeypatch):
+    # isolate the sqlite state per test
+    monkeypatch.setattr(
+        "marie_tpu.scheduler.sql.POLL_MIN", 0.1, raising=True
+    )
+    rest_port = random_port()
+    cp_task = asyncio.create_task(
+        _run_control_plane(flow, rest_port, state_dir=str(tmp_path))
+    )
+    base = f"http://127.0.0.1:{rest_port}"
+    try:
+        async with aiohttp.ClientSession() as session:
+            # wait for the REST app to come up
+            for _ in range(50):
+                try:
+                    async with session.get(f"{base}/health/status") as r:
+                        if r.status == 200:
+                            break
+                except aiohttp.ClientError:
+                    pass
+                await asyncio.sleep(0.1)
+
+            async with session.post(
+                f"{base}/api/jobs/submit",
+                json={"entrypoint": "/echo", "metadata": {}},
+            ) as r:
+                body = await r.json()
+                job_id = body["jobid"]
+                assert body["status"] == "ok"
+
+            state = None
+            for _ in range(100):
+                async with session.get(f"{base}/api/jobs/{job_id}") as r:
+                    info = await r.json()
+                    state = info["state"]
+                if state in ("completed", "failed"):
+                    break
+                await asyncio.sleep(0.2)
+            assert state == "completed", info
+
+            async with session.get(f"{base}/api/jobs") as r:
+                jobs = (await r.json())["jobs"]
+                assert any(j["id"] == job_id for j in jobs)
+
+            async with session.get(f"{base}/api/nodes") as r:
+                nodes = await r.json()
+                assert "echo" in nodes["deployments"]
+
+            async with session.get(f"{base}/api/jobs/missing") as r:
+                assert r.status == 404
+    finally:
+        cp_task.cancel()
+        try:
+            await cp_task
+        except asyncio.CancelledError:
+            pass

@@ -74,6 +74,28 @@ def _detect_jit(
     return stats
 
 
+@partial(jax.jit, static_argnames=("model", "max_components", "box_source"))
+def _detect_batch_jit(
+    model: CRAFT,
+    variables,
+    pages_u8: jnp.ndarray,  # [B, H, W, 3] uint8 (same bucket)
+    text_threshold: float,
+    low_text: float,
+    link_threshold: float,
+    max_components: int,
+    box_source: str = "heatmap",
+):
+    """Multi-page detection in ONE program: the CRAFT forward runs batched
+    on the MXU and the CC post-processing is vmapped per page — one
+    dispatch covers the whole page batch."""
+    return jax.vmap(
+        lambda p: _detect_jit(
+            model, variables, p, text_threshold, low_text, link_threshold,
+            max_components, box_source,
+        )
+    )(pages_u8)
+
+
 class BoxProcessorCraft(BoxProcessor):
     """Word detector over the flax CRAFT model."""
 
@@ -157,6 +179,44 @@ class BoxProcessorCraft(BoxProcessor):
             self.box_source,
         )
         return (stats, page_dev, scale, (h, w))
+
+    def detect_dispatch_many(self, images, page_batch: int = 4):
+        """Dispatch detection for many pages, batching same-bucket pages
+        into single device programs (up to ``page_batch`` per dispatch)."""
+        import cv2
+
+        preps = []
+        for image in images:
+            h, w = image.shape[:2]
+            (bh, bw), scale = self.buckets.fit_with_scale(h, w)
+            work = image
+            if scale < 1.0:
+                work = cv2.resize(
+                    image, (int(w * scale), int(h * scale)),
+                    interpolation=cv2.INTER_AREA,
+                )
+            preps.append((pad_to(work, bh, bw), scale, (h, w), (bh, bw)))
+
+        handles = [None] * len(images)
+        i = 0
+        while i < len(preps):
+            j = i
+            bucket = preps[i][3]
+            group = []
+            while j < len(preps) and preps[j][3] == bucket and len(group) < page_batch:
+                group.append(j)
+                j += 1
+            batch = jnp.asarray(np.stack([preps[k][0] for k in group]))
+            stats = _detect_batch_jit(
+                self.model, self.variables, batch,
+                self.text_threshold, self.low_text, self.link_threshold,
+                self.max_components, self.box_source,
+            )
+            for slot, k in enumerate(group):
+                per_page = {f: stats[f][slot] for f in stats}
+                handles[k] = (per_page, batch[slot], preps[k][1], preps[k][2])
+            i = j
+        return handles
 
     def detect_collect(self, handle, stats=None):
         """Phase 2: wait for a dispatched detection, filter on host.

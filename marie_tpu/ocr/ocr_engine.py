@@ -99,6 +99,11 @@ class PipelineOcrEngine(OcrEngine):
             # and recognise — host round trips overlap with device work.
             can_pipeline = hasattr(self.box_processor, "detect_dispatch")
             if can_pipeline:
+                # NOTE: detect_dispatch_many (vmapped page-batch detection)
+                # exists but is disabled by default — the batched while_loop
+                # in connected components runs every page to the worst-case
+                # iteration count and measured slower end-to-end; per-page
+                # dispatch pipelines better.
                 handles = [
                     self.box_processor.detect_dispatch(_ensure_rgb_np(f))
                     for f in frames

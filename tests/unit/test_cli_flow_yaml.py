@@ -1,0 +1,77 @@
+import json
+
+import pytest
+
+from marie_tpu.excepts import FlowMissingDeploymentError, FlowTopologyError
+from marie_tpu.orchestrate.flow import Flow
+from marie_tpu.parsers import build_parser
+
+
+def test_parser_tree():
+    p = build_parser()
+    args = p.parse_args(["server", "--start", "--uses", "cfg.yml", "--port", "9000"])
+    assert args.cli == "server" and args.start and args.port == 9000
+    args = p.parse_args(["executor", "--uses", "pkg.Mod", "--name", "x"])
+    assert args.cli == "executor"
+    args = p.parse_args(["job", "submit", "--entrypoint", "/extract"])
+    assert args.job_cmd == "submit"
+    args = p.parse_args(["ping", "127.0.0.1:1234"])
+    assert args.host == "127.0.0.1:1234"
+    with pytest.raises(SystemExit):
+        p.parse_args(["nonsense"])
+
+
+def test_flow_yaml_roundtrip_and_graph(monkeypatch):
+    monkeypatch.setenv("TEST_FLOW_PORT", "5123")
+    yml = """
+jtype: Flow
+with:
+  port: ${{ ENV.TEST_FLOW_PORT }}
+  protocol: grpc
+executors:
+  - name: a
+    uses:
+      jtype: marie_tpu.executor.TextExtractionExecutorMock
+  - name: b
+    needs: [a]
+    uses:
+      jtype: marie_tpu.executor.TextExtractionExecutorMock
+  - name: c
+    needs: [a]
+    uses:
+      jtype: marie_tpu.executor.TextExtractionExecutorMock
+"""
+    flow = Flow.load_config(yml)
+    assert flow.port == 5123
+    graph = flow.build()
+    assert graph["start-gateway"] == ["a"]
+    assert sorted(graph["a"]) == ["b", "c"]
+    assert graph["b"] == ["end-gateway"]
+    assert graph["c"] == ["end-gateway"]
+
+
+def test_flow_validation_errors():
+    with pytest.raises(FlowMissingDeploymentError):
+        Flow().add(name="x", needs=["ghost"])
+    f = Flow().add(name="a").add(name="b", needs=["a"])
+    with pytest.raises(FlowTopologyError):
+        f.add(name="a")  # duplicate
+
+
+def test_needs_all_joins_leaves():
+    f = (
+        Flow()
+        .add(name="a")
+        .add(name="b", needs=["gateway"])
+        .needs_all(name="join")
+    )
+    graph = f.build()
+    assert sorted(graph["a"]) == ["join"]
+    assert sorted(graph["b"]) == ["join"]
+    assert graph["join"] == ["end-gateway"]
+
+
+def test_service_config_parses(monkeypatch):
+    flow = Flow.load_config("config/service/marie.yml")
+    graph = flow.build()
+    assert "extract_t" in graph["start-gateway"]

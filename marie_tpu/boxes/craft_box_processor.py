@@ -57,20 +57,28 @@ def _detect_jit(
 
         gray = to_grayscale(rgb)
         ink = otsu_binarize(gray)
-        # downsample to heatmap stride and join characters horizontally
-        ink2 = jax.lax.reduce_window(
-            ink.astype(jnp.float32), -jnp.inf, jax.lax.max, (2, 2), (2, 2), "VALID"
+        # downsample to a 4× coarse grid (CC cost is dominated by serial
+        # row/col scans — half the grid edge halves every scan) and join
+        # characters horizontally into word blobs
+        ink4 = jax.lax.reduce_window(
+            ink.astype(jnp.float32), -jnp.inf, jax.lax.max, (4, 4), (4, 4), "VALID"
+        )
+        region4 = jax.lax.reduce_window(
+            region, -jnp.inf, jax.lax.max, (2, 2), (2, 2), "VALID"
         )
         joined = jax.lax.reduce_window(
-            ink2, -jnp.inf, jax.lax.max, (1, 5), (1, 1), "SAME"
+            ink4, -jnp.inf, jax.lax.max, (1, 3), (1, 1), "SAME"
         )
-        mask = (joined > 0) | (region > 2.0)  # keep heat dependency alive
-        scores = jnp.maximum(ink2, region * 0.0) + 1e-3
+        mask = (joined > 0) | (region4 > 2.0)  # keep heat dependency alive
+        scores = jnp.maximum(ink4, region4 * 0.0) + 1e-3
+        stride = 4
     else:
         mask = (region > low_text) | (affinity > link_threshold)
         scores = region
+        stride = 2
     labels = connected_components(mask)
     stats = component_boxes(labels, scores, max_components=max_components)
+    stats["stride"] = jnp.asarray(stride, jnp.int32)
     return stats
 
 
@@ -233,9 +241,11 @@ class BoxProcessorCraft(BoxProcessor):
         areas = stats["areas"]
         valid = stats["valid"]
 
+        stride = float(np.asarray(stats.get("stride", 2)))
         score_floor = 0.0 if self.box_source == "ink" else self.text_threshold
-        keep = valid & (scores >= score_floor) & (areas >= self.min_area)
-        boxes = boxes[keep] * 2.0 / scale  # heatmap -> padded page -> original
+        min_area = self.min_area / (stride / 2.0) ** 2  # area is in grid cells
+        keep = valid & (scores >= score_floor) & (areas >= min_area)
+        boxes = boxes[keep] * stride / scale  # grid -> padded page -> original
         scores = scores[keep]
 
         # clip to original page, convert to xywh

@@ -203,6 +203,46 @@ async def _run_control_plane(
             }
         )
 
+    async def document_extract(request):
+        """REST OCR endpoint (reference rest_extension.py:144 —
+        ``/api/document/extract`` forwarding into the flow)."""
+        import base64 as b64
+
+        import numpy as np
+
+        body = await request.json()
+        doc = Document(tags={})
+        if body.get("data"):
+            raw = b64.b64decode(body["data"])
+            from marie_tpu.utils.docs import frames_from_bytes
+
+            frames = frames_from_bytes(raw)
+            doc.tensor = frames[0]
+        elif body.get("uri"):
+            doc.uri = body["uri"]
+        else:
+            return web.json_response(
+                {"error": "request needs 'data' (base64) or 'uri'"}, status=400
+            )
+        params = {
+            "mode": body.get("mode", "sparse"),
+            "output_format": body.get("output_format", "xywh"),
+            "features": body.get("features", {}),
+        }
+        if body.get("regions"):
+            params["regions"] = body["regions"]
+        try:
+            resp = await client.apost(
+                on="/document/extract", inputs=DocumentArray([doc]),
+                parameters=params, return_responses=True,
+            )
+        except Exception as ex:  # noqa: BLE001
+            return web.json_response({"status": "failed", "error": repr(ex)}, status=500)
+        results = resp.parameters.get("__results__", {})
+        payload = next(iter(results.values()), {}) if results else {}
+        return web.json_response(payload if payload else {"status": "succeeded"})
+
+    app.router.add_post("/api/document/extract", document_extract)
     app.router.add_post("/api/jobs/submit", submit)
     app.router.add_get("/api/jobs", list_jobs)
     app.router.add_get("/api/jobs/{job_id}", job_info)

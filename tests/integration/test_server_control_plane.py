@@ -76,3 +76,57 @@ async def test_job_rest_api_lifecycle(flow, tmp_path, monkeypatch):
             await cp_task
         except asyncio.CancelledError:
             pass
+
+
+async def test_document_extract_rest(tmp_path):
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from marie_tpu.executor.text_extraction_executor import (
+        TextExtractionExecutorMock,
+    )
+
+    with Flow().add(uses=TextExtractionExecutorMock, name="extract_t") as f:
+        rest_port = random_port()
+        cp_task = asyncio.create_task(
+            _run_control_plane(f, rest_port, state_dir=str(tmp_path))
+        )
+        base = f"http://127.0.0.1:{rest_port}"
+        try:
+            async with aiohttp.ClientSession() as session:
+                for _ in range(50):
+                    try:
+                        async with session.get(f"{base}/health/status") as r:
+                            if r.status == 200:
+                                break
+                    except aiohttp.ClientError:
+                        pass
+                    await asyncio.sleep(0.1)
+
+                img = Image.fromarray(
+                    (255 * __import__("numpy").ones((64, 64, 3))).astype("uint8")
+                )
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                async with session.post(
+                    f"{base}/api/document/extract",
+                    json={"data": base64.b64encode(buf.getvalue()).decode()},
+                ) as r:
+                    body = await r.json()
+                    assert r.status == 200, body
+                    assert body["status"] == "succeeded"
+                    assert body["metadata"]["ocr"]
+
+                async with session.post(
+                    f"{base}/api/document/extract", json={}
+                ) as r:
+                    assert r.status == 400
+        finally:
+            cp_task.cancel()
+            try:
+                await cp_task
+            except asyncio.CancelledError:
+                pass

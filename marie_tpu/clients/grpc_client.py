@@ -90,9 +90,62 @@ class GRPCClient:
         proto.ParseFromString(raw)
         return json.loads(proto.jina.decode())
 
+    async def astream(
+        self,
+        requests_iter,
+        timeout: Optional[float] = None,
+    ):
+        """Bidirectional streaming over ``jina.JinaRPC/Call`` — yields
+        responses in stream order (reference StreamRpc)."""
+        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+            stub = ch.stream_stream(
+                "/jina.JinaRPC/Call",
+                request_serializer=lambda r: r.to_bytes(),
+                response_deserializer=DataRequest.from_bytes,
+            )
+            call = stub(requests_iter, timeout=timeout)
+            async for resp in call:
+                yield resp
+
+    async def aprofiling(self, timeout: Optional[float] = None) -> Dict[str, Any]:
+        """Round-trip latency breakdown (reference ProfileMixin.profiling):
+        total client latency + per-executor time from the response routes."""
+        import time as _time
+        from datetime import datetime
+
+        req = DataRequest.from_docs(DocumentArray(), endpoint="/")
+        t0 = _time.perf_counter()
+        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+            stub = ch.unary_unary(
+                _PROCESS_DATA,
+                request_serializer=lambda r: r.to_bytes(),
+                response_deserializer=DataRequest.from_bytes,
+            )
+            # an error response still carries routes — profiling measures
+            # latency, not endpoint success
+            resp: DataRequest = await stub(req, timeout=timeout)
+        total = _time.perf_counter() - t0
+        routes = {}
+        for r in resp.routes:
+            try:
+                start = datetime.fromisoformat(r.start_time)
+                end = datetime.fromisoformat(r.end_time)
+                routes[r.executor] = (end - start).total_seconds()
+            except ValueError:
+                routes[r.executor] = None
+        network = total - sum(v for v in routes.values() if v)
+        return {
+            "total_seconds": round(total, 6),
+            "executors": routes,
+            "network_and_gateway_seconds": round(max(network, 0.0), 6),
+        }
+
     # --- sync wrappers -------------------------------------------------
     def post(self, on: str = "/", inputs=None, **kwargs):
         return run_async(self.apost(on=on, inputs=inputs, **kwargs))
+
+    def profiling(self, **kwargs) -> Dict[str, Any]:
+        return run_async(self.aprofiling(**kwargs))
 
     def dry_run(self, **kwargs) -> bool:
         return run_async(self.adry_run(**kwargs))

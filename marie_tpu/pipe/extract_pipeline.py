@@ -159,8 +159,25 @@ class ExtractPipeline(BasePipeline):
 
         with TimeContext("render", self.logger):
             self._render_artifacts(frames, ocr_results, root_asset_dir)
+        self._pack_assets(clean_frames, metadata, root_asset_dir)
         metadata["assets"] = self._asset_listing(root_asset_dir)
         return metadata
+
+    def _pack_assets(self, frames, metadata, root_asset_dir: str) -> None:
+        """Pack the processed pages as one multi-page TIFF + metadata JSON
+        (reference ``pack_assets`` :579 — merged G4 TIFF + zips)."""
+        import json
+
+        from marie_tpu.utils.docs import save_frames_as_tiff
+
+        try:
+            save_frames_as_tiff(
+                frames, os.path.join(root_asset_dir, "results.tif")
+            )
+            with open(os.path.join(root_asset_dir, "results.json"), "w") as fp:
+                json.dump(metadata.get("ocr", []), fp, default=str)
+        except Exception as ex:  # noqa: BLE001 — packing must not fail the job
+            self.logger.error(f"pack_assets failed: {ex!r}")
 
     # ------------------------------------------------------------------
     def execute_regions_pipeline(

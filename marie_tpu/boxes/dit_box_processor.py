@@ -1,0 +1,130 @@
+"""DiT-style box processor — ViT backbone + FCN heatmap head.
+
+Counterpart of the reference's default detector ``BoxProcessorUlimDit``
+(``/root/reference/marie/boxes/dit/ulim_dit_box_processor.py:356`` — DiT
+BEiT backbone + detectron2 Mask R-CNN).  TPU re-design: rather than a
+two-stage Mask R-CNN (proposal loops are hostile to static-shape XLA),
+the ViT feature grid feeds a dense per-pixel text-region head (the
+DBNet/CRAFT formulation) and reuses the same fused on-device
+threshold→CC→box-stats post-processing as the CRAFT path — one compiled
+program per page bucket.  The PSMode semantics (including the sparse
+two-pass behaviour) come from the shared BoxProcessor base.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from marie_tpu.boxes.box_processor import BoxProcessor
+from marie_tpu.models.configs import ViTConfig
+from marie_tpu.models.vit import ViTEncoder
+from marie_tpu.ops import component_boxes, connected_components
+from marie_tpu.preprocess import BucketSpec, pad_to
+from marie_tpu.preprocess.ops import normalize_page
+
+
+class DiTDetector(nn.Module):
+    """ViT encoder + upsampling FCN head -> text-region heatmap at /4."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        grid = ViTEncoder(self.cfg, name="backbone").feature_grid(images)
+        # upsample patch grid (stride 16) to stride 4 with two conv-resize
+        x = grid
+        for i, ch in enumerate((self.cfg.hidden_dim // 2, self.cfg.hidden_dim // 4)):
+            b, h, w, _ = x.shape
+            x = jax.image.resize(x, (b, h * 2, w * 2, x.shape[-1]), "bilinear")
+            x = nn.Conv(ch, (3, 3), padding="SAME", name=f"up{i}")(x)
+            x = nn.relu(x)
+        out = nn.Conv(2, (1, 1), name="head")(x)  # region + affinity
+        return nn.sigmoid(out)
+
+
+@partial(jax.jit, static_argnames=("model", "max_components"))
+def _dit_detect_jit(model, variables, page_u8, text_threshold, low_text,
+                    max_components):
+    rgb = normalize_page(page_u8)
+    heat = model.apply(variables, rgb[None])[0]
+    region = heat[..., 0]
+    affinity = heat[..., 1]
+    mask = (region > low_text) | (affinity > low_text)
+    labels = connected_components(mask)
+    return component_boxes(labels, region, max_components=max_components)
+
+
+class BoxProcessorUlimDit(BoxProcessor):
+    """DiT-style detector with the shared box pipeline."""
+
+    def __init__(
+        self,
+        work_dir: str = "/tmp/boxes",
+        models_dir: str = "",
+        config: Optional[ViTConfig] = None,
+        variables=None,
+        text_threshold: float = 0.7,
+        low_text: float = 0.4,
+        min_area: int = 4,
+        max_components: int = 1024,
+        bucket_spec: Optional[BucketSpec] = None,
+        **kwargs,
+    ):
+        super().__init__(work_dir, models_dir, **kwargs)
+        self.config = config or ViTConfig(
+            image_size=(1024, 768), patch_size=16, hidden_dim=384,
+            num_layers=6, num_heads=6, mlp_dim=1536, use_cls_token=False,
+        )
+        self.model = DiTDetector(self.config)
+        self.text_threshold = text_threshold
+        self.low_text = low_text
+        self.min_area = min_area
+        self.max_components = max_components
+        self.buckets = bucket_spec or BucketSpec(
+            shapes=(tuple(self.config.image_size),)
+        )
+        if variables is None:
+            h, w = self.config.image_size
+            dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+            variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
+        self.variables = variables
+
+    def detect_words(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        h, w = image.shape[:2]
+        (bh, bw), scale = self.buckets.fit_with_scale(h, w)
+        if scale < 1.0:
+            import cv2
+
+            image = cv2.resize(
+                image, (int(w * scale), int(h * scale)),
+                interpolation=cv2.INTER_AREA,
+            )
+        padded = pad_to(image, bh, bw)
+        stats = jax.device_get(
+            _dit_detect_jit(
+                self.model, self.variables, jnp.asarray(padded),
+                self.text_threshold, self.low_text, self.max_components,
+            )
+        )
+        keep = (
+            stats["valid"]
+            & (stats["scores"] >= self.text_threshold)
+            & (stats["areas"] >= self.min_area)
+        )
+        boxes = stats["boxes"][keep] * 4.0 / scale  # head stride 4
+        xywh = np.stack(
+            [
+                np.clip(boxes[:, 0], 0, w),
+                np.clip(boxes[:, 1], 0, h),
+                np.clip(boxes[:, 2], 0, w) - np.clip(boxes[:, 0], 0, w),
+                np.clip(boxes[:, 3], 0, h) - np.clip(boxes[:, 1], 0, h),
+            ],
+            axis=-1,
+        )
+        ok = (xywh[:, 2] > 0) & (xywh[:, 3] > 0)
+        return xywh[ok], stats["scores"][keep][ok]

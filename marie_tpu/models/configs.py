@@ -97,7 +97,7 @@ class TrOCRConfig:
                 use_cls_token=False,
             ),
             decoder=DecoderConfig(
-                vocab_size=96,
+                vocab_size=104,
                 hidden_dim=64,
                 num_layers=2,
                 num_heads=2,

@@ -1,0 +1,40 @@
+"""Train the serving recognizer on synthetic words (on-TPU).
+
+    python scripts/train_recognizer.py --steps 2000 --out /root/repo/model_zoo/trocr-fast-synth
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--preset", type=str, default="fast", choices=["fast", "tiny"])
+    args = ap.parse_args()
+
+    from marie_tpu.models.configs import TrOCRConfig
+    from marie_tpu.train.recognizer import train_recognizer_device
+    from marie_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    config = TrOCRConfig.fast() if args.preset == "fast" else TrOCRConfig.tiny()
+    _, _, cer = train_recognizer_device(
+        config=config,
+        steps=args.steps,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        checkpoint_path=args.out,
+    )
+    print(f"FINAL_CER={cer:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -28,9 +28,18 @@ N_WARMUP_PAGES = 2
 N_BENCH_PAGES = 16
 
 
-def make_pages(n, seed=0):
-    """Synthetic text pages: rendered words via PIL."""
-    from PIL import Image, ImageDraw
+def make_pages(n, seed=0, with_truth=False):
+    """Synthetic text pages (DejaVu font — the distribution the in-repo
+    synthetic recognizer checkpoint is trained on).  With ``with_truth``
+    also returns per-page [(text, xywh), ...] ground truth."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    try:
+        font = ImageFont.truetype(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 20
+        )
+    except OSError:
+        font = ImageFont.load_default()
 
     rng = np.random.default_rng(seed)
     words = [
@@ -38,20 +47,26 @@ def make_pages(n, seed=0):
         "terms", "claim", "policy", "member", "provider", "service",
         "balance", "statement", "account", "number", "date", "reference",
     ]
-    pages = []
+    pages, truths = [], []
     for k in range(n):
         img = Image.new("RGB", (PAGE_W, PAGE_H), (255, 255, 255))
         draw = ImageDraw.Draw(img)
+        truth = []
         y = 40
-        while y < PAGE_H - 60:
+        while y < PAGE_H - 70:
             x = 40
-            while x < PAGE_W - 120:
+            while x < PAGE_W - 180:
                 wtext = words[int(rng.integers(0, len(words)))]
-                draw.text((x, y), wtext, fill=(0, 0, 0))
-                x += 12 + 7 * len(wtext) + int(rng.integers(0, 30))
-            y += 24 + int(rng.integers(0, 12))
+                draw.text((x, y), wtext, fill=(0, 0, 0), font=font)
+                bx = draw.textbbox((x, y), wtext, font=font)
+                truth.append(
+                    (wtext, [bx[0], bx[1], bx[2] - bx[0], bx[3] - bx[1]])
+                )
+                x = bx[2] + 18 + int(rng.integers(0, 30))
+            y += 34 + int(rng.integers(0, 12))
         pages.append(np.asarray(img))
-    return pages
+        truths.append(truth)
+    return (pages, truths) if with_truth else pages
 
 
 def main():
@@ -79,8 +94,23 @@ def main():
         bucket_spec=BucketSpec(shapes=((PAGE_H, PAGE_W),)),
         param_dtype="bfloat16",
     )
+    # use the in-repo synthetic-trained checkpoint when present — turns the
+    # CER/IoU columns into real quality numbers instead of random-weight noise
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "model_zoo", "trocr-fast-synth")
+    params = None
+    trained = False
+    if os.path.isdir(ckpt):
+        try:
+            from marie_tpu.registry.checkpoints import load_params
+
+            params = load_params(ckpt)
+            trained = True
+        except Exception:  # noqa: BLE001 — fall back to random weights
+            params = None
     icr = TrOcrProcessor(
-        config=TrOCRConfig.fast(), beam_size=1, param_dtype="bfloat16"
+        config=TrOCRConfig.fast(), params=params, beam_size=1,
+        param_dtype="bfloat16",
     )
     engine = PipelineOcrEngine(box, icr)
 
@@ -94,12 +124,29 @@ def main():
 
     # two timed passes, best wins: the TPU here sits behind a shared relay
     # whose latency spikes would otherwise dominate run-to-run noise
-    pages = make_pages(N_BENCH_PAGES, seed=7)
+    pages, truths = make_pages(N_BENCH_PAGES, seed=7, with_truth=True)
     dt = float("inf")
     for _ in range(2):
         t0 = time.time()
         results = engine.extract(pages)
         dt = min(dt, time.time() - t0)
+
+    # quality vs ground truth (detection recall/IoU always; CER meaningful
+    # only with the trained checkpoint)
+    from marie_tpu.check import compare_results
+
+    golden = [
+        {
+            "meta": {"imageSize": {"width": PAGE_W, "height": PAGE_H}},
+            "words": [
+                {"id": i, "text": t, "box": b, "confidence": 1.0, "line": 1}
+                for i, (t, b) in enumerate(truth)
+            ],
+            "lines": [],
+        }
+        for truth in truths
+    ]
+    quality = compare_results(golden, results, iou_threshold=0.4)
 
     n_words = sum(len(r["words"]) for r in results)
     pages_per_sec = N_BENCH_PAGES / dt
@@ -116,8 +163,16 @@ def main():
             "words_per_sec": round(n_words / dt, 1),
             "p50_page_latency_ms": round(dt / N_BENCH_PAGES * 1000, 1),
             "compile_s": round(compile_s, 1),
-            "recognizer": "trocr-fast greedy bf16",
+            "recognizer": (
+                "trocr-fast greedy bf16 (synthetic-trained ckpt)"
+                if trained
+                else "trocr-fast greedy bf16 (random init)"
+            ),
             "detector": "craft-base fwd + on-device CC (ink boxes)",
+            "detection_recall": quality["detection"]["recall"],
+            "detection_precision": quality["detection"]["precision"],
+            "detection_mean_iou": quality["detection"]["mean_iou"],
+            "recognition_cer": quality["recognition"]["cer"],
         },
     }
     print(json.dumps(out))

@@ -58,19 +58,23 @@ class SyntheticWordDataset:
         self.noise = noise
         self._fonts = self._load_fonts()
 
+    _FONT_FILES = (
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+    )
+
     def _load_fonts(self):
         from PIL import ImageFont
 
         fonts = []
-        for size in self.font_sizes:
-            try:
-                fonts.append(
-                    ImageFont.truetype(
-                        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", size
-                    )
-                )
-            except OSError:
-                pass
+        for path in self._FONT_FILES:
+            for size in self.font_sizes:
+                try:
+                    fonts.append(ImageFont.truetype(path, size))
+                except OSError:
+                    pass
         if not fonts:
             fonts = [ImageFont.load_default()]
         return fonts
@@ -93,14 +97,29 @@ class SyntheticWordDataset:
         return wd.upper() if self.rng.random() < 0.5 else wd.capitalize()
 
     def render(self, text: str) -> np.ndarray:
+        """Render the word EXACTLY like the serving crop pipeline sees it:
+        tight box around the glyphs (detector output), aspect-preserving
+        resize to crop height, white right-padding (crop_resize semantics).
+        """
         from PIL import Image, ImageDraw
 
-        img = Image.new("RGB", (self.w, self.h), (255, 255, 255))
-        draw = ImageDraw.Draw(img)
         font = self._fonts[int(self.rng.integers(0, len(self._fonts)))]
-        x = int(self.rng.integers(2, 12))
-        y = int(self.rng.integers(2, max(3, self.h - 36)))
-        draw.text((x, y), text, fill=(0, 0, 0), font=font)
+        canvas = Image.new("RGB", (4 * self.w, 2 * self.h), (255, 255, 255))
+        draw = ImageDraw.Draw(canvas)
+        x0, y0 = 20, 20
+        draw.text((x0, y0), text, fill=(0, 0, 0), font=font)
+        bbox = draw.textbbox((x0, y0), text, font=font)
+        # small random margin like real detector boxes
+        m = int(self.rng.integers(0, 3))
+        tight = canvas.crop(
+            (bbox[0] - m, bbox[1] - m, bbox[2] + m, bbox[3] + m)
+        )
+        tw, th = tight.size
+        scale = self.h / max(th, 1)
+        new_w = max(1, min(int(round(tw * scale)), self.w))
+        tight = tight.resize((new_w, self.h), Image.BILINEAR)
+        img = Image.new("RGB", (self.w, self.h), (255, 255, 255))
+        img.paste(tight, (0, 0))
         arr = np.asarray(img, np.float32) / 255.0
         if self.noise > 0:
             arr = arr + self.rng.normal(0, self.noise, arr.shape).astype(np.float32)
@@ -163,6 +182,7 @@ def train_recognizer_device(
     seed: int = 0,
     checkpoint_path: Optional[str] = None,
     eval_samples: int = 128,
+    refresh_every: int = 2000,
 ):
     """Device-resident training: the synthetic dataset is rendered once,
     uploaded once (uint8), and every dispatch runs ``steps_per_dispatch``
@@ -236,10 +256,29 @@ def train_recognizer_device(
         )
         return params, opt_state, losses.mean()
 
+    def render_block(block_seed):
+        ds = SyntheticWordDataset(config, tokenizer, seed=block_seed, noise=0.0)
+        imgs_l, toks_l = [], []
+        for start in range(0, dataset_size, 512):
+            n = min(512, dataset_size - start)
+            images, tokens, _ = ds.sample(n)
+            imgs_l.append((images * 255).astype(np.uint8))
+            toks_l.append(tokens)
+        return (
+            jnp.asarray(np.concatenate(imgs_l)),
+            jnp.asarray(np.concatenate(toks_l)),
+        )
+
     t0 = time.time()
     key = jax.random.PRNGKey(seed + 1)
     done = 0
+    next_refresh = refresh_every
     while done < steps:
+        if refresh_every and done >= next_refresh:
+            # fresh synthetic samples — effectively infinite data
+            data_imgs, data_toks = render_block(seed + 1 + done)
+            next_refresh += refresh_every
+            logger.info(f"dataset refreshed at step {done}")
         key, sub = jax.random.split(key)
         params, opt_state, mean_loss = run_block(
             params, opt_state, sub, data_imgs, data_toks

@@ -47,6 +47,8 @@ _LAZY_ATTRS = {
     "Flow": ("marie_tpu.orchestrate.flow", "Flow"),
     # client (reference: marie/clients/__init__.py)
     "Client": ("marie_tpu.clients", "Client"),
+    # gateway handler (reference re-exports Gateway)
+    "Gateway": ("marie_tpu.serve.runtimes.gateway.request_handling", "GatewayRequestHandler"),
 }
 
 __all__ = list(_LAZY_ATTRS) + ["__version__"]

@@ -109,10 +109,11 @@ class SyntheticWordDataset:
         x0, y0 = 20, 20
         draw.text((x0, y0), text, fill=(0, 0, 0), font=font)
         bbox = draw.textbbox((x0, y0), text, font=font)
-        # small random margin like real detector boxes
-        m = int(self.rng.integers(0, 3))
+        # random asymmetric margins like real detector boxes (the ink-grid
+        # detector rounds outward by up to ~4px per side)
+        ml, mt, mr, mb = (int(self.rng.integers(0, 7)) for _ in range(4))
         tight = canvas.crop(
-            (bbox[0] - m, bbox[1] - m, bbox[2] + m, bbox[3] + m)
+            (bbox[0] - ml, bbox[1] - mt, bbox[2] + mr, bbox[3] + mb)
         )
         tw, th = tight.size
         scale = self.h / max(th, 1)

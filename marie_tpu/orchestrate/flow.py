@@ -173,3 +173,14 @@ class Flow(JAMLCompatible):
     def config_gateway(self, prefetch: int = 0, **kwargs) -> "Flow":
         self.prefetch = prefetch
         return self
+
+    # --- deployment export (reference k8s.py / docker_compose.py) -------
+    def to_kubernetes_yaml(self, **kwargs) -> str:
+        from marie_tpu.orchestrate.export import to_kubernetes_yaml
+
+        return to_kubernetes_yaml(self, **kwargs)
+
+    def to_docker_compose_yaml(self, **kwargs) -> str:
+        from marie_tpu.orchestrate.export import to_docker_compose_yaml
+
+        return to_docker_compose_yaml(self, **kwargs)

@@ -75,3 +75,30 @@ def test_service_config_parses(monkeypatch):
     flow = Flow.load_config("config/service/marie.yml")
     graph = flow.build()
     assert "extract_t" in graph["start-gateway"]
+
+
+def test_flow_export_kubernetes_and_compose():
+    import yaml as _yaml
+
+    from marie_tpu.executor.text_extraction_executor import (
+        TextExtractionExecutorMock,
+    )
+
+    f = Flow().add(uses=TextExtractionExecutorMock, name="ocr", replicas=2)
+    k8s = f.to_kubernetes_yaml(namespace="prod")
+    docs = list(_yaml.safe_load_all(k8s))
+    kinds = [(d["kind"], d["metadata"]["name"]) for d in docs]
+    assert ("Deployment", "marie-ocr") in kinds
+    assert ("Service", "marie-ocr") in kinds
+    assert ("Deployment", "marie-gateway") in kinds
+    dep = next(d for d in docs if d["metadata"]["name"] == "marie-ocr"
+               and d["kind"] == "Deployment")
+    assert dep["spec"]["replicas"] == 2
+    container = dep["spec"]["template"]["spec"]["containers"][0]
+    assert container["resources"]["limits"]["google.com/tpu"] == 1
+    assert "TextExtractionExecutorMock" in " ".join(container["args"])
+
+    compose = _yaml.safe_load(f.to_docker_compose_yaml())
+    assert "ocr" in compose["services"]
+    assert "gateway" in compose["services"]
+    assert compose["services"]["ocr"]["deploy"]["replicas"] == 2

@@ -1,9 +1,55 @@
 """Engine registry (reference: ``/root/reference/marie/ocr/util.py:89``
 ``get_known_ocr_engines`` — mock/default/best)."""
 
+import os
 from typing import Dict, Optional
 
 from marie_tpu.ocr.ocr_engine import OcrEngine
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _zoo_checkpoint(name: str) -> Optional[str]:
+    """Resolve an in-repo model_zoo checkpoint (plus registry fallback)."""
+    local = os.path.join(_REPO_ROOT, "model_zoo", name)
+    if os.path.isdir(local):
+        return local
+    try:
+        from marie_tpu.registry import ModelRegistry
+
+        if ModelRegistry.exists(f"zoo://{name}"):
+            return ModelRegistry.get(f"zoo://{name}")
+    except Exception:  # noqa: BLE001
+        pass
+    return None
+
+
+def _trocr_processor(beam_size: int = 1):
+    from marie_tpu.document.trocr_ocr_processor import TrOcrProcessor
+    from marie_tpu.models.configs import TrOCRConfig
+
+    params = None
+    ckpt = _zoo_checkpoint("trocr-fast-synth")
+    if ckpt:
+        from marie_tpu.registry.checkpoints import load_params
+
+        params = load_params(ckpt)
+    return TrOcrProcessor(
+        config=TrOCRConfig.fast(), params=params, beam_size=beam_size,
+        param_dtype="bfloat16",
+    )
+
+
+def _crnn_processor():
+    from marie_tpu.document.crnn_ocr_processor import CrnnOcrProcessor
+
+    variables = None
+    ckpt = _zoo_checkpoint("crnn-synth")
+    if ckpt:
+        from marie_tpu.registry.checkpoints import load_params
+
+        variables = load_params(ckpt)
+    return CrnnOcrProcessor(variables=variables)
 
 
 def get_known_ocr_engines(
@@ -12,7 +58,8 @@ def get_known_ocr_engines(
     """Build the known engines. ``engine`` restricts to one name.
 
     * ``mock``    — canned results, no models
-    * ``default`` — CRAFT + TrOCR greedy (serving preset)
+    * ``default`` — CRAFT + TrOCR greedy (loads the in-repo synthetic-trained
+                    checkpoint when present)
     * ``best``    — CRAFT detection + voting ensemble (TrOCR beam-5 + CRNN)
     """
     engines: Dict[str, OcrEngine] = {}
@@ -24,20 +71,22 @@ def get_known_ocr_engines(
 
             engines["mock"] = MockOcrEngine()
         elif name == "default":
-            from marie_tpu.ocr.default_ocr_engine import DefaultOcrEngine
+            from marie_tpu.boxes.craft_box_processor import BoxProcessorCraft
+            from marie_tpu.ocr.ocr_engine import PipelineOcrEngine
 
-            engines["default"] = DefaultOcrEngine()
+            engines["default"] = PipelineOcrEngine(
+                BoxProcessorCraft(box_source="ink", min_area=4),
+                _trocr_processor(beam_size=1),
+            )
         elif name == "best":
             from marie_tpu.boxes.craft_box_processor import BoxProcessorCraft
-            from marie_tpu.document.crnn_ocr_processor import CrnnOcrProcessor
-            from marie_tpu.document.trocr_ocr_processor import TrOcrProcessor
             from marie_tpu.ocr.voting_ocr_engine import VotingOcrEngine
 
             engines["best"] = VotingOcrEngine(
-                box_processor=BoxProcessorCraft(),
+                box_processor=BoxProcessorCraft(box_source="ink", min_area=4),
                 ocr_processors=[
-                    TrOcrProcessor(beam_size=5),
-                    CrnnOcrProcessor(),
+                    _trocr_processor(beam_size=5),
+                    _crnn_processor(),
                 ],
             )
     return engines

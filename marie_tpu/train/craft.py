@@ -1,0 +1,184 @@
+"""CRAFT detector training with synthetic page supervision.
+
+Targets come free with synthetic pages: every rendered word's box is
+known, so the region heatmap target is the (slightly shrunk) word-box
+mask and the affinity target links horizontally-adjacent words on a line
+(the CRAFT linking signal at word granularity).  Fully convolutional —
+train at a small page bucket, serve at any bucket.  Device-resident like
+the other trainers.
+"""
+
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from marie_tpu.logging_core import MarieLogger
+from marie_tpu.models.configs import CraftConfig
+from marie_tpu.models.craft import CRAFT
+
+
+def render_page_with_targets(
+    rng: np.random.Generator,
+    page_hw: Tuple[int, int] = (512, 384),
+    font_sizes: Tuple[int, ...] = (14, 18, 22, 26),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (page uint8 [H,W,3], targets uint8 [H/2,W/2,2] in 0..255)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    h, w = page_hw
+    words = (
+        "invoice total amount payment due net terms claim policy member "
+        "provider service balance statement account number date reference "
+        "name address phone code group plan 2024 1500 375.20 11/02/2023"
+    ).split()
+    try:
+        fonts = [
+            ImageFont.truetype(
+                "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", s
+            )
+            for s in font_sizes
+        ]
+    except OSError:
+        fonts = [ImageFont.load_default()]
+
+    img = Image.new("RGB", (w, h), (255, 255, 255))
+    draw = ImageDraw.Draw(img)
+    region = np.zeros((h // 2, w // 2), np.float32)
+    affinity = np.zeros((h // 2, w // 2), np.float32)
+
+    y = int(rng.integers(10, 40))
+    while y < h - 40:
+        x = int(rng.integers(10, 40))
+        font = fonts[int(rng.integers(0, len(fonts)))]
+        prev_box = None
+        while x < w - 80:
+            text = str(rng.choice(words))
+            draw.text((x, y), text, fill=(0, 0, 0), font=font)
+            bx = draw.textbbox((x, y), text, font=font)
+            x0, y0, x1, y1 = (v // 2 for v in bx)  # heatmap stride 2
+            # region: word box shrunk ~20%
+            sx, sy = max((x1 - x0) // 10, 1), max((y1 - y0) // 10, 1)
+            region[y0 + sy : y1 - sy, x0 + sx : x1 - sx] = 1.0
+            # affinity: bridge to the previous word on the line
+            if prev_box is not None:
+                px1 = prev_box[2]
+                ay0 = max(y0 + sy, prev_box[1])
+                ay1 = min(y1 - sy, prev_box[3])
+                if ay1 > ay0 and x0 > px1:
+                    affinity[ay0:ay1, px1:x0] = 1.0
+            prev_box = (x0, y0, x1, y1)
+            x = bx[2] + int(rng.integers(10, 40))
+        y += int(rng.integers(26, 44))
+
+    page = np.asarray(img, np.uint8)
+    targets = (np.stack([region, affinity], axis=-1) * 255).astype(np.uint8)
+    return page, targets
+
+
+def train_craft_device(
+    config: Optional[CraftConfig] = None,
+    steps: int = 4000,
+    batch_size: int = 4,
+    dataset_size: int = 256,
+    page_hw: Tuple[int, int] = (512, 384),
+    learning_rate: float = 5e-4,
+    steps_per_dispatch: int = 25,
+    refresh_every: int = 1000,
+    seed: int = 0,
+    checkpoint_path: Optional[str] = None,
+):
+    logger = MarieLogger("train-craft")
+    config = config or CraftConfig.base()
+    model = CRAFT(config)
+
+    def render_block(block_seed):
+        rng = np.random.default_rng(block_seed)
+        pages, targets = [], []
+        for _ in range(dataset_size):
+            p, t = render_page_with_targets(rng, page_hw)
+            pages.append(p)
+            targets.append(t)
+        return jnp.asarray(np.stack(pages)), jnp.asarray(np.stack(targets))
+
+    logger.info(f"rendering {dataset_size} training pages...")
+    t0 = time.time()
+    data_pages, data_targets = render_block(seed)
+    logger.info(f"rendered+uploaded in {time.time() - t0:.1f}s")
+
+    warmup = max(steps // 10, 1)
+    schedule = optax.warmup_cosine_decay_schedule(0.0, learning_rate, warmup, steps)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adamw(schedule, weight_decay=1e-4)
+    )
+
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(seed), jnp.zeros((1, *page_hw, 3), jnp.float32)
+    )
+    # split mutable batch stats from params (BatchNorm trains)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = jax.jit(optimizer.init)(params)
+
+    @jax.jit
+    def run_block(params, batch_stats, opt_state, key, pages_ref, targets_ref):
+        def one_step(carry, step_key):
+            params, batch_stats, opt_state = carry
+            idx = jax.random.randint(step_key, (batch_size,), 0, dataset_size)
+            images = pages_ref[idx].astype(jnp.float32) / 255.0
+            targets = targets_ref[idx].astype(jnp.float32) / 255.0
+
+            def loss_fn(p):
+                out, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    images, train=True, mutable=["batch_stats"],
+                )
+                # weighted MSE: text pixels are sparse — upweight positives
+                weight = 1.0 + 9.0 * targets
+                loss = (weight * (out - targets) ** 2).mean()
+                return loss, mutated["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_stats, opt_state), loss
+
+        keys = jax.random.split(key, steps_per_dispatch)
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            one_step, (params, batch_stats, opt_state), keys
+        )
+        return params, batch_stats, opt_state, losses.mean()
+
+    t0 = time.time()
+    key = jax.random.PRNGKey(seed + 1)
+    done = 0
+    next_refresh = refresh_every
+    while done < steps:
+        if refresh_every and done >= next_refresh:
+            data_pages, data_targets = render_block(seed + 1 + done)
+            next_refresh += refresh_every
+            logger.info(f"dataset refreshed at step {done}")
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, mean_loss = run_block(
+            params, batch_stats, opt_state, sub, data_pages, data_targets
+        )
+        done += steps_per_dispatch
+        if done % 250 == 0:
+            logger.info(
+                f"step {done}/{steps} loss={float(mean_loss):.5f} "
+                f"({(time.time() - t0) / done:.3f}s/step)"
+            )
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    if checkpoint_path:
+        from marie_tpu.registry.checkpoints import save_params
+
+        save_params(jax.device_get(variables), checkpoint_path)
+        logger.info(f"saved checkpoint to {checkpoint_path}")
+    return model, variables

@@ -87,13 +87,29 @@ def main():
 
     platform = jax.devices()[0].platform
 
-    box = BoxProcessorCraft(
-        config=CraftConfig.base(),
-        box_source="ink",
-        min_area=4,
-        bucket_spec=BucketSpec(shapes=((PAGE_H, PAGE_W),)),
-        param_dtype="bfloat16",
-    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    craft_ckpt = os.path.join(repo, "model_zoo", "craft-synth")
+    if os.path.isdir(craft_ckpt):
+        from marie_tpu.registry.checkpoints import load_params
+
+        box = BoxProcessorCraft(
+            config=CraftConfig.base(),
+            variables=load_params(craft_ckpt),
+            box_source="heatmap",
+            text_threshold=0.6,
+            low_text=0.4,
+            bucket_spec=BucketSpec(shapes=((PAGE_H, PAGE_W),)),
+        )
+        detector_desc = "craft-base TRAINED heatmap + on-device CC"
+    else:
+        box = BoxProcessorCraft(
+            config=CraftConfig.base(),
+            box_source="ink",
+            min_area=4,
+            bucket_spec=BucketSpec(shapes=((PAGE_H, PAGE_W),)),
+            param_dtype="bfloat16",
+        )
+        detector_desc = "craft-base fwd + on-device CC (ink boxes)"
     # use the in-repo synthetic-trained checkpoint when present — turns the
     # CER/IoU columns into real quality numbers instead of random-weight noise
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -168,7 +184,7 @@ def main():
                 if trained
                 else "trocr-fast greedy bf16 (random init)"
             ),
-            "detector": "craft-base fwd + on-device CC (ink boxes)",
+            "detector": detector_desc,
             "detection_recall": quality["detection"]["recall"],
             "detection_precision": quality["detection"]["precision"],
             "detection_mean_iou": quality["detection"]["mean_iou"],

@@ -120,6 +120,7 @@ class BoxProcessorCraft(BoxProcessor):
         max_components: int = 1024,
         bucket_spec: Optional[BucketSpec] = None,
         box_source: str = "heatmap",
+        box_expand: float = 0.14,
         param_dtype: str = "float32",
         **kwargs,
     ):
@@ -132,6 +133,9 @@ class BoxProcessorCraft(BoxProcessor):
         self.min_area = min_area
         self.max_components = max_components
         self.box_source = box_source
+        # heatmap-mode dilation: CRAFT region targets are trained shrunk
+        # (reference getDetBoxes dilates likewise); ink boxes are exact
+        self.box_expand = box_expand if box_source == "heatmap" else 0.0
         self.buckets = bucket_spec or BucketSpec()
         if variables is None:
             # random init (weights are loaded via the model registry in
@@ -246,6 +250,13 @@ class BoxProcessorCraft(BoxProcessor):
         min_area = self.min_area / (stride / 2.0) ** 2  # area is in grid cells
         keep = valid & (scores >= score_floor) & (areas >= min_area)
         boxes = boxes[keep] * stride / scale  # grid -> padded page -> original
+        if self.box_expand > 0 and len(boxes):
+            bw = boxes[:, 2] - boxes[:, 0]
+            bh = boxes[:, 3] - boxes[:, 1]
+            boxes = boxes + np.stack(
+                [-bw * self.box_expand, -bh * self.box_expand,
+                 bw * self.box_expand, bh * self.box_expand], axis=-1,
+            )
         scores = scores[keep]
 
         # clip to original page, convert to xywh

@@ -40,6 +40,22 @@ def _trocr_processor(beam_size: int = 1):
     )
 
 
+def _craft_box_processor():
+    """Trained heatmap detector when the checkpoint exists; deterministic
+    ink-boxes otherwise (identical compute graph either way)."""
+    from marie_tpu.boxes.craft_box_processor import BoxProcessorCraft
+
+    ckpt = _zoo_checkpoint("craft-synth")
+    if ckpt:
+        from marie_tpu.registry.checkpoints import load_params
+
+        return BoxProcessorCraft(
+            variables=load_params(ckpt), box_source="heatmap",
+            text_threshold=0.6, low_text=0.4, link_threshold=0.4,
+        )
+    return BoxProcessorCraft(box_source="ink", min_area=4)
+
+
 def _crnn_processor():
     from marie_tpu.document.crnn_ocr_processor import CrnnOcrProcessor
 
@@ -71,19 +87,16 @@ def get_known_ocr_engines(
 
             engines["mock"] = MockOcrEngine()
         elif name == "default":
-            from marie_tpu.boxes.craft_box_processor import BoxProcessorCraft
             from marie_tpu.ocr.ocr_engine import PipelineOcrEngine
 
             engines["default"] = PipelineOcrEngine(
-                BoxProcessorCraft(box_source="ink", min_area=4),
-                _trocr_processor(beam_size=1),
+                _craft_box_processor(), _trocr_processor(beam_size=1)
             )
         elif name == "best":
-            from marie_tpu.boxes.craft_box_processor import BoxProcessorCraft
             from marie_tpu.ocr.voting_ocr_engine import VotingOcrEngine
 
             engines["best"] = VotingOcrEngine(
-                box_processor=BoxProcessorCraft(box_source="ink", min_area=4),
+                box_processor=_craft_box_processor(),
                 ocr_processors=[
                     _trocr_processor(beam_size=5),
                     _crnn_processor(),

@@ -75,3 +75,25 @@ class SnapshotExecutor(BaseExecutor):
     def restore(self, snapshot_file: str) -> None:
         with open(snapshot_file) as fp:
             self.counter = int(fp.read())
+
+
+class SlowCountingExecutor(BaseExecutor):
+    """Tracks concurrent in-flight calls (for prefetch/backpressure tests)."""
+
+    def __init__(self, delay: float = 0.25, **kwargs):
+        super().__init__(**kwargs)
+        self.delay = delay
+        self._inflight = 0
+        self._max_inflight = 0
+
+    @requests(on="/slow")
+    async def slow(self, docs: DocumentArray, **kwargs):
+        import asyncio
+
+        self._inflight += 1
+        self._max_inflight = max(self._max_inflight, self._inflight)
+        await asyncio.sleep(self.delay)
+        for d in docs:
+            d.tags["max_inflight"] = self._max_inflight
+        self._inflight -= 1
+        return docs

@@ -1,0 +1,63 @@
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from marie_tpu.parallel import create_mesh, infer_param_sharding, shard_batch
+
+
+def test_create_mesh_shapes(cpu_mesh_devices):
+    mesh = create_mesh((4, 2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = create_mesh()
+    assert mesh.shape["data"] == 8
+    import pytest
+
+    with pytest.raises(ValueError):
+        create_mesh((3, 2))
+
+
+def test_infer_param_sharding_rules(cpu_mesh_devices):
+    mesh = create_mesh((4, 2))
+    params = {
+        "big_matrix": jnp.zeros((512, 512)),     # -> sharded on last dim
+        "odd_matrix": jnp.zeros((512, 513)),     # 513 % 2 != 0 -> replicated
+        "small": jnp.zeros((4, 4)),              # too small -> replicated
+        "bias": jnp.zeros((512,)),               # 1-D -> replicated
+    }
+    shardings = infer_param_sharding(params, mesh)
+    assert shardings["big_matrix"].spec == P(None, "model")
+    assert shardings["odd_matrix"].spec == P()
+    assert shardings["small"].spec == P()
+    assert shardings["bias"].spec == P()
+    # placement actually works
+    placed = jax.device_put(params["big_matrix"], shardings["big_matrix"])
+    assert placed.sharding.spec == P(None, "model")
+
+
+def test_shard_batch(cpu_mesh_devices):
+    mesh = create_mesh((8, 1))
+    rule = shard_batch(mesh)
+    x = jnp.zeros((16, 3, 4))
+    placed = jax.device_put(x, rule(x))
+    assert placed.sharding.spec == P("data", None, None)
+
+
+def test_train_step_runs_sharded(cpu_mesh_devices):
+    from marie_tpu.models.configs import TrOCRConfig
+    from marie_tpu.models.trocr import TrOCRModel
+    from marie_tpu.parallel import make_train_step
+
+    mesh = create_mesh((4, 2))
+    model = TrOCRModel(TrOCRConfig.tiny())
+    with mesh:
+        init_fn, step_fn = make_train_step(model, mesh)
+        images = jnp.zeros((8, 32, 64, 3))
+        tokens = jnp.ones((8, 12), jnp.int32)
+        params, opt_state = init_fn(jax.random.PRNGKey(0), images, tokens)
+        images, tokens = step_fn.place_batch(images, tokens)
+        params, opt_state, loss = step_fn(params, opt_state, images, tokens)
+        l1 = float(loss)
+        params, opt_state, loss = step_fn(params, opt_state, images, tokens)
+        assert float(loss) < l1  # optimizing

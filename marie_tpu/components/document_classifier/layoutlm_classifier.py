@@ -21,7 +21,29 @@ from marie_tpu.models.layoutlm import LayoutLMv3ForSequenceClassification
 from marie_tpu.preprocess.buckets import pad_batch
 
 
+SYNTH_CLASS_LABELS = ("invoice", "correspondence", "claim")
+
+
 class LayoutDocumentClassifier(BaseDocumentClassifier):
+    @classmethod
+    def from_zoo(cls, name: str = "layout-classifier-synth",
+                 labels=SYNTH_CLASS_LABELS) -> "LayoutDocumentClassifier | None":
+        """Load the in-repo synthetic-trained classifier if present."""
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+        ckpt = os.path.join(repo, "model_zoo", name)
+        if not os.path.isdir(ckpt):
+            return None
+        from marie_tpu.registry.checkpoints import load_params
+
+        return cls(
+            labels=labels,
+            config=LayoutLMConfig.synth(num_labels=len(labels)),
+            params=load_params(ckpt),
+        )
+
     def __init__(
         self,
         labels: Sequence[str] = ("negative", "positive"),

@@ -24,7 +24,29 @@ from marie_tpu.models.layoutlm import (
 )
 
 
+SYNTH_NER_LABELS = ("O", "B-KEY", "I-KEY", "B-VALUE", "I-VALUE")
+
+
 class LayoutDocumentIndexer(BaseDocumentIndexer):
+    @classmethod
+    def from_zoo(cls, name: str = "layout-indexer-synth",
+                 labels=SYNTH_NER_LABELS) -> "LayoutDocumentIndexer | None":
+        """Load the in-repo synthetic-trained indexer if present."""
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+        ckpt = os.path.join(repo, "model_zoo", name)
+        if not os.path.isdir(ckpt):
+            return None
+        from marie_tpu.registry.checkpoints import load_params
+
+        return cls(
+            labels=labels,
+            config=LayoutLMConfig.synth(num_labels=len(labels)),
+            params=load_params(ckpt),
+        )
+
     def __init__(
         self,
         labels: Sequence[str] = ("O", "B-KEY", "I-KEY", "B-VALUE", "I-VALUE"),

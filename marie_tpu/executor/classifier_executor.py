@@ -18,13 +18,16 @@ class DocumentClassificationExecutor(BaseExecutor):
             from marie_tpu.components.document_classifier import (
                 LayoutDocumentClassifier,
             )
-            from marie_tpu.models.configs import LayoutLMConfig
 
-            labels = tuple(labels or ("negative", "positive"))
-            classifier = LayoutDocumentClassifier(
-                labels=labels,
-                config=LayoutLMConfig.base(num_labels=len(labels)),
-            )
+            classifier = LayoutDocumentClassifier.from_zoo()
+            if classifier is None:
+                from marie_tpu.models.configs import LayoutLMConfig
+
+                labels = tuple(labels or ("negative", "positive"))
+                classifier = LayoutDocumentClassifier(
+                    labels=labels,
+                    config=LayoutLMConfig.base(num_labels=len(labels)),
+                )
         self.classifier = classifier
 
     @requests(on="/document/classify")

@@ -19,15 +19,18 @@ class NerExtractionExecutor(BaseExecutor):
             from marie_tpu.components.document_indexer import (
                 LayoutDocumentIndexer,
             )
-            from marie_tpu.models.configs import LayoutLMConfig
 
-            labels = tuple(
-                labels or ("O", "B-KEY", "I-KEY", "B-VALUE", "I-VALUE")
-            )
-            indexer = LayoutDocumentIndexer(
-                labels=labels,
-                config=LayoutLMConfig.base(num_labels=len(labels)),
-            )
+            indexer = LayoutDocumentIndexer.from_zoo()
+            if indexer is None:
+                from marie_tpu.models.configs import LayoutLMConfig
+
+                labels = tuple(
+                    labels or ("O", "B-KEY", "I-KEY", "B-VALUE", "I-VALUE")
+                )
+                indexer = LayoutDocumentIndexer(
+                    labels=labels,
+                    config=LayoutLMConfig.base(num_labels=len(labels)),
+                )
         self.indexer = indexer
         self.ocr_engine = ocr_engine  # optional: run OCR when docs lack words
 

@@ -161,6 +161,20 @@ class LayoutLMConfig:
         return LayoutLMConfig(num_labels=num_labels)
 
     @staticmethod
+    def synth(num_labels: int) -> "LayoutLMConfig":
+        """The in-repo synthetic-trained head config (train/layout.py)."""
+        return LayoutLMConfig(
+            vocab_size=8192,
+            hidden_dim=256,
+            num_layers=4,
+            num_heads=4,
+            mlp_dim=1024,
+            max_seq_len=128,
+            use_image=False,
+            num_labels=num_labels,
+        )
+
+    @staticmethod
     def tiny(num_labels: int = 2) -> "LayoutLMConfig":
         return LayoutLMConfig(
             vocab_size=128,

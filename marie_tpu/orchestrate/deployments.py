@@ -31,6 +31,7 @@ class Deployment:
         workspace: Optional[str] = None,
         needs: Optional[List[str]] = None,
         floating: bool = False,
+        when: Optional[Dict[str, Any]] = None,
         env: Optional[Dict[str, str]] = None,
         **kwargs,
     ):
@@ -46,6 +47,7 @@ class Deployment:
         self.workspace = workspace
         self.needs = list(needs or [])
         self.floating = floating
+        self.when = when
         self.env = env or {}
         self.pods: List[Pod] = []
         self.head_pod: Optional[Pod] = None

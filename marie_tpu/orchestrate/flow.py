@@ -105,12 +105,16 @@ class Flow(JAMLCompatible):
             name: dep.addresses for name, dep in self._deployments.items()
         }
         floating = [d.name for d in self._deployments.values() if d.floating]
+        conditions = {
+            d.name: d.when for d in self._deployments.values() if d.when
+        }
         self.gateway_pod = Pod(
             "gateway",
             graph_representation=graph,
             executor_addresses=executor_addresses,
             prefetch=self.prefetch,
             floating_deployments=floating,
+            node_conditions=conditions,
             name=f"{self.name}/gateway",
             protocols=self.protocols,
             ports=[self.port] + [None] * (len(self.protocols) - 1),

@@ -43,6 +43,7 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
             executor_addresses=kwargs["executor_addresses"],
             prefetch=kwargs.get("prefetch", 0),
             floating_deployments=kwargs.get("floating_deployments"),
+            node_conditions=kwargs.get("node_conditions"),
             name=kwargs.get("name", "gateway"),
         )
     elif kind == "head":

@@ -21,6 +21,7 @@ class GatewayRequestHandler:
         prefetch: int = 0,
         timeout: Optional[float] = None,
         floating_deployments: Optional[Sequence[str]] = None,
+        node_conditions: Optional[Dict[str, Any]] = None,
         name: str = "gateway",
         **kwargs,
     ):
@@ -31,6 +32,7 @@ class GatewayRequestHandler:
             prefetch=prefetch,
             timeout=timeout,
             floating_deployments=floating_deployments,
+            node_conditions=node_conditions,
         )
 
     async def process_data(self, requests: Sequence[DataRequest]) -> DataRequest:

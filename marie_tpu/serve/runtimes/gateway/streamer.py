@@ -25,10 +25,13 @@ class GatewayStreamer:
         timeout: Optional[float] = None,
         floating_deployments: Optional[Sequence[str]] = None,
         balancer: str = "round_robin",
+        node_conditions=None,
     ):
         self.logger = MarieLogger("GatewayStreamer")
         self.topology = TopologyGraph(
-            graph_representation, floating_deployments=floating_deployments
+            graph_representation,
+            floating_deployments=floating_deployments,
+            node_conditions=node_conditions,
         )
         self.connection_pool = GrpcConnectionPool(balancer=balancer)
         for deployment, addresses in executor_addresses.items():

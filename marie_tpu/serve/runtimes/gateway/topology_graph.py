@@ -26,9 +26,11 @@ class TopologyGraph:
         graph_description: Dict[str, List[str]],
         deployments_metadata: Optional[Dict[str, Any]] = None,
         floating_deployments: Optional[Sequence[str]] = None,
+        node_conditions: Optional[Dict[str, Dict[str, Any]]] = None,
     ):
         self.graph = {k: list(v) for k, v in graph_description.items()}
         self.floating = set(floating_deployments or [])
+        self.node_conditions = dict(node_conditions or {})
         # normalize: collect all node names
         names = set()
         for src, dsts in self.graph.items():
@@ -112,6 +114,27 @@ class TopologyGraph:
                     req = pred_resps[0]
             else:
                 req = _clone(request)
+
+            condition = self.node_conditions.get(node)
+            if condition:
+                from marie_tpu.serve.runtimes.gateway.conditions import doc_matches
+                from marie_tpu.types.docs import DocumentArray
+
+                matched = DocumentArray(
+                    [d for d in req.docs if doc_matches(d, condition)]
+                )
+                bypassed = [d for d in req.docs if not doc_matches(d, condition)]
+                if not matched:
+                    return req  # node skipped entirely
+                sub = _clone(req)
+                sub.docs = matched
+                resp = await connection_pool.send_requests_once(
+                    [sub], deployment=node, timeout=timeout
+                )
+                if bypassed and not resp.is_error():
+                    merged = DocumentArray(list(resp.docs) + bypassed)
+                    resp.docs = merged
+                return resp
             return await connection_pool.send_requests_once(
                 [req], deployment=node, timeout=timeout
             )

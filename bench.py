@@ -99,6 +99,7 @@ def main():
             text_threshold=0.6,
             low_text=0.4,
             bucket_spec=BucketSpec(shapes=((PAGE_H, PAGE_W),)),
+            param_dtype="bfloat16",
         )
         detector_desc = "craft-base TRAINED heatmap + on-device CC"
     else:

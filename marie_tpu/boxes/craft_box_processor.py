@@ -73,6 +73,9 @@ def _detect_jit(
         scores = jnp.maximum(ink4, region4 * 0.0) + 1e-3
         stride = 4
     else:
+        # CC at the native heatmap grid (stride 2): pooling to stride 4 was
+        # measured to merge adjacent words (recall 0.99 -> 0.74) — quality
+        # beats the halved scan length
         mask = (region > low_text) | (affinity > link_threshold)
         scores = region
         stride = 2

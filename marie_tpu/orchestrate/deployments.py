@@ -32,6 +32,7 @@ class Deployment:
         needs: Optional[List[str]] = None,
         floating: bool = False,
         when: Optional[Dict[str, Any]] = None,
+        stateful: bool = False,
         env: Optional[Dict[str, str]] = None,
         **kwargs,
     ):
@@ -48,6 +49,7 @@ class Deployment:
         self.needs = list(needs or [])
         self.floating = floating
         self.when = when
+        self.stateful = stateful
         self.env = env or {}
         self.pods: List[Pod] = []
         self.head_pod: Optional[Pod] = None
@@ -55,7 +57,23 @@ class Deployment:
     # ------------------------------------------------------------------
     def start(self) -> "Deployment":
         n_workers = self.replicas * self.shards
+        raft_ports = None
+        if self.stateful:
+            from marie_tpu.helper import random_port
+
+            raft_ports = [random_port() for _ in range(n_workers)]
         for i in range(n_workers):
+            raft_cfg = None
+            if raft_ports is not None:
+                raft_cfg = {
+                    "node_id": f"{self.name}-{i}",
+                    "bind_addr": f"127.0.0.1:{raft_ports[i]}",
+                    "peers": [
+                        (f"{self.name}-{j}", f"127.0.0.1:{raft_ports[j]}")
+                        for j in range(n_workers)
+                        if j != i
+                    ],
+                }
             pod = Pod(
                 "worker",
                 uses=self.uses,
@@ -64,6 +82,7 @@ class Deployment:
                 workspace=self.workspace,
                 protocol="grpc",
                 port=self.port if (n_workers == 1 and self.shards == 1) else None,
+                raft=raft_cfg,
             )
             self.pods.append(pod)
         for pod in self.pods:

@@ -33,6 +33,19 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
             name=kwargs.get("name", "executor"),
             workspace=kwargs.get("workspace"),
         )
+        if kwargs.get("raft"):
+            # stateful replicated executor: writes replicate through RAFT
+            # (reference run_stateful/run_raft, serve/executors/run.py:16,173)
+            from marie_tpu.serve.consensus.stateful import (
+                StatefulReplicatedHandler,
+            )
+
+            handler = StatefulReplicatedHandler(
+                handler,
+                node_id=kwargs["raft"]["node_id"],
+                bind_addr=kwargs["raft"]["bind_addr"],
+                peers=kwargs["raft"].get("peers", []),
+            )
     elif kind == "gateway":
         from marie_tpu.serve.runtimes.gateway.request_handling import (
             GatewayRequestHandler,

@@ -25,8 +25,11 @@ _NATIVE_DIR = os.path.join(
 )
 _SO_PATH = os.path.join(_NATIVE_DIR, "libmarie_raft.so")
 
+# NOTE: the data pointer MUST be c_void_p — c_char_p auto-converts to a
+# Python bytes TRUNCATED AT THE FIRST NUL (protobuf payloads are full of
+# them) and string_at then over-reads garbage past the truncated buffer.
 _APPLY_CB = ctypes.CFUNCTYPE(
-    None, ctypes.c_char_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_void_p
+    None, ctypes.c_void_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_void_p
 )
 
 _lib = None

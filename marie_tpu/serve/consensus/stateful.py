@@ -37,6 +37,7 @@ class StatefulExecutorAdapter:
         self.handler = handler
         self._applied_index = 0
         self._apply_events: dict = {}
+        self._results: dict = {}
         self._lock = threading.Lock()
         self._loop = asyncio.new_event_loop()
         self._loop_thread = threading.Thread(
@@ -52,12 +53,21 @@ class StatefulExecutorAdapter:
         fut = asyncio.run_coroutine_threadsafe(
             self.handler.process_data([req]), self._loop
         )
-        fut.result(timeout=60)
+        result = fut.result(timeout=60)
         with self._lock:
             self._applied_index = index
+            self._results[index] = result
+            # bounded result stash — writers collect promptly
+            if len(self._results) > 64:
+                oldest = min(self._results)
+                self._results.pop(oldest, None)
             ev = self._apply_events.pop(index, None)
         if ev is not None:
             ev.set()
+
+    def take_result(self, index: int):
+        with self._lock:
+            return self._results.pop(index, None)
 
     # --- write path ---------------------------------------------------
     def process_write(self, request: DataRequest, timeout: float = 30.0):
@@ -90,3 +100,57 @@ class StatefulExecutorAdapter:
         self.node.shutdown()
         self._loop.call_soon_threadsafe(self._loop.stop)
         self._loop_thread.join(timeout=5)
+
+
+class StatefulReplicatedHandler:
+    """Request-handler wrapper for RAFT-replicated worker pods.
+
+    Write requests replicate through the log and apply on every replica;
+    followers answer with an error envelope carrying the leader hint so
+    the connection pool retries the next replica (reference "not the
+    leader" follow-up, networking/__init__.py:399-405).  Discovery/info
+    endpoints pass through locally.
+    """
+
+    def __init__(self, handler, node_id: str, bind_addr: str, peers=None):
+        self.inner = handler
+        self.logger = MarieLogger(f"stateful-handler/{node_id}")
+        self.adapter = StatefulExecutorAdapter(handler, node_id, bind_addr)
+        for peer_id, addr in peers or []:
+            self.adapter.add_voter(peer_id, addr)
+        self.adapter.start()
+
+    async def process_data(self, requests):
+        import asyncio
+
+        req = requests[0]
+        try:
+            loop = asyncio.get_running_loop()
+            index = await loop.run_in_executor(
+                None, lambda: self.adapter.process_write(req)
+            )
+            # the FSM applied the request on this (leader) replica too —
+            # return its local execution result
+            result = self.adapter.take_result(index)
+            return result if result is not None else req
+        except NotTheLeader as ex:
+            req.add_exception(ex, executor="raft")
+            return req
+
+    def endpoints(self):
+        return self.inner.endpoints()
+
+    def info(self):
+        info = self.inner.info()
+        info["raft"] = self.adapter.node.get_configuration()
+        return info
+
+    def snapshot(self, snapshot_file: str) -> None:
+        self.inner.snapshot(snapshot_file)
+
+    def restore(self, snapshot_file: str) -> None:
+        self.inner.restore(snapshot_file)
+
+    async def close(self) -> None:
+        self.adapter.shutdown()
+        await self.inner.close()

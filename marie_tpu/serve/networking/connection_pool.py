@@ -122,7 +122,8 @@ class GrpcConnectionPool:
             req.exec_endpoint = endpoint
 
         last_error: Optional[BaseException] = None
-        for attempt in range(self.retries):
+        max_attempts = max(self.retries, self.retries * max(len(rl.replicas), 1))
+        for attempt in range(max_attempts):
             replica = rl.pick()
             replica.in_flight += 1
             try:
@@ -132,7 +133,23 @@ class GrpcConnectionPool:
                     request_serializer=lambda r: r.to_bytes(),
                     response_deserializer=DataRequest.from_bytes,
                 )
-                return await stub(req, timeout=timeout)
+                resp = await stub(req, timeout=timeout)
+                if (
+                    resp.is_error()
+                    and resp.proto.header.status.exception.executor == "raft"
+                    and attempt + 1 < self.retries * len(rl.replicas)
+                ):
+                    # follower answered "not the leader" — try another
+                    # replica (reference follow-up, networking/__init__.py:399)
+                    self.logger.debug(
+                        f"{deployment}@{replica.address} is not the raft "
+                        "leader; retrying next replica"
+                    )
+                    # reset status for the retry
+                    resp.proto.header.status.Clear()
+                    req = resp
+                    continue
+                return resp
             except grpc.aio.AioRpcError as ex:
                 last_error = ex
                 if ex.code() in RETRYABLE_CODES:

@@ -127,7 +127,7 @@ def main():
             params = None
     icr = TrOcrProcessor(
         config=TrOCRConfig.fast(), params=params, beam_size=1,
-        param_dtype="bfloat16",
+        param_dtype="bfloat16", batch_sizes=(32, 128, 256),
     )
     engine = PipelineOcrEngine(box, icr)
 

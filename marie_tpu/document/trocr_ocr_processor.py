@@ -36,9 +36,10 @@ def _crop_batch_on_device(page_u8: jnp.ndarray, boxes_xyxy: jnp.ndarray,
     return crops
 
 
-@partial(jax.jit, static_argnames=("model", "out_h", "out_w", "beam_size", "dtype"))
+@partial(jax.jit, static_argnames=("model", "out_h", "out_w", "beam_size", "dtype", "max_steps"))
 def _crop_and_decode(model, params, page_u8, boxes_xyxy, out_h, out_w,
-                     beam_size: int = 1, dtype=jnp.float32):
+                     beam_size: int = 1, dtype=jnp.float32,
+                     max_steps: int | None = None):
     """ONE program: cut crops from the on-device page and decode them —
     a single dispatch per chunk instead of crop + decode round trips."""
     rgb = page_u8.astype(jnp.float32) / 255.0
@@ -47,7 +48,7 @@ def _crop_and_decode(model, params, page_u8, boxes_xyxy, out_h, out_w,
     if beam_size > 1:
         tokens, lengths, conf = beam_decode(model, params, crops, beam_size)
     else:
-        tokens, lengths, conf = greedy_decode(model, params, crops)
+        tokens, lengths, conf = greedy_decode(model, params, crops, max_steps)
     return tokens, conf
 
 
@@ -62,6 +63,7 @@ class TrOcrProcessor(OcrProcessor):
         batch_sizes: Sequence[int] = (8, 32, 128),
         width_buckets: Optional[Sequence[int]] = None,
         param_dtype: str = "float32",
+        decode_steps: Optional[int] = None,
         **kwargs,
     ):
         super().__init__(work_dir, **kwargs)
@@ -70,11 +72,17 @@ class TrOcrProcessor(OcrProcessor):
         self.tokenizer = tokenizer or CharTokenizer()
         self.beam_size = beam_size
         self.batch_sizes = tuple(batch_sizes)
+        self.decode_steps = decode_steps
         h, w = self.config.encoder.image_size
         self.crop_h, self.crop_w = h, w
         # width buckets never exceed the encoder's input width
         wb = width_buckets or [w // 4, w // 2, (3 * w) // 4, w]
         self.width_buckets = tuple(sorted({min(b, w) for b in wb}))
+        if self.decode_steps is None:
+            # crops are stretched to full height; a glyph is ~0.5*h wide,
+            # so the width bound caps the character count
+            max_chars = max(w // max(h // 2, 1), 4)
+            self.decode_steps = min(max_chars + 4, self.config.decoder.max_len)
         if params is None:
             dummy_img = jnp.zeros((1, h, w, 3), jnp.float32)
             dummy_tok = jnp.zeros((1, 2), jnp.int32)
@@ -100,7 +108,7 @@ class TrOcrProcessor(OcrProcessor):
                 out = _crop_and_decode(
                     self.model, self.params, page, boxes,
                     self.crop_h, self.crop_w, self.beam_size,
-                    self.compute_dtype,
+                    self.compute_dtype, self.decode_steps,
                 )
             else:
                 imgs = jnp.zeros((bs, self.crop_h, self.crop_w, 3), jnp.float32)
@@ -147,6 +155,7 @@ class TrOcrProcessor(OcrProcessor):
             tok_dev, conf_dev = _crop_and_decode(
                 self.model, self.params, page_dev, jnp.asarray(padded),
                 self.crop_h, self.crop_w, self.beam_size, self.compute_dtype,
+                self.decode_steps,
             )
             futures.append((len(chunk), tok_dev, conf_dev))
         return futures
@@ -237,7 +246,7 @@ class TrOcrProcessor(OcrProcessor):
                     )
                 else:
                     tokens, lengths, conf = greedy_decode(
-                        self.model, self.params, imgs
+                        self.model, self.params, imgs, self.decode_steps
                     )
                 tokens = np.asarray(tokens)
                 conf = np.asarray(conf)

@@ -116,17 +116,24 @@ def _init_self_caches(cfg: DecoderConfig, batch: int, dtype=jnp.float32):
     ]
 
 
-@partial(jax.jit, static_argnames=("model",))
-def greedy_decode(model: TrOCRModel, params, images: Array):
+@partial(jax.jit, static_argnames=("model", "max_steps"))
+def greedy_decode(model: TrOCRModel, params, images: Array,
+                  max_steps: int | None = None):
     """Batched greedy decode, one compiled program.
 
+    ``max_steps`` (<= decoder.max_len) bounds the scan — word crops have a
+    geometric character budget (crop_width / char_width), so fewer steps
+    than the architectural max are usually sufficient and decode cost is
+    linear in steps.
+
     Returns:
-      tokens: [B, max_len] int32 (starts after BOS; pad-filled after EOS)
+      tokens: [B, max_steps] int32 (starts after BOS; pad-filled after EOS)
       lengths: [B] int32 tokens emitted before EOS
       confidences: [B] float32 exp(mean log-prob of emitted tokens)
     """
     c = model.cfg.decoder
     b = images.shape[0]
+    n_steps = min(max_steps or c.max_len, c.max_len)
     enc = model.apply(params, images, method=TrOCRModel.encode)
     cross = model.apply(params, enc, method=TrOCRModel.prefill)
     caches = _init_self_caches(c, b, enc.dtype)
@@ -151,7 +158,7 @@ def greedy_decode(model: TrOCRModel, params, images: Array):
 
     (_, _, done, logp_sum), (toks, alive) = jax.lax.scan(
         body, (bos, caches, done0, jnp.zeros((b,), jnp.float32)),
-        jnp.arange(c.max_len),
+        jnp.arange(n_steps),
     )
     tokens = toks.T  # [B, max_len]
     emitted = (tokens != c.pad_id).sum(axis=1)

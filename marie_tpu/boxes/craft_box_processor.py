@@ -167,11 +167,8 @@ class BoxProcessorCraft(BoxProcessor):
         boxes, scores = self.detect_collect(handle)
         return boxes, scores, handle[1], handle[2]
 
-    def detect_dispatch(self, image: np.ndarray):
-        """Phase 1: upload the page + launch detection WITHOUT waiting.
-
-        Returns an opaque handle; multiple pages can be in flight so host
-        round-trip latency overlaps across pages (software pipelining)."""
+    def prep_page(self, image: np.ndarray):
+        """Bucket-fit + pad a page for detection: (padded_np, scale, (h, w))."""
         h, w = image.shape[:2]
         (bh, bw), scale = self.buckets.fit_with_scale(h, w)
         if scale < 1.0:
@@ -180,7 +177,14 @@ class BoxProcessorCraft(BoxProcessor):
             image = cv2.resize(
                 image, (int(w * scale), int(h * scale)), interpolation=cv2.INTER_AREA
             )
-        padded = pad_to(image, bh, bw)
+        return pad_to(image, bh, bw), scale, (h, w)
+
+    def detect_dispatch(self, image: np.ndarray):
+        """Phase 1: upload the page + launch detection WITHOUT waiting.
+
+        Returns an opaque handle; multiple pages can be in flight so host
+        round-trip latency overlaps across pages (software pipelining)."""
+        padded, scale, (h, w) = self.prep_page(image)
         page_dev = jnp.asarray(padded)  # ONE upload per page (uint8)
 
         stats = _detect_jit(
@@ -233,12 +237,17 @@ class BoxProcessorCraft(BoxProcessor):
             i = j
         return handles
 
-    def detect_collect(self, handle, stats=None):
+    def detect_collect(self, handle, stats=None, return_rows: bool = False):
         """Phase 2: wait for a dispatched detection, filter on host.
 
         ``stats`` may be pre-fetched host arrays (batched multi-page fetch
         — see the engine's fused path); otherwise ONE device→host transfer
         covers all stats fields.
+
+        ``return_rows``: also return each surviving box's rank within the
+        kept set (ascending slot order) — the single-program fused path
+        decodes boxes in exactly this order on device, so the rank is the
+        decoded-row index (``ocr/fused.py``).
         """
         stats_dev, _page_dev, scale, (h, w) = handle
         if stats is None:
@@ -252,6 +261,7 @@ class BoxProcessorCraft(BoxProcessor):
         score_floor = 0.0 if self.box_source == "ink" else self.text_threshold
         min_area = self.min_area / (stride / 2.0) ** 2  # area is in grid cells
         keep = valid & (scores >= score_floor) & (areas >= min_area)
+        rows = np.arange(int(keep.sum()))  # rank within kept, slot order
         boxes = boxes[keep] * stride / scale  # grid -> padded page -> original
         if self.box_expand > 0 and len(boxes):
             bw = boxes[:, 2] - boxes[:, 0]
@@ -277,4 +287,6 @@ class BoxProcessorCraft(BoxProcessor):
             axis=-1,
         )
         nonempty = (xywh[:, 2] > 0) & (xywh[:, 3] > 0)
+        if return_rows:
+            return xywh[nonempty], scores[nonempty], rows[nonempty]
         return xywh[nonempty], scores[nonempty]

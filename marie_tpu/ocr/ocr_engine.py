@@ -46,11 +46,15 @@ class PipelineOcrEngine(OcrEngine):
         self,
         box_processor: BoxProcessor,
         ocr_processor: OcrProcessor,
+        single_program: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
         self.box_processor = box_processor
         self.ocr_processor = ocr_processor
+        # detect+crop+decode in ONE XLA program per page (ocr/fused.py);
+        # falls back automatically when the processor pair doesn't qualify
+        self.single_program = single_program
 
     def extract(
         self,
@@ -89,6 +93,49 @@ class PipelineOcrEngine(OcrEngine):
             and hasattr(self.box_processor, "detect_with_page")
             and hasattr(self.ocr_processor, "recognize_from_page")
         )
+
+        if fused and getattr(self, "single_program", True):
+            from marie_tpu.ocr.fused import (
+                fused_collect_many,
+                fused_dispatch,
+                supports_fused_page,
+            )
+
+            if supports_fused_page(self.box_processor, self.ocr_processor):
+                # ONE program per page: detect + box select + crop + decode
+                # in a single dispatch; ONE batched fetch for all pages.
+                rec_slots = getattr(self, "rec_slots", 256)
+                handles = [
+                    fused_dispatch(
+                        self.box_processor,
+                        self.ocr_processor,
+                        _ensure_rgb_np(f),
+                        rec_slots=rec_slots,
+                    )
+                    for f in frames
+                ]
+                pages = fused_collect_many(
+                    self.box_processor,
+                    self.ocr_processor,
+                    handles,
+                    [pms_mode] * len(frames),
+                )
+                results = []
+                for i, (frame, page) in enumerate(zip(frames, pages)):
+                    boxes, scores, lines, line_bboxes, words = page
+                    result = assemble_page_result(
+                        (frame.shape[0], frame.shape[1]), boxes, lines, words
+                    )
+                    if coordinate_format == CoordinateFormat.XYXY:
+                        for word in result["words"]:
+                            x, y, w, h = word["box"]
+                            word["box"] = [x, y, x + w, y + h]
+                    result["meta"]["page"] = i
+                    result["meta"]["lines"] = _tolist(lines)
+                    result["meta"]["lines_bboxes"] = _tolist(line_bboxes)
+                    result["meta"]["format"] = coordinate_format.name.lower()
+                    results.append(result)
+                return results
 
         per_page = []
         all_fragments = []

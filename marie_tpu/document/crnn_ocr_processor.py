@@ -5,6 +5,7 @@ Fragments resize to 32×W grayscale, width-bucketed; the CTC collapse runs
 on device (:func:`marie_tpu.ops.ctc_greedy_decode`).
 """
 
+from functools import partial
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -18,6 +19,19 @@ from marie_tpu.models.crnn import CRNN
 from marie_tpu.models.tokenizer import CTCCharTokenizer
 from marie_tpu.ops import ctc_greedy_decode
 from marie_tpu.preprocess.buckets import group_by_bucket, pad_batch
+from marie_tpu.preprocess.ops import crop_resize
+
+
+@partial(jax.jit, static_argnames=("model", "out_h", "out_w"))
+def _crop_and_ctc(model, variables, page_u8, boxes_xyxy, out_h, out_w):
+    """ONE program: cut word crops from the on-device page, grayscale
+    (channel mean — matches ``train/crnn.py``), CRNN forward, CTC
+    collapse.  Device-path analog of TrOCR's ``_crop_and_decode``."""
+    rgb = page_u8.astype(jnp.float32) / 255.0
+    crops, _ = crop_resize(rgb, boxes_xyxy, out_h, out_w)
+    gray = crops.mean(axis=-1, keepdims=True)
+    logits = model.apply(variables, gray)
+    return ctc_greedy_decode(logits, blank_id=0)
 
 
 class CrnnOcrProcessor(OcrProcessor):
@@ -43,6 +57,70 @@ class CrnnOcrProcessor(OcrProcessor):
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
         self.variables = variables
         self._fwd = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    # ------------------------------------------------------------------
+    # device path: crops cut on device from the detector's uploaded page
+    # (same dispatch/collect protocol as TrOcrProcessor — the voting
+    # engine drives every recogniser through it)
+    def recognize_from_page(self, page_dev, boxes_xywh, scale: float = 1.0):
+        return self.recognize_collect(
+            self.recognize_dispatch(page_dev, boxes_xywh, scale)
+        )
+
+    def recognize_dispatch(self, page_dev, boxes_xywh, scale: float = 1.0):
+        n = len(boxes_xywh)
+        if n == 0:
+            return []
+        xyxy = np.asarray(boxes_xywh, np.float32) * scale
+        xyxy = np.stack(
+            [xyxy[:, 0], xyxy[:, 1], xyxy[:, 0] + xyxy[:, 2], xyxy[:, 1] + xyxy[:, 3]],
+            axis=-1,
+        )
+        out_w = self.width_buckets[-1]
+        max_bs = self.batch_sizes[-1]
+        futures = []
+        for start in range(0, n, max_bs):
+            chunk = xyxy[start : start + max_bs]
+            bs = pad_batch(len(chunk), self.batch_sizes)
+            padded = np.zeros((bs, 4), np.float32)
+            padded[:, 2:] = 1.0
+            padded[: len(chunk)] = chunk
+            toks, lens, conf = _crop_and_ctc(
+                self.model, self.variables, page_dev, jnp.asarray(padded),
+                self.crop_h, out_w,
+            )
+            futures.append((len(chunk), toks, lens, conf))
+        return futures
+
+    def recognize_collect(self, futures) -> List[Dict[str, Any]]:
+        return self.recognize_collect_many([futures])[0]
+
+    def recognize_collect_many(self, futures_lists) -> List[List[Dict[str, Any]]]:
+        flat = [f for fl in futures_lists for f in fl]
+        if not flat:
+            return [[] for _ in futures_lists]
+        toks = jnp.concatenate([t for (_, t, _, _) in flat], axis=0)
+        lens = jnp.concatenate([l for (_, _, l, _) in flat], axis=0)
+        confs = jnp.concatenate([c for (_, _, _, c) in flat], axis=0)
+        tokens, lengths, conf = jax.device_get((toks, lens, confs))
+
+        out_all: List[List[Dict[str, Any]]] = []
+        row = 0
+        for fl in futures_lists:
+            page_out: List[Dict[str, Any]] = []
+            for n_chunk, tok_dev, _, _ in fl:
+                bs = tok_dev.shape[0]
+                for r in range(n_chunk):
+                    ids = tokens[row + r, : lengths[row + r]]
+                    page_out.append(
+                        {
+                            "text": self.tokenizer.decode(ids),
+                            "confidence": float(conf[row + r]),
+                        }
+                    )
+                row += bs
+            out_all.append(page_out)
+        return out_all
 
     def _prep(self, frag: np.ndarray) -> np.ndarray:
         import cv2

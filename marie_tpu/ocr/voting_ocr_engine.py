@@ -32,6 +32,19 @@ class VotingOcrEngine(PipelineOcrEngine):
 
     def _extract_fullpage(self, frames, pms_mode, coordinate_format, queue_id, **kwargs):
         frames = _as_frame_list(frames)
+        device_ready = (
+            pms_mode in (PSMode.SPARSE, PSMode.LINE)
+            and hasattr(self.box_processor, "detect_dispatch")
+            and all(
+                hasattr(p, "recognize_dispatch")
+                for p in self.ocr_processors
+                if p.is_available()
+            )
+        )
+        if device_ready and getattr(self, "single_program", True):
+            return self._extract_fullpage_device(
+                frames, pms_mode, coordinate_format
+            )
         results = []
         checksum = kwargs.get("checksum", "")
         for i, frame in enumerate(frames):
@@ -61,6 +74,59 @@ class VotingOcrEngine(PipelineOcrEngine):
             result["meta"]["lines_bboxes"] = (
                 line_bboxes.tolist() if hasattr(line_bboxes, "tolist") else list(line_bboxes)
             )
+            result["meta"]["format"] = coordinate_format.name.lower()
+            results.append(result)
+        return results
+
+    def _extract_fullpage_device(self, frames, pms_mode, coordinate_format):
+        """Device path: ONE page upload feeds EVERY recogniser.
+
+        Detection dispatches for all pages first (pipelined), then each
+        available recogniser's fused crop+decode program runs against the
+        same on-device page; candidate words align 1:1 by box so the vote
+        is identical to the host-fragment path."""
+        from marie_tpu.document.ocr_processor import assemble_page_result
+        from marie_tpu.ocr.ocr_engine import _ensure_rgb_np, _tolist
+
+        procs = [p for p in self.ocr_processors if p.is_available()]
+        handles = [
+            self.box_processor.detect_dispatch(_ensure_rgb_np(f)) for f in frames
+        ]
+        per_page = []
+        futures = [[] for _ in procs]  # futures[k][i] = proc k, page i
+        for i, frame in enumerate(frames):
+            raw_boxes, scores = self.box_processor.detect_collect(handles[i])
+            page_dev, scale = handles[i][1], handles[i][2]
+            boxes, scores, lines, line_bboxes = self.box_processor.organize_boxes(
+                raw_boxes, scores, frame.shape[:2], pms_mode
+            )
+            per_page.append((frame, boxes, lines, line_bboxes))
+            for k, proc in enumerate(procs):
+                futures[k].append(
+                    proc.recognize_dispatch(page_dev, boxes, scale)
+                )
+        collected = [
+            proc.recognize_collect_many(futures[k])
+            for k, proc in enumerate(procs)
+        ]
+
+        results = []
+        for i, (frame, boxes, lines, line_bboxes) in enumerate(per_page):
+            candidates = [collected[k][i] for k in range(len(procs))]
+            voted = [
+                self._vote([c[j] for c in candidates])
+                for j in range(len(boxes))
+            ]
+            result = assemble_page_result(
+                (frame.shape[0], frame.shape[1]), boxes, lines, voted
+            )
+            if coordinate_format == CoordinateFormat.XYXY:
+                for word in result["words"]:
+                    x, y, w, h = word["box"]
+                    word["box"] = [x, y, x + w, y + h]
+            result["meta"]["page"] = i
+            result["meta"]["lines"] = _tolist(lines)
+            result["meta"]["lines_bboxes"] = _tolist(line_bboxes)
             result["meta"]["format"] = coordinate_format.name.lower()
             results.append(result)
         return results

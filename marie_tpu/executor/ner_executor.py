@@ -13,8 +13,26 @@ from marie_tpu.types.docs import DocumentArray
 
 
 class NerExtractionExecutor(BaseExecutor):
-    def __init__(self, indexer=None, ocr_engine=None, labels=None, **kwargs):
+    def __init__(self, indexer=None, ocr_engine=None, labels=None,
+                 reading_order: Optional[bool] = None, **kwargs):
         super().__init__(**kwargs)
+        # LayoutReader stage (reference ner_extraction_executor applies it
+        # between OCR and token classification): the learned ranker of
+        # document/layoutreader.py; auto-enabled when the trained
+        # checkpoint is in the model zoo
+        self.text_layout = None
+        if reading_order is not False:
+            try:
+                from marie_tpu.document.layoutreader import (
+                    _DEFAULT_CKPT,
+                    load_text_layout,
+                )
+                import os
+
+                if reading_order or os.path.isdir(_DEFAULT_CKPT):
+                    self.text_layout = load_text_layout()
+            except Exception:  # noqa: BLE001 — ordering is best-effort
+                self.text_layout = None
         if indexer is None:
             from marie_tpu.components.document_indexer import (
                 LayoutDocumentIndexer,
@@ -50,6 +68,13 @@ class NerExtractionExecutor(BaseExecutor):
                 result = self.ocr_engine.extract([image])[0]
                 words = [w["text"] for w in result["words"]]
                 boxes = [w["box"] for w in result["words"]]
+            if words and boxes and self.text_layout is not None:
+                # xywh -> xyxy, model reading order, re-sequence both lists
+                xyxy = [[b[0], b[1], b[0] + b[2], b[1] + b[3]] for b in boxes]
+                span = max((max(b[2], b[3]) for b in xyxy), default=1.0)
+                order = self.text_layout.order(xyxy, scale=max(span, 1.0))
+                words = [words[j] for j in order]
+                boxes = [boxes[j] for j in order]
             pages.append(PageInput(words or [], boxes or [], image))
         results = self.indexer.index(pages)
         for doc, res in zip(docs, results):

@@ -1,3 +1,7 @@
-from marie_tpu.auth.api_key_manager import APIKeyManager
+from marie_tpu.auth.api_key_manager import (
+    APIKeyManager,
+    auth_enabled,
+    validate_bearer,
+)
 
-__all__ = ["APIKeyManager"]
+__all__ = ["APIKeyManager", "auth_enabled", "validate_bearer"]

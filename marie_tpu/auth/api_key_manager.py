@@ -44,9 +44,25 @@ class APIKeyManager:
     def clear(cls) -> None:
         cls._keys.clear()
 
+    @classmethod
+    def enabled(cls) -> bool:
+        """Auth is enforced as soon as any key is configured."""
+        return bool(cls._keys)
+
+
+def auth_enabled() -> bool:
+    return APIKeyManager.enabled()
+
 
 def validate_bearer(header_value: Optional[str]) -> bool:
-    """``Authorization: Bearer <key>`` guard (reference TokenBearer)."""
+    """``Authorization: Bearer <key>`` guard (reference TokenBearer).
+
+    When no keys are configured, auth is disabled and every request
+    passes (matching the reference: the TokenBearer guard is only
+    installed when an auth section exists in the server YAML).
+    """
+    if not APIKeyManager.enabled():
+        return True
     if not header_value or not header_value.startswith("Bearer "):
         return False
     return APIKeyManager.is_valid(header_value[len("Bearer ") :].strip())

@@ -23,11 +23,22 @@ _OPTIONS = [
 
 
 class GRPCClient:
-    def __init__(self, host: str = "127.0.0.1", port: Optional[int] = None, **kwargs):
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: Optional[int] = None,
+        api_key: Optional[str] = None,
+        **kwargs,
+    ):
         if port is None:
             raise ValueError("port is required")
         self.address = f"{host}:{port}"
         self.logger = MarieLogger("GRPCClient")
+        # sent as `authorization: Bearer <key>` metadata on every RPC
+        # (reference TokenBearer guard, marie/auth/auth_bearer.py:11)
+        self._metadata = (
+            (("authorization", f"Bearer {api_key}"),) if api_key else None
+        )
 
     # --- async API ----------------------------------------------------
     async def apost(
@@ -51,7 +62,7 @@ class GRPCClient:
                 request_serializer=lambda r: r.to_bytes(),
                 response_deserializer=DataRequest.from_bytes,
             )
-            resp: DataRequest = await stub(req, timeout=timeout)
+            resp: DataRequest = await stub(req, timeout=timeout, metadata=self._metadata)
         if resp.is_error():
             st = resp.proto.header.status
             raise BadServer(
@@ -69,7 +80,7 @@ class GRPCClient:
                 request_serializer=lambda b: b,
                 response_deserializer=lambda b: b,
             )
-            raw = await stub(b"", timeout=timeout)
+            raw = await stub(b"", timeout=timeout, metadata=self._metadata)
         st = marie_pb2.StatusProto()
         st.ParseFromString(raw)
         return st.code == marie_pb2.StatusProto.SUCCESS
@@ -85,7 +96,7 @@ class GRPCClient:
                 request_serializer=lambda b: b,
                 response_deserializer=lambda b: b,
             )
-            raw = await stub(b"", timeout=timeout)
+            raw = await stub(b"", timeout=timeout, metadata=self._metadata)
         proto = marie_pb2.InfoProto()
         proto.ParseFromString(raw)
         return json.loads(proto.jina.decode())
@@ -103,7 +114,7 @@ class GRPCClient:
                 request_serializer=lambda r: r.to_bytes(),
                 response_deserializer=DataRequest.from_bytes,
             )
-            call = stub(requests_iter, timeout=timeout)
+            call = stub(requests_iter, timeout=timeout, metadata=self._metadata)
             async for resp in call:
                 yield resp
 
@@ -123,7 +134,7 @@ class GRPCClient:
             )
             # an error response still carries routes — profiling measures
             # latency, not endpoint success
-            resp: DataRequest = await stub(req, timeout=timeout)
+            resp: DataRequest = await stub(req, timeout=timeout, metadata=self._metadata)
         total = _time.perf_counter() - t0
         routes = {}
         for r in resp.routes:

@@ -8,11 +8,20 @@ from marie_tpu.types.docs import Document, DocumentArray
 
 
 class HTTPClient:
-    def __init__(self, host: str = "127.0.0.1", port: Optional[int] = None, **kwargs):
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: Optional[int] = None,
+        api_key: Optional[str] = None,
+        **kwargs,
+    ):
         if port is None:
             raise ValueError("port is required")
         scheme = "http://" if not host.startswith("http") else ""
         self.base = f"{scheme}{host}:{port}"
+        self._headers = (
+            {"Authorization": f"Bearer {api_key}"} if api_key else {}
+        )
 
     async def apost(
         self,
@@ -32,7 +41,7 @@ class HTTPClient:
             "parameters": parameters or {},
             "targetExecutor": target_executor,
         }
-        async with aiohttp.ClientSession() as session:
+        async with aiohttp.ClientSession(headers=self._headers) as session:
             async with session.post(
                 f"{self.base}/post", json=payload,
                 timeout=aiohttp.ClientTimeout(total=timeout),

@@ -69,9 +69,16 @@ class NerExtractionExecutor(BaseExecutor):
                 words = [w["text"] for w in result["words"]]
                 boxes = [w["box"] for w in result["words"]]
             if words and boxes and self.text_layout is not None:
-                # xywh -> xyxy, model reading order, re-sequence both lists
+                # xywh -> xyxy, model reading order, re-sequence both lists.
+                # The ranker is trained on page-relative [0,1] coords, so
+                # normalize by the PAGE size when the image is present
+                # (matching reorder_page_result); the box-span heuristic is
+                # only a fallback when no page geometry is available.
                 xyxy = [[b[0], b[1], b[0] + b[2], b[1] + b[3]] for b in boxes]
-                span = max((max(b[2], b[3]) for b in xyxy), default=1.0)
+                if image is not None:
+                    span = float(max(image.shape[0], image.shape[1]))
+                else:
+                    span = max((max(b[2], b[3]) for b in xyxy), default=1.0)
                 order = self.text_layout.order(xyxy, scale=max(span, 1.0))
                 words = [words[j] for j in order]
                 boxes = [boxes[j] for j in order]

@@ -22,6 +22,15 @@ def random_identity() -> str:
     return uuid.uuid4().hex
 
 
+def default_bind_host() -> str:
+    """Default listen address for every server: loopback unless the
+    operator opts into wider exposure via ``MARIE_BIND_HOST`` (e.g.
+    ``0.0.0.0`` inside a container). The reference binds 0.0.0.0 but
+    gates requests with API keys; here the safe-by-default bind keeps
+    unauthenticated dev servers off the network."""
+    return os.environ.get("MARIE_BIND_HOST", "127.0.0.1")
+
+
 def random_port() -> int:
     """Pick a free TCP port on localhost, avoiding ports handed out earlier
     in this process (reference: marie/helper.py random_port)."""

@@ -32,6 +32,11 @@ class VotingOcrEngine(PipelineOcrEngine):
 
     def _extract_fullpage(self, frames, pms_mode, coordinate_format, queue_id, **kwargs):
         frames = _as_frame_list(frames)
+        if not any(p.is_available() for p in self.ocr_processors):
+            raise RuntimeError(
+                "VotingOcrEngine: no ocr_processor is available "
+                f"({[type(p).__name__ for p in self.ocr_processors]})"
+            )
         device_ready = (
             pms_mode in (PSMode.SPARSE, PSMode.LINE)
             and hasattr(self.box_processor, "detect_dispatch")
@@ -134,6 +139,9 @@ class VotingOcrEngine(PipelineOcrEngine):
     @staticmethod
     def _vote(candidates: List[Dict[str, Any]]) -> Dict[str, Any]:
         """Majority text vote; ties broken by max confidence."""
+        if not candidates:
+            # every processor reported unavailable — empty word, zero conf
+            return {"text": "", "confidence": 0.0}
         texts = [c["text"] for c in candidates]
         counts = Counter(texts)
         top_count = counts.most_common(1)[0][1]

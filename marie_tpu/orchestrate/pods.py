@@ -22,6 +22,13 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
 
     from marie_tpu.serve.runtimes.asyncio_runtime import AsyncNewLoopRuntime
 
+    if kwargs.get("auth_keys"):
+        # spawned pods start with a fresh APIKeyManager — re-load the
+        # parent's configured keys so the whole flow enforces auth
+        from marie_tpu.auth import APIKeyManager
+
+        APIKeyManager.from_config(kwargs["auth_keys"])
+
     if kind == "worker":
         from marie_tpu.serve.runtimes.worker.request_handling import (
             WorkerRequestHandler,
@@ -79,7 +86,7 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
         protocols=kwargs.get("protocols"),
         ports=kwargs.get("ports"),
         port=kwargs.get("port"),
-        host=kwargs.get("bind_host", "0.0.0.0"),
+        host=kwargs.get("bind_host"),
         name=kwargs.get("name", kind),
     )
 
@@ -123,6 +130,14 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
 
 class Pod:
     def __init__(self, kind: str, **kwargs):
+        from marie_tpu.auth import APIKeyManager
+
+        if APIKeyManager.enabled() and not kwargs.get("auth_keys"):
+            kwargs["auth_keys"] = [
+                {"name": info["name"], "api_key": key,
+                 "enabled": info["enabled"], "roles": info["roles"]}
+                for key, info in APIKeyManager._keys.items()
+            ]
         self.kind = kind
         self.kwargs = kwargs
         self.name = kwargs.get("name", kind)

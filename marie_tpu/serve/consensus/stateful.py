@@ -57,11 +57,17 @@ class StatefulExecutorAdapter:
         with self._lock:
             self._applied_index = index
             self._results[index] = result
-            # bounded result stash — writers collect promptly
-            if len(self._results) > 64:
-                oldest = min(self._results)
-                self._results.pop(oldest, None)
-            ev = self._apply_events.pop(index, None)
+            # bounded result stash: never evict an index a writer still
+            # awaits (events stay registered until the writer collects),
+            # with a hard cap so followers (no writers) stay bounded
+            min_awaited = min(self._apply_events) if self._apply_events else index + 1
+            for old in sorted(self._results):
+                if len(self._results) <= 64 or old >= min_awaited:
+                    break
+                self._results.pop(old)
+            while len(self._results) > 1024:
+                self._results.pop(min(self._results))
+            ev = self._apply_events.get(index)
         if ev is not None:
             ev.set()
 
@@ -71,18 +77,30 @@ class StatefulExecutorAdapter:
 
     # --- write path ---------------------------------------------------
     def process_write(self, request: DataRequest, timeout: float = 30.0):
-        """Replicate + apply a write. Raises NotTheLeader on followers."""
+        """Replicate + apply a write, returning (index, local result).
+
+        Raises NotTheLeader on followers; raises RuntimeError when the
+        entry applied but its result is missing (never silent)."""
         idx = self.node.submit(request.to_bytes())
         if idx == 0:
             raise NotTheLeader(self.node.leader_id)
         ev = threading.Event()
         with self._lock:
-            if self._applied_index >= idx:
-                return idx
+            if idx in self._results:
+                return idx, self._results.pop(idx)
             self._apply_events[idx] = ev
-        if not ev.wait(timeout):
-            raise TimeoutError(f"entry {idx} not applied within {timeout}s")
-        return idx
+        try:
+            if not ev.wait(timeout):
+                raise TimeoutError(f"entry {idx} not applied within {timeout}s")
+            result = self.take_result(idx)
+            if result is None:
+                raise RuntimeError(
+                    f"entry {idx} applied but its result was dropped"
+                )
+            return idx, result
+        finally:
+            with self._lock:
+                self._apply_events.pop(idx, None)
 
     # --- lifecycle ----------------------------------------------------
     def start(self) -> "StatefulExecutorAdapter":
@@ -126,14 +144,17 @@ class StatefulReplicatedHandler:
         req = requests[0]
         try:
             loop = asyncio.get_running_loop()
-            index = await loop.run_in_executor(
+            _, result = await loop.run_in_executor(
                 None, lambda: self.adapter.process_write(req)
             )
             # the FSM applied the request on this (leader) replica too —
             # return its local execution result
-            result = self.adapter.take_result(index)
-            return result if result is not None else req
+            return result
         except NotTheLeader as ex:
+            req.add_exception(ex, executor="raft")
+            return req
+        except (TimeoutError, RuntimeError) as ex:
+            self.logger.error(f"replicated write failed: {ex!r}")
             req.add_exception(ex, executor="raft")
             return req
 

@@ -19,7 +19,7 @@ class AsyncNewLoopRuntime:
         req_handler,
         protocol: str = "grpc",
         port: Optional[int] = None,
-        host: str = "0.0.0.0",
+        host: Optional[str] = None,
         name: str = "runtime",
         protocols=None,
         ports=None,

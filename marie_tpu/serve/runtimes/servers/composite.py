@@ -11,7 +11,7 @@ class CompositeServer:
         req_handler,
         protocols: Sequence[str] = ("grpc", "http"),
         ports: Optional[Sequence[Optional[int]]] = None,
-        host: str = "0.0.0.0",
+        host: Optional[str] = None,
         name: str = "composite",
         **kwargs,
     ):

@@ -51,6 +51,15 @@ class _HealthServicer:
         return bytes([0x08, self.status])
 
 
+def _guard_stream(fn, check_auth):
+    async def wrapped(request_iterator, context):
+        await check_auth(context)
+        async for item in fn(request_iterator, context):
+            yield item
+
+    return wrapped
+
+
 class GRPCServer:
     """Serves a request handler (worker / gateway / head) over gRPC."""
 
@@ -58,15 +67,15 @@ class GRPCServer:
         self,
         req_handler,
         port: Optional[int] = None,
-        host: str = "0.0.0.0",
+        host: Optional[str] = None,
         name: str = "grpc",
         **kwargs,
     ):
-        from marie_tpu.helper import random_port
+        from marie_tpu.helper import default_bind_host, random_port
 
         self.req_handler = req_handler
         self.port = port or random_port()
-        self.host = host
+        self.host = host or default_bind_host()
         self.logger = MarieLogger(f"GRPCServer/{name}")
         self.server: Optional[grpc.aio.Server] = None
         self.health = _HealthServicer()
@@ -130,7 +139,12 @@ class GRPCServer:
             return proto.SerializeToString()
 
         async def restore(request: bytes, context) -> bytes:
-            """JinaExecutorRestore parity: restore executor state."""
+            """JinaExecutorRestore parity: restore executor state.
+
+            The snapshot path is client-supplied; confine it to the
+            server-side snapshot directory so the RPC cannot be used to
+            read/load arbitrary server paths."""
+            import os
             import uuid
 
             cmd = marie_pb2.RestoreSnapshotCommand()
@@ -138,7 +152,14 @@ class GRPCServer:
             proto = marie_pb2.RestoreSnapshotStatusProto()
             proto.id.value = uuid.uuid4().hex
             try:
-                self.req_handler.restore(cmd.snapshot_file)
+                snapshot_dir = os.path.realpath("/tmp/marie/snapshots")
+                resolved = os.path.realpath(cmd.snapshot_file)
+                if not resolved.startswith(snapshot_dir + os.sep):
+                    raise PermissionError(
+                        f"restore path {cmd.snapshot_file!r} outside the "
+                        f"snapshot directory"
+                    )
+                self.req_handler.restore(resolved)
                 proto.status = marie_pb2.SnapshotStatusProto.SUCCEEDED
             except Exception as ex:  # noqa: BLE001
                 self.logger.error(f"restore failed: {ex!r}")
@@ -147,9 +168,29 @@ class GRPCServer:
 
         ident = lambda b: b  # noqa: E731 — raw-bytes (de)serializer
 
-        def unary(fn, req_de=ident, res_se=ident):
+        async def _check_auth(context) -> None:
+            """Abort UNAUTHENTICATED when keys are configured and the
+            request carries no valid ``authorization: Bearer`` metadata
+            (reference: TokenBearer guard, marie/auth/auth_bearer.py)."""
+            from marie_tpu.auth import auth_enabled, validate_bearer
+
+            if not auth_enabled():
+                return
+            md = dict(context.invocation_metadata() or ())
+            if not validate_bearer(md.get("authorization")):
+                await context.abort(
+                    grpc.StatusCode.UNAUTHENTICATED,
+                    "missing or invalid API key",
+                )
+
+        def unary(fn, req_de=ident, res_se=ident, guarded: bool = True):
+            async def wrapped(request, context):
+                if guarded:
+                    await _check_auth(context)
+                return await fn(request, context)
+
             return grpc.unary_unary_rpc_method_handler(
-                fn, request_deserializer=req_de, response_serializer=res_se
+                wrapped, request_deserializer=req_de, response_serializer=res_se
             )
 
         services = {
@@ -165,7 +206,7 @@ class GRPCServer:
             },
             "jina.JinaRPC": {
                 "Call": grpc.stream_stream_rpc_method_handler(
-                    call_stream,
+                    _guard_stream(call_stream, _check_auth),
                     request_deserializer=_req_deserializer,
                     response_serializer=_req_serializer,
                 ),
@@ -177,7 +218,10 @@ class GRPCServer:
             "jina.JinaGatewayDryRunRPC": {"dry_run": unary(dry_run)},
             "jina.JinaExecutorSnapshot": {"snapshot": unary(snapshot)},
             "jina.JinaExecutorRestore": {"restore": unary(restore)},
-            "grpc.health.v1.Health": {"Check": unary(self.health.check)},
+            # health probes stay open so orchestrators can see readiness
+            "grpc.health.v1.Health": {
+                "Check": unary(self.health.check, guarded=False)
+            },
         }
         for service_name, methods in services.items():
             self.server.add_generic_rpc_handlers(

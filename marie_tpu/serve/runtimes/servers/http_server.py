@@ -15,22 +15,45 @@ from marie_tpu.logging_core import MarieLogger
 from marie_tpu.types.docs import DocumentArray
 from marie_tpu.types.request import DataRequest
 
+# liveness/readiness probes stay open so orchestrators can see status
+_OPEN_PATHS = {"/", "/health", "/health/status", "/dry_run"}
+
+
+def make_auth_middleware():
+    """aiohttp middleware enforcing ``Authorization: Bearer <key>`` on
+    every non-probe route whenever API keys are configured (reference:
+    TokenBearer guard on the FastAPI apps, marie/auth/auth_bearer.py:11)."""
+    from aiohttp import web
+
+    @web.middleware
+    async def auth_middleware(request, handler):
+        from marie_tpu.auth import auth_enabled, validate_bearer
+
+        if auth_enabled() and request.path not in _OPEN_PATHS:
+            if not validate_bearer(request.headers.get("Authorization")):
+                return web.json_response(
+                    {"error": "missing or invalid API key"}, status=401
+                )
+        return await handler(request)
+
+    return auth_middleware
+
 
 class HTTPServer:
     def __init__(
         self,
         req_handler,
         port: Optional[int] = None,
-        host: str = "0.0.0.0",
+        host: Optional[str] = None,
         name: str = "http",
         extra_routes=None,
         **kwargs,
     ):
-        from marie_tpu.helper import random_port
+        from marie_tpu.helper import default_bind_host, random_port
 
         self.req_handler = req_handler
         self.port = port or random_port()
-        self.host = host
+        self.host = host or default_bind_host()
         self.logger = MarieLogger(f"HTTPServer/{name}")
         self._runner = None
         self._extra_routes = extra_routes or []
@@ -38,7 +61,10 @@ class HTTPServer:
     async def setup_server(self) -> None:
         from aiohttp import web
 
-        app = web.Application(client_max_size=64 * 1024 * 1024)
+        app = web.Application(
+            client_max_size=64 * 1024 * 1024,
+            middlewares=[make_auth_middleware()],
+        )
 
         async def index(request):
             return web.json_response({"ok": True})

@@ -20,15 +20,15 @@ class WebSocketServer:
         self,
         req_handler,
         port: Optional[int] = None,
-        host: str = "0.0.0.0",
+        host: Optional[str] = None,
         name: str = "websocket",
         **kwargs,
     ):
-        from marie_tpu.helper import random_port
+        from marie_tpu.helper import default_bind_host, random_port
 
         self.req_handler = req_handler
         self.port = port or random_port()
-        self.host = host
+        self.host = host or default_bind_host()
         self.logger = MarieLogger(f"WebSocketServer/{name}")
         self._runner = None
 
@@ -36,6 +36,14 @@ class WebSocketServer:
         from aiohttp import WSMsgType, web
 
         async def ws_handler(request):
+            from marie_tpu.auth import auth_enabled, validate_bearer
+
+            if auth_enabled() and not validate_bearer(
+                request.headers.get("Authorization")
+            ):
+                return web.json_response(
+                    {"error": "missing or invalid API key"}, status=401
+                )
             ws = web.WebSocketResponse(max_msg_size=64 * 1024 * 1024)
             await ws.prepare(request)
             pending = set()

@@ -42,6 +42,7 @@ def run_server(
     load_env_file(env_file)
 
     if uses:
+        _setup_auth(uses)
         flow = Flow.load_config(uses, context=dict(os.environ))
     else:
         # default: a mock extract flow so the control plane runs standalone
@@ -61,6 +62,24 @@ def run_server(
         except KeyboardInterrupt:
             pass
     return 0
+
+
+def _setup_auth(config_path: str) -> None:
+    """Load API keys from the server YAML's ``auth.keys`` section
+    (reference: marie_server/__main__.py setup_auth +
+    config/service/marie.yml:266-276). Once keys exist, every server in
+    this process enforces bearer auth."""
+    try:
+        from marie_tpu.auth import APIKeyManager
+        from marie_tpu.jaml import JAML
+
+        conf = JAML.load_config(config_path, context=dict(os.environ))
+        keys = (conf.get("auth") or {}).get("keys") if isinstance(conf, dict) else None
+        if keys:
+            APIKeyManager.from_config(keys)
+            logger.info(f"auth enabled with {len(keys)} configured key(s)")
+    except Exception as ex:  # noqa: BLE001
+        logger.warning(f"auth config not loaded: {ex!r}")
 
 
 async def _run_control_plane(
@@ -121,7 +140,9 @@ async def _run_control_plane(
     )
     await scheduler.start()
 
-    app = web.Application()
+    from marie_tpu.serve.runtimes.servers.http_server import make_auth_middleware
+
+    app = web.Application(middlewares=[make_auth_middleware()])
 
     async def submit(request):
         body = await request.json()
@@ -252,9 +273,11 @@ async def _run_control_plane(
     app.router.add_get("/api/nodes", nodes)
     app.router.add_get("/health/status", health)
 
+    from marie_tpu.helper import default_bind_host
+
     runner = web.AppRunner(app)
     await runner.setup()
-    site = web.TCPSite(runner, "0.0.0.0", rest_port)
+    site = web.TCPSite(runner, default_bind_host(), rest_port)
     await site.start()
     logger.info(f"job REST API at http://127.0.0.1:{rest_port}/api/jobs")
 

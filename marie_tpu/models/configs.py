@@ -29,6 +29,15 @@ class ViTConfig:
         n = (h // self.patch_size) * (w // self.patch_size)
         return n + (1 if self.use_cls_token else 0)
 
+    @staticmethod
+    def dit_synth() -> "ViTConfig":
+        """The in-repo synthetic-trained DiT detector backbone
+        (train/dit.py -> model_zoo/dit-synth)."""
+        return ViTConfig(
+            image_size=(512, 384), patch_size=16, hidden_dim=256,
+            num_layers=6, num_heads=4, mlp_dim=1024, use_cls_token=False,
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class DecoderConfig:
@@ -199,5 +208,27 @@ class Pix2PixConfig:
     out_channels: int = 3
 
     @staticmethod
+    def synth() -> "Pix2PixConfig":
+        """The in-repo synthetic-trained generator (train/overlay.py)."""
+        return Pix2PixConfig(base_channels=32, num_res_blocks=6)
+
+    @staticmethod
     def tiny() -> "Pix2PixConfig":
         return Pix2PixConfig(base_channels=8, num_res_blocks=2)
+
+
+@dataclasses.dataclass(frozen=True)
+class BoundaryConfig:
+    """Document-boundary corner regressor
+    (reference marie/components/document_registration/unilm_dit.py:100 —
+    the TPU build regresses the page quad directly instead of running a
+    Mask R-CNN; see marie_tpu/models/boundary.py)."""
+
+    input_hw: Tuple[int, int] = (192, 256)
+    base_channels: int = 24
+    num_stages: int = 5
+    mlp_dim: int = 256
+
+    @staticmethod
+    def tiny() -> "BoundaryConfig":
+        return BoundaryConfig(input_hw=(48, 64), base_channels=8, num_stages=3, mlp_dim=32)

@@ -93,6 +93,170 @@ def synth_kv_page(rng, n_pairs: int = 12):
     return words, boxes, labels
 
 
+HEADER_POOL = (
+    "invoice statement claim notice memo corporation llc incorporated "
+    "street suite attn regarding dear account summary remittance"
+).split()
+_CONT_POOL = "continued carried forward subtotal".split()
+
+
+def synth_split_page(rng, is_boundary: bool, n_body_words: int = 50):
+    """-> (words, boxes) for splitter training.
+
+    Boundary (first) pages open with a letterhead block and usually a
+    'page 1 of N' marker; continuation pages carry 'page k of N' (k>1)
+    and sometimes 'continued' — mirroring what the reference's page
+    classifier learns from real bundles
+    (/root/reference/marie/components/document_splitter/transformers.py:30)."""
+    words, boxes = [], []
+    y = 16
+
+    def put_line(line_words, y):
+        x = 20
+        for w in line_words:
+            words.append(w)
+            boxes.append([x, y, 8 * len(w) + 4, 14])
+            x += 8 * len(w) + 12
+        return y + 24
+
+    total = int(rng.integers(2, 9))
+    if is_boundary:
+        for _ in range(int(rng.integers(2, 4))):  # letterhead block
+            line = [
+                HEADER_POOL[rng.integers(0, len(HEADER_POOL))]
+                for _ in range(int(rng.integers(2, 5)))
+            ]
+            y = put_line(line, y)
+        if rng.random() < 0.7:
+            y = put_line(["page", "1", "of", str(total)], y)
+    else:
+        k = int(rng.integers(2, total + 1)) if total >= 2 else 2
+        if rng.random() < 0.6:
+            y = put_line(["page", str(k), "of", str(total)], y)
+        if rng.random() < 0.5:
+            y = put_line([_CONT_POOL[rng.integers(0, len(_CONT_POOL))]], y)
+    # body filler
+    x = 20
+    for _ in range(n_body_words):
+        w = _FILLER[rng.integers(0, len(_FILLER))]
+        words.append(w)
+        boxes.append([x, y, 8 * len(w) + 4, 14])
+        x += 8 * len(w) + 12
+        if x > 700:
+            x, y = 20, y + 24
+    return words, boxes
+
+
+def train_layout_splitter(
+    config: Optional[LayoutLMConfig] = None,
+    steps: int = 1500,
+    batch_size: int = 32,
+    dataset_size: int = 2048,
+    learning_rate: float = 3e-4,
+    steps_per_dispatch: int = 25,
+    seed: int = 0,
+    checkpoint_path: Optional[str] = None,
+):
+    """Train the page boundary/continuation classifier behind
+    LayoutDocumentSplitter (components/document_splitter)."""
+    from marie_tpu.models.layoutlm import LayoutLMv3ForSequenceClassification
+
+    logger = MarieLogger("train-splitter")
+    labels = ("continuation", "boundary")
+    config = config or LayoutLMConfig.synth(num_labels=len(labels))
+    model = LayoutLMv3ForSequenceClassification(config)
+    tokenizer = HashWordTokenizer(config.vocab_size)
+    rng = np.random.default_rng(seed)
+
+    pages, ys = [], []
+    for _ in range(dataset_size):
+        is_boundary = bool(rng.random() < 0.5)
+        pages.append(synth_split_page(rng, is_boundary))
+        ys.append(int(is_boundary))
+    tokens, boxes, seq_len = _encode_pages(pages, tokenizer, config)
+    data = tuple(
+        jnp.asarray(a) for a in (tokens, boxes, seq_len, np.asarray(ys, np.int32))
+    )
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, learning_rate, max(steps // 10, 1), steps
+    )
+    optimizer = optax.adamw(schedule, weight_decay=0.01)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(seed), data[0][:1], data[1][:1], data[2][:1], None
+    )
+    opt_state = jax.jit(optimizer.init)(params)
+
+    @jax.jit
+    def run_block(params, opt_state, key, toks, bxs, lens, ys):
+        def one_step(carry, k):
+            params, opt_state = carry
+            idx = jax.random.randint(k, (batch_size,), 0, dataset_size)
+
+            def loss_fn(p):
+                logits = model.apply(p, toks[idx], bxs[idx], lens[idx], None)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, ys[idx]
+                ).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        keys = jax.random.split(key, steps_per_dispatch)
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys
+        )
+        return params, opt_state, losses.mean()
+
+    t0 = time.time()
+    key = jax.random.PRNGKey(seed + 1)
+    done = 0
+    while done < steps:
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = run_block(params, opt_state, sub, *data)
+        done += steps_per_dispatch
+        if done % 250 == 0:
+            logger.info(
+                f"step {done}/{steps} loss={float(loss):.4f} "
+                f"({(time.time() - t0) / done:.3f}s/step)"
+            )
+
+    # held-out: page accuracy + whole-bundle split accuracy
+    test_pages, test_ys, bundles = [], [], []
+    for _ in range(64):  # 64 bundles of 2-4 docs x 1-4 pages
+        bundle = []
+        for _ in range(int(rng.integers(2, 5))):
+            n_pages_doc = int(rng.integers(1, 5))
+            for p in range(n_pages_doc):
+                bundle.append(len(test_pages))
+                is_boundary = p == 0
+                test_pages.append(synth_split_page(rng, is_boundary))
+                test_ys.append(int(is_boundary))
+        bundles.append(bundle)
+    tt, tb, tl = _encode_pages(test_pages, tokenizer, config)
+    logits = jax.jit(lambda p, a, b, c: model.apply(p, a, b, c, None))(
+        params, jnp.asarray(tt), jnp.asarray(tb), jnp.asarray(tl)
+    )
+    pred = np.asarray(logits).argmax(-1)
+    page_acc = float((pred == np.asarray(test_ys)).mean())
+    bundle_ok = 0
+    for bundle in bundles:
+        truth = [test_ys[i] for i in bundle]
+        got = [int(pred[i]) for i in bundle]
+        got[0] = 1  # first page always a boundary (splitter semantics)
+        truth[0] = 1
+        bundle_ok += int(got == truth)
+    split_acc = bundle_ok / max(len(bundles), 1)
+    logger.info(f"held-out page accuracy={page_acc:.4f} split accuracy={split_acc:.4f}")
+    if checkpoint_path:
+        from marie_tpu.registry.checkpoints import save_params
+
+        save_params(jax.device_get(params), checkpoint_path)
+        logger.info(f"saved to {checkpoint_path}")
+    return model, params, {"page_acc": page_acc, "split_acc": split_acc}, config
+
+
 def _encode_pages(pages, tokenizer, cfg, page_size=(760, 400)):
     l = cfg.max_seq_len
     n = len(pages)

@@ -38,10 +38,16 @@ class Metric:
         self.max_samples = max_samples
         self._samples: List[Tuple[float, float]] = []
         self._lock = threading.Lock()
+        # monotonic accumulators (survive ring eviction; prometheus
+        # counter/summary semantics need lifetime totals)
+        self.total = 0.0
+        self.total_count = 0
 
     def record(self, value: float, timestamp: Optional[float] = None) -> None:
         with self._lock:
             self._samples.append((timestamp or time.time(), float(value)))
+            self.total += float(value)
+            self.total_count += 1
             if len(self._samples) > self.max_samples:
                 self._samples = self._samples[-self.max_samples :]
 

@@ -88,10 +88,13 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
         port=kwargs.get("port"),
         host=kwargs.get("bind_host"),
         name=kwargs.get("name", kind),
+        port_monitoring=kwargs.get("port_monitoring"),
     )
 
     async def _serve():
         await runtime.server.setup_server()
+        if runtime.port_monitoring:
+            await runtime._start_monitoring()
         # publish the actually-bound port, then signal readiness
         srv = runtime.server
         port_value.value = getattr(srv, "port", 0) or getattr(

@@ -23,11 +23,14 @@ class AsyncNewLoopRuntime:
         name: str = "runtime",
         protocols=None,
         ports=None,
+        port_monitoring: Optional[int] = None,
     ):
         self.logger = MarieLogger(f"runtime/{name}")
         self.req_handler = req_handler
         self.name = name
         self._cancel_event: Optional[asyncio.Event] = None
+        self.port_monitoring = port_monitoring
+        self._monitoring_runner = None
         self.server = self._build_server(
             protocol, port, host, name, protocols, ports
         )
@@ -52,9 +55,37 @@ class AsyncNewLoopRuntime:
         return cls(self.req_handler, port=port, host=host, name=name)
 
     # ------------------------------------------------------------------
+    async def _start_monitoring(self) -> None:
+        """Prometheus scrape endpoint on a dedicated port (reference
+        MonitoringMixin, marie/serve/runtimes/monitoring.py — the per-
+        runtime ``port_monitoring``). Any protocol runtime gets one."""
+        from aiohttp import web
+
+        from marie_tpu.helper import default_bind_host
+        from marie_tpu.metrics import render_prometheus
+
+        async def metrics(request):
+            return web.Response(
+                text=render_prometheus(),
+                content_type="text/plain",
+                charset="utf-8",
+            )
+
+        app = web.Application()
+        app.router.add_get("/metrics", metrics)
+        self._monitoring_runner = web.AppRunner(app)
+        await self._monitoring_runner.setup()
+        site = web.TCPSite(
+            self._monitoring_runner, default_bind_host(), self.port_monitoring
+        )
+        await site.start()
+        self.logger.debug(f"metrics on :{self.port_monitoring}/metrics")
+
     async def _serve(self) -> None:
         self._cancel_event = asyncio.Event()
         await self.server.setup_server()
+        if self.port_monitoring:
+            await self._start_monitoring()
 
         loop = asyncio.get_running_loop()
         if threading.current_thread() is threading.main_thread():
@@ -74,6 +105,8 @@ class AsyncNewLoopRuntime:
             run_task.cancel()
             cancel_task.cancel()
             await self.server.shutdown()
+            if self._monitoring_runner is not None:
+                await self._monitoring_runner.cleanup()
             if hasattr(self.req_handler, "close"):
                 await self.req_handler.close()
 

@@ -34,9 +34,24 @@ class GatewayRequestHandler:
             floating_deployments=floating_deployments,
             node_conditions=node_conditions,
         )
+        from marie_tpu.metrics import MetricUnit, get_registry
+
+        reg = get_registry()
+        dims = {"runtime": "gateway", "name": name}
+        self._m_latency = reg.metric("request_seconds", MetricUnit.SECONDS, dims)
+        self._m_docs = reg.metric("request_docs", MetricUnit.COUNT, dims)
+        self._m_failed = reg.metric("failed_requests", MetricUnit.COUNT, dims)
 
     async def process_data(self, requests: Sequence[DataRequest]) -> DataRequest:
-        return await self.streamer.process_single_data(requests[0])
+        import time
+
+        t0 = time.perf_counter()
+        resp = await self.streamer.process_single_data(requests[0])
+        self._m_latency.record(time.perf_counter() - t0)
+        self._m_docs.record(len(resp.docs))
+        if resp.is_error():
+            self._m_failed.record(1)
+        return resp
 
     # ------------------------------------------------------------------
     async def start_discovery(

@@ -15,8 +15,10 @@ from marie_tpu.logging_core import MarieLogger
 from marie_tpu.types.docs import DocumentArray
 from marie_tpu.types.request import DataRequest
 
-# liveness/readiness probes stay open so orchestrators can see status
-_OPEN_PATHS = {"/", "/health", "/health/status", "/dry_run"}
+# liveness/readiness probes + metrics scrape stay open so orchestrators
+# and prometheus can see status (the reference serves metrics unguarded
+# on a dedicated port_monitoring)
+_OPEN_PATHS = {"/", "/health", "/health/status", "/dry_run", "/metrics"}
 
 
 def make_auth_middleware():
@@ -120,11 +122,21 @@ class HTTPServer:
         async def endpoints(request):
             return web.json_response(self.req_handler.endpoints())
 
+        async def metrics(request):
+            from marie_tpu.metrics import render_prometheus
+
+            return web.Response(
+                text=render_prometheus(),
+                content_type="text/plain",
+                charset="utf-8",
+            )
+
         app.router.add_get("/", index)
         app.router.add_get("/health", health)
         app.router.add_get("/dry_run", dry_run)
         app.router.add_get("/status", status)
         app.router.add_get("/endpoints", endpoints)
+        app.router.add_get("/metrics", metrics)
         app.router.add_post("/post", post)
         for route in self._extra_routes:
             app.router.add_route(route["method"], route["path"], route["handler"])

@@ -8,6 +8,8 @@ snapshot/restore.
 """
 
 import json
+import os
+import time
 from datetime import datetime, timezone
 from typing import Any, Dict, List, Optional, Sequence, Type, Union
 
@@ -27,10 +29,34 @@ class WorkerRequestHandler:
         name: str = "executor",
         workspace: Optional[str] = None,
         hot_reload: bool = False,
+        job_kv_path: Optional[str] = None,
         **kwargs,
     ):
         self.logger = MarieLogger(f"worker/{name}")
         self.name = name
+        # per-request prometheus-scrapeable metrics (reference
+        # request_handling.py:93-146 summaries/counters)
+        from marie_tpu.metrics import MetricUnit, get_registry
+
+        reg = get_registry()
+        dims = {"runtime": "worker", "executor": name}
+        self._m_latency = reg.metric(
+            "request_seconds", MetricUnit.SECONDS, dims
+        )
+        self._m_docs = reg.metric("request_docs", MetricUnit.COUNT, dims)
+        self._m_failed = reg.metric("failed_requests", MetricUnit.COUNT, dims)
+        # per-job bookkeeping KV (reference _record_started/_failed/
+        # _successful_job, request_handling.py:1460-1556) — shared sqlite
+        # file so the job dashboard stays truthful across worker crashes
+        self._job_kv = None
+        kv_path = job_kv_path or os.environ.get("MARIE_JOB_KV")
+        if kv_path:
+            try:
+                from marie_tpu.storage.kv.sqlite_kv import SqliteKV
+
+                self._job_kv = SqliteKV(kv_path)
+            except Exception as ex:  # noqa: BLE001
+                self.logger.warning(f"job KV unavailable: {ex!r}")
         self._uses, self._uses_with, self._workspace = uses, uses_with, workspace
         if executor is not None:
             self._executor = executor
@@ -153,6 +179,9 @@ class WorkerRequestHandler:
         req = requests[0]
         MDC.put("request_id", req.request_id)
         start = datetime.now(timezone.utc).isoformat()
+        t0 = time.perf_counter()
+        job_id = (req.parameters or {}).get("job_id")
+        await self._record_job(job_id, "started")
         try:
             target = req.target_executor
             if target and target != self.name:
@@ -192,13 +221,42 @@ class WorkerRequestHandler:
             req.add_route(
                 self.name, start, datetime.now(timezone.utc).isoformat()
             )
+            self._m_latency.record(time.perf_counter() - t0)
+            self._m_docs.record(len(req.docs))
+            await self._record_job(job_id, "successful")
             return req
         except Exception as ex:  # noqa: BLE001 — error travels in the envelope
             self.logger.error(f"endpoint {req.exec_endpoint} failed: {ex!r}")
             req.add_exception(ex, executor=type(self._executor).__name__)
+            self._m_failed.record(1)
+            await self._record_job(job_id, "failed", error=repr(ex))
             return req
         finally:
             MDC.remove("request_id")
+
+    async def _record_job(
+        self, job_id: Optional[str], state: str, error: Optional[str] = None
+    ) -> None:
+        """Per-job started/failed/successful record in the shared KV
+        (reference request_handling.py:1460-1556) — written by the WORKER
+        so the dashboard reflects reality even when the supervisor dies."""
+        if not job_id or self._job_kv is None:
+            return
+        try:
+            record = {
+                "state": state,
+                "executor": self.name,
+                "timestamp": datetime.now(timezone.utc).isoformat(),
+            }
+            if error:
+                record["error"] = error
+            await self._job_kv.internal_kv_put(
+                f"job/{job_id}/worker/{self.name}",
+                json.dumps(record).encode(),
+                namespace="worker_jobs",
+            )
+        except Exception as ex:  # noqa: BLE001 — bookkeeping must not fail serving
+            self.logger.warning(f"job record write failed: {ex!r}")
 
     # ------------------------------------------------------------------
     def endpoints(self) -> Dict[str, Any]:

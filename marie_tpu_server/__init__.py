@@ -40,6 +40,10 @@ def run_server(
     from marie_tpu.orchestrate.flow import Flow
 
     load_env_file(env_file)
+    # workers record per-job started/failed/successful into this shared KV
+    # (reference worker request_handling.py:1460-1556 -> psql KV)
+    os.makedirs("/tmp/marie", exist_ok=True)
+    os.environ.setdefault("MARIE_JOB_KV", "/tmp/marie/kv.db")
 
     if uses:
         _setup_auth(uses)
@@ -163,10 +167,26 @@ async def _run_control_plane(
         )
 
     async def job_info(request):
-        work = await scheduler.get_job(request.match_info["job_id"])
+        job_id = request.match_info["job_id"]
+        work = await scheduler.get_job(job_id)
         if work is None:
             return web.json_response({"error": "not found"}, status=404)
-        return web.json_response(work.model_dump(mode="json"))
+        payload = work.model_dump(mode="json")
+        # worker-side execution records (truthful across worker crashes)
+        try:
+            keys = await kv.internal_kv_keys(
+                f"job/{job_id}/worker/", namespace="worker_jobs"
+            )
+            workers = {}
+            for k in keys:
+                raw = await kv.internal_kv_get(k, namespace="worker_jobs")
+                if raw:
+                    workers[k.rsplit("/", 1)[-1]] = json.loads(raw)
+            if workers:
+                payload["workers"] = workers
+        except Exception:  # noqa: BLE001 — records are best-effort
+            pass
+        return web.json_response(payload)
 
     async def stop_job(request):
         ok = await scheduler.cancel_job(request.match_info["job_id"])
@@ -178,6 +198,13 @@ async def _run_control_plane(
 
     async def health(request):
         return web.json_response({"status": "OK"})
+
+    async def metrics(request):
+        from marie_tpu.metrics import render_prometheus
+
+        return web.Response(
+            text=render_prometheus(), content_type="text/plain", charset="utf-8"
+        )
 
     # SSE event stream (reference marie_gateway SSE endpoints)
     subscribers: list = []
@@ -272,6 +299,7 @@ async def _run_control_plane(
     app.router.add_get("/api/events", events_stream)
     app.router.add_get("/api/nodes", nodes)
     app.router.add_get("/health/status", health)
+    app.router.add_get("/metrics", metrics)
 
     from marie_tpu.helper import default_bind_host
 

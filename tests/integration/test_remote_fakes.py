@@ -1,0 +1,224 @@
+"""In-process fakes for the remote backends (VERDICT r1 #10): the
+S3 handler drives a real HTTP wire path against a minimal S3 server;
+messaging handlers execute against injected transports.
+
+Reference pattern: docker-compose fixtures, /root/reference/tests/conftest.py:31-40
+(here in-process — no docker in this environment)."""
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from marie_tpu.storage.manager import StorageManager
+from marie_tpu.storage.s3_storage import S3StorageHandler
+
+
+class _FakeS3(BaseHTTPRequestHandler):
+    """Minimal S3 REST subset: PUT/GET/HEAD/DELETE object + ListObjectsV2.
+    Rejects unsigned requests so the SigV4 path is actually exercised."""
+
+    store = {}
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _check_auth(self) -> bool:
+        auth = self.headers.get("Authorization", "")
+        if not auth.startswith("AWS4-HMAC-SHA256 Credential=test-key/"):
+            self.send_response(403)
+            self.end_headers()
+            return False
+        if "Signature=" not in auth or not self.headers.get("x-amz-date"):
+            self.send_response(403)
+            self.end_headers()
+            return False
+        return True
+
+    def _key(self):
+        path = urllib.parse.urlsplit(self.path)
+        return urllib.parse.unquote(path.path.lstrip("/")), urllib.parse.parse_qs(
+            path.query, keep_blank_values=True
+        )
+
+    def do_PUT(self):
+        if not self._check_auth():
+            return
+        key, _ = self._key()
+        length = int(self.headers.get("Content-Length", 0))
+        self.store[key] = self.rfile.read(length)
+        self.send_response(200)
+        self.end_headers()
+
+    def do_GET(self):
+        if not self._check_auth():
+            return
+        key, query = self._key()
+        if "list-type" in query:
+            bucket = key.split("/")[0]
+            prefix = query.get("prefix", [""])[0]
+            keys = sorted(
+                k[len(bucket) + 1 :]
+                for k in self.store
+                if k.startswith(f"{bucket}/{prefix}")
+            )
+            body = (
+                "<ListBucketResult>"
+                + "<IsTruncated>false</IsTruncated>"
+                + "".join(f"<Contents><Key>{k}</Key></Contents>" for k in keys)
+                + "</ListBucketResult>"
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        data = self.store.get(key)
+        if data is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_HEAD(self):
+        if not self._check_auth():
+            return
+        key, _ = self._key()
+        self.send_response(200 if key in self.store else 404)
+        self.end_headers()
+
+    def do_DELETE(self):
+        if not self._check_auth():
+            return
+        key, _ = self._key()
+        self.store.pop(key, None)
+        self.send_response(204)
+        self.end_headers()
+
+
+@pytest.fixture
+def fake_s3():
+    _FakeS3.store = {}
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _FakeS3)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _handler(endpoint):
+    return S3StorageHandler(
+        endpoint_url=endpoint,
+        access_key="test-key",
+        secret_key="test-secret",
+        region="us-east-1",
+    )
+
+
+def test_s3_roundtrip(fake_s3):
+    h = _handler(fake_s3)
+    assert not h.exists("s3://bucket/a/b.txt")
+    h.write_bytes("s3://bucket/a/b.txt", b"hello s3")
+    assert h.exists("s3://bucket/a/b.txt")
+    assert h.read_bytes("s3://bucket/a/b.txt") == b"hello s3"
+    h.write_bytes("s3://bucket/a/c.txt", b"two")
+    h.write_bytes("s3://bucket/z.txt", b"three")
+    assert h.list("s3://bucket/a/") == [
+        "s3://bucket/a/b.txt",
+        "s3://bucket/a/c.txt",
+    ]
+    h.delete("s3://bucket/a/b.txt")
+    assert not h.exists("s3://bucket/a/b.txt")
+
+
+def test_s3_rejects_bad_credentials(fake_s3):
+    from marie_tpu.excepts import StorageError
+
+    bad = S3StorageHandler(
+        endpoint_url=fake_s3, access_key="wrong", secret_key="x", region="us-east-1"
+    )
+    with pytest.raises(StorageError):
+        bad.read_bytes("s3://bucket/nope")
+    assert not bad.exists("s3://bucket/nope")
+
+
+def test_s3_through_storage_manager(fake_s3, tmp_path):
+    StorageManager.register_handler(_handler(fake_s3))
+    StorageManager.write("s3://assets/doc.tiff", b"\x49\x49tiff-bytes")
+    local = StorageManager.read_to_file(
+        "s3://assets/doc.tiff", str(tmp_path / "doc.tiff")
+    )
+    assert open(local, "rb").read() == b"\x49\x49tiff-bytes"
+    # copy s3 -> s3 via the facade
+    StorageManager.copy("s3://assets/doc.tiff", "s3://assets/copy.tiff")
+    assert StorageManager.exists("s3://assets/copy.tiff")
+
+
+# --- messaging handlers -----------------------------------------------------
+
+
+class _FakeChannel:
+    def __init__(self):
+        self.exchanges = []
+        self.published = []
+
+    def exchange_declare(self, exchange, exchange_type, durable):
+        self.exchanges.append((exchange, exchange_type, durable))
+
+    def basic_publish(self, exchange, routing_key, body):
+        self.published.append((exchange, routing_key, json.loads(body)))
+
+
+def test_rabbit_handler_with_fake_channel():
+    from marie_tpu.messaging.rabbit_handler import RabbitToastHandler
+
+    channel = _FakeChannel()
+    handler = RabbitToastHandler(channel_factory=lambda: channel)
+    handler.notify("extract.completed", {"job_id": "j-9", "status": "OK"})
+    handler.notify("extract.started", {"job_id": "j-10"})
+    assert channel.exchanges == [("marie.events", "topic", True)]
+    assert channel.published[0] == (
+        "marie.events",
+        "extract.completed",
+        {"job_id": "j-9", "status": "OK"},
+    )
+    assert len(channel.published) == 2
+
+
+def test_psql_handler_over_dbapi(tmp_path):
+    import sqlite3
+
+    from marie_tpu.messaging.psql_handler import PsqlToastHandler
+
+    db = str(tmp_path / "events.db")
+    handler = PsqlToastHandler(
+        conn_factory=lambda: sqlite3.connect(db),
+        paramstyle="?",
+        dialect="sqlite",
+    )
+    handler.notify("job.started", {"job_id": "j-1", "queue": "q"})
+    handler.notify("job.completed", {"job_id": "j-1"})
+    handler.notify("job.started", {"job_id": "j-2"})
+    events = handler.events_for("j-1")
+    assert [e["event"] for e in events] == ["job.started", "job.completed"]
+    handler.close()
+
+
+def test_rabbit_handler_via_toast_registry():
+    from marie_tpu.messaging import Toast
+
+    channel = _FakeChannel()
+    from marie_tpu.messaging.rabbit_handler import RabbitToastHandler
+
+    Toast.register(RabbitToastHandler(channel_factory=lambda: channel), event="job.")
+    try:
+        Toast.notify_sync("job.failed", {"job_id": "j-err", "error": "boom"})
+        Toast.notify_sync("other.event", {"job_id": "x"})  # not matched
+        assert [p[1] for p in channel.published] == ["job.failed"]
+    finally:
+        Toast._handlers.get("job.", []).clear()

@@ -76,6 +76,14 @@ class BoxProcessorUlimDit(BoxProcessor):
         **kwargs,
     ):
         super().__init__(work_dir, models_dir, **kwargs)
+        if variables is None and config is None:
+            # default: the in-repo synthetic-trained DiT checkpoint
+            # (scripts/train_dit.py -> model_zoo/dit-synth)
+            from marie_tpu.registry.zoo import zoo_params
+
+            variables = zoo_params("dit-synth")
+            if variables is not None:
+                config = ViTConfig.dit_synth()
         self.config = config or ViTConfig(
             image_size=(1024, 768), patch_size=16, hidden_dim=384,
             num_layers=6, num_heads=6, mlp_dim=1536, use_cls_token=False,

@@ -28,6 +28,13 @@ class PageInput:
         self.image = image
         if page_size is None and image is not None:
             page_size = (image.shape[1], image.shape[0])  # (w, h)
+        if page_size is None and self.boxes:
+            # content extent: keeps coordinate normalization consistent
+            # whatever physical page the boxes came from
+            page_size = (
+                max(b[0] + b[2] for b in self.boxes),
+                max(b[1] + b[3] for b in self.boxes),
+            )
         self.page_size = page_size or (1000, 1000)
 
     @staticmethod

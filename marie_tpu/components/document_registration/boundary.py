@@ -99,6 +99,9 @@ class DocumentBoundaryRegistration(JAMLCompatible):
         num_angles: int = 57,
         registration_method: str = "fit_to_page",
         boundary_fn: Optional[Callable] = None,
+        model_variables=None,
+        model_config=None,
+        use_model: bool = True,
         **kwargs,
     ):
         self.logger = MarieLogger("BoundaryRegistration")
@@ -106,12 +109,78 @@ class DocumentBoundaryRegistration(JAMLCompatible):
         self.num_angles = num_angles
         self.registration_method = registration_method
         self.boundary_fn = boundary_fn
+        # trained corner-regression path (the reference's trained
+        # DiT+MaskRCNN boundary, unilm_dit.py:100; here BoundaryNet +
+        # homography fit_to_page — scripts/train_boundary.py)
+        self.model = None
+        self.model_variables = None
+        if use_model and model_variables is None and model_config is None:
+            from marie_tpu.registry.zoo import zoo_params
+
+            model_variables = zoo_params("boundary-synth")
+            if model_variables is not None:
+                from marie_tpu.models.configs import BoundaryConfig
+
+                model_config = BoundaryConfig()
+        if use_model and model_variables is not None:
+            from marie_tpu.models.boundary import BoundaryNet
+
+            self.model_config = model_config
+            self.model = BoundaryNet(model_config)
+            self.model_variables = model_variables
 
     def run(self, frame: np.ndarray) -> dict:
         pred = self.register(frame)
         return {"meta": pred.to_dict(), "aligned": pred.aligned}
 
     def register(self, frame: np.ndarray) -> DocumentBoundaryPrediction:
+        if self.model is not None:
+            return self._register_model(np.asarray(frame))
+        return self._register_deskew(frame)
+
+    def _register_model(self, frame: np.ndarray) -> DocumentBoundaryPrediction:
+        """Trained path: regress the page quad at model resolution, then
+        fit_to_page = ONE full-resolution perspective-warp program."""
+        from marie_tpu.models.boundary import warp_quad_to_page
+
+        if frame.ndim == 2:
+            frame = np.stack([frame] * 3, -1)
+        h, w = frame.shape[:2]
+        ih, iw = self.model_config.input_hw
+        small = jax.image.resize(
+            jnp.asarray(frame, jnp.float32), (ih, iw, 3), "bilinear"
+        ) / 255.0
+        pred = jax.jit(self.model.apply)(self.model_variables, small[None])[0]
+        corners = np.asarray(pred).reshape(4, 2) * np.asarray(
+            [w - 1.0, h - 1.0], np.float32
+        )
+        # skew angle from the top edge (tl -> tr)
+        dx, dy = corners[1] - corners[0]
+        angle_deg = float(np.degrees(np.arctan2(-dy, dx)))
+        x0, y0 = corners.min(axis=0)
+        x1, y1 = corners.max(axis=0)
+        box = [int(x0), int(y0), int(x1 - x0 + 1), int(y1 - y0 + 1)]
+        aligned = frame
+        if self.registration_method == "fit_to_page":
+            aligned = np.asarray(
+                warp_quad_to_page(jnp.asarray(frame), jnp.asarray(corners), h, w)
+            )
+        # confidence: quad area fraction (degenerate quads score low)
+        area = 0.5 * abs(
+            np.dot(
+                corners[[1, 2, 3, 0], 0] - corners[:, 0],
+                corners[[1, 2, 3, 0], 1] + corners[:, 1],
+            )
+        )
+        return DocumentBoundaryPrediction(
+            detected=area > 0.05 * h * w,
+            box=box,
+            angle=round(angle_deg, 3),
+            score=float(area / (h * w)),
+            aligned=aligned,
+        )
+
+    def _register_deskew(self, frame: np.ndarray) -> DocumentBoundaryPrediction:
         frame = np.asarray(frame)
         if frame.ndim == 2:
             frame = np.stack([frame] * 3, -1)

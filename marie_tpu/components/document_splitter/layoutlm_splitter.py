@@ -27,6 +27,14 @@ class LayoutDocumentSplitter(BaseDocumentSplitter):
     ):
         super().__init__(**kwargs)
         self.boundary_label = boundary_label
+        if params is None and config is None:
+            # default: the in-repo synthetic-trained boundary classifier
+            # (scripts/train_splitter.py -> model_zoo/layout-splitter-synth)
+            from marie_tpu.registry.zoo import zoo_params
+
+            params = zoo_params("layout-splitter-synth")
+            if params is not None:
+                config = LayoutLMConfig.synth(num_labels=len(labels))
         self.classifier = LayoutDocumentClassifier(
             labels=labels, config=config, params=params
         )

@@ -1,27 +1,10 @@
 """Engine registry (reference: ``/root/reference/marie/ocr/util.py:89``
 ``get_known_ocr_engines`` — mock/default/best)."""
 
-import os
 from typing import Dict, Optional
 
 from marie_tpu.ocr.ocr_engine import OcrEngine
-
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def _zoo_checkpoint(name: str) -> Optional[str]:
-    """Resolve an in-repo model_zoo checkpoint (plus registry fallback)."""
-    local = os.path.join(_REPO_ROOT, "model_zoo", name)
-    if os.path.isdir(local):
-        return local
-    try:
-        from marie_tpu.registry import ModelRegistry
-
-        if ModelRegistry.exists(f"zoo://{name}"):
-            return ModelRegistry.get(f"zoo://{name}")
-    except Exception:  # noqa: BLE001
-        pass
-    return None
+from marie_tpu.registry.zoo import zoo_checkpoint as _zoo_checkpoint
 
 
 def _trocr_processor(beam_size: int = 1):

@@ -36,13 +36,17 @@ def _segment_jit(model: ResnetGenerator, variables, page_u8: jnp.ndarray):
 
 
 @jax.jit
-def _blend_to_text_jit(real_u8: jnp.ndarray, clean_u8: jnp.ndarray):
+def _blend_to_text_jit(
+    real_u8: jnp.ndarray, clean_u8: jnp.ndarray, overlay_mask: jnp.ndarray
+):
     """Keep dark (text) pixels from the original page on the cleaned page
-    (reference ``blend_to_text``'s HSV dark-range blend, :237)."""
+    (reference ``blend_to_text``'s HSV dark-range blend, :237) — EXCEPT
+    pixels the generator flagged as overlay, else dark-gray form rules
+    would ride back in through the dark-range keep."""
     real = real_u8.astype(jnp.float32)
     gray = real.mean(axis=-1)
-    dark = (gray < 128.0)[..., None]
-    out = jnp.where(dark, real, clean_u8.astype(jnp.float32))
+    keep = ((gray < 128.0) & (overlay_mask < 0.5))[..., None]
+    out = jnp.where(keep, real, clean_u8.astype(jnp.float32))
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
@@ -57,6 +61,16 @@ class OverlayProcessor(JAMLCompatible):
     ):
         self.work_dir = work_dir
         self.logger = MarieLogger("OverlayProcessor")
+        self.trained = variables is not None
+        if variables is None and config is None:
+            # default: the in-repo synthetic-trained generator
+            # (scripts/train_overlay.py -> model_zoo/pix2pix-synth)
+            from marie_tpu.registry.zoo import zoo_params
+
+            variables = zoo_params("pix2pix-synth")
+            if variables is not None:
+                config = Pix2PixConfig.synth()
+                self.trained = True
         self.config = config or Pix2PixConfig()
         self.model = ResnetGenerator(self.config)
         self.buckets = bucket_spec or BucketSpec()
@@ -70,7 +84,7 @@ class OverlayProcessor(JAMLCompatible):
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (real, mask, clean) at the original page size."""
         h, w = frame.shape[:2]
-        (bh, bw), scale = self.buckets.fit_with_scale(h, w)
+        (_, _), scale = self.buckets.fit_with_scale(h, w)
         work = frame
         if scale < 1.0:
             import cv2
@@ -79,11 +93,17 @@ class OverlayProcessor(JAMLCompatible):
                 frame, (int(w * scale), int(h * scale)),
                 interpolation=cv2.INTER_AREA,
             )
+        # pad only to the generator's stride (4) — bucket-sized white
+        # padding would shift the instance-norm statistics the resnet
+        # generator normalizes over and wash out the cleanup
+        wh, ww = work.shape[:2]
+        bh = (wh + 7) // 8 * 8
+        bw = (ww + 7) // 8 * 8
         padded = pad_to(work, bh, bw)
         mask_d, clean_d = _segment_jit(
             self.model, self.variables, jnp.asarray(padded)
         )
-        blended_d = _blend_to_text_jit(jnp.asarray(padded), clean_d)
+        blended_d = _blend_to_text_jit(jnp.asarray(padded), clean_d, mask_d)
         mask, blended = jax.device_get((mask_d, blended_d))
         hh, ww = work.shape[:2]
         mask = mask[:hh, :ww]

@@ -174,6 +174,8 @@ class S3StorageHandler(PathHandler):
                 return resp.read()
         except urllib.error.HTTPError as ex:
             raise StorageError(f"S3 GET {path} failed: {ex.code}") from ex
+        except urllib.error.URLError as ex:
+            raise StorageError(f"S3 endpoint unreachable: {ex}") from ex
 
     def write_bytes(self, path: str, data: bytes) -> None:
         bucket, key = self._split(path)
@@ -182,6 +184,8 @@ class S3StorageHandler(PathHandler):
                 pass
         except urllib.error.HTTPError as ex:
             raise StorageError(f"S3 PUT {path} failed: {ex.code}") from ex
+        except urllib.error.URLError as ex:
+            raise StorageError(f"S3 endpoint unreachable: {ex}") from ex
 
     def list(self, path: str) -> List[str]:
         bucket, prefix = self._split(path)
@@ -196,6 +200,8 @@ class S3StorageHandler(PathHandler):
                     tree = ET.fromstring(resp.read())
             except urllib.error.HTTPError as ex:
                 raise StorageError(f"S3 LIST {path} failed: {ex.code}") from ex
+            except urllib.error.URLError as ex:
+                raise StorageError(f"S3 endpoint unreachable: {ex}") from ex
             ns = ""
             if tree.tag.startswith("{"):
                 ns = tree.tag[: tree.tag.index("}") + 1]
@@ -223,3 +229,5 @@ class S3StorageHandler(PathHandler):
         except urllib.error.HTTPError as ex:
             if ex.code != 404:
                 raise StorageError(f"S3 DELETE {path} failed: {ex.code}") from ex
+        except urllib.error.URLError as ex:
+            raise StorageError(f"S3 endpoint unreachable: {ex}") from ex

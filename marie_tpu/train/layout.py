@@ -168,12 +168,27 @@ def train_layout_splitter(
     tokenizer = HashWordTokenizer(config.vocab_size)
     rng = np.random.default_rng(seed)
 
+    def encode_random_size(pages_list):
+        """Encode with a RANDOM page size per page so the classifier is
+        robust to whatever physical page the boxes arrive normalized by
+        (PageInput defaults to content extent at inference)."""
+        l = config.max_seq_len
+        n = len(pages_list)
+        tokens = np.zeros((n, l), np.int32)
+        boxes_arr = np.zeros((n, l, 4), np.int32)
+        seq_len = np.ones((n,), np.int32)
+        for i, (words, wboxes) in enumerate(pages_list):
+            ps = (int(rng.integers(600, 1400)), int(rng.integers(300, 1400)))
+            t, b, ln = tokenizer.encode_page(words, wboxes, ps, l, config.max_2d_pos)
+            tokens[i], boxes_arr[i], seq_len[i] = t, b, max(ln, 1)
+        return tokens, boxes_arr, seq_len
+
     pages, ys = [], []
     for _ in range(dataset_size):
         is_boundary = bool(rng.random() < 0.5)
         pages.append(synth_split_page(rng, is_boundary))
         ys.append(int(is_boundary))
-    tokens, boxes, seq_len = _encode_pages(pages, tokenizer, config)
+    tokens, boxes, seq_len = encode_random_size(pages)
     data = tuple(
         jnp.asarray(a) for a in (tokens, boxes, seq_len, np.asarray(ys, np.int32))
     )
@@ -234,7 +249,7 @@ def train_layout_splitter(
                 test_pages.append(synth_split_page(rng, is_boundary))
                 test_ys.append(int(is_boundary))
         bundles.append(bundle)
-    tt, tb, tl = _encode_pages(test_pages, tokenizer, config)
+    tt, tb, tl = encode_random_size(test_pages)
     logits = jax.jit(lambda p, a, b, c: model.apply(p, a, b, c, None))(
         params, jnp.asarray(tt), jnp.asarray(tb), jnp.asarray(tl)
     )

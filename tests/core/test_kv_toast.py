@@ -83,10 +83,17 @@ def test_storage_manager_native(tmp_path):
     assert StorageManager.read(str(tmp_path / "c.bin")) == b"\x01\x02"
 
 
-def test_s3_handler_gated():
+def test_s3_handler_unreachable_endpoint_is_storage_error():
+    """The native S3 client surfaces connection failures as StorageError
+    (full wire-path coverage lives in tests/integration/test_remote_fakes.py)."""
     from marie_tpu.excepts import StorageError
     from marie_tpu.storage.s3_storage import S3StorageHandler
 
-    h = S3StorageHandler()
-    with pytest.raises(StorageError, match="boto3"):
+    h = S3StorageHandler(
+        endpoint_url="http://127.0.0.1:1", access_key="k", secret_key="s",
+        timeout=1.0,
+    )
+    with pytest.raises(StorageError, match="unreachable"):
         h.read_bytes("s3://bucket/key")
+    with pytest.raises(StorageError, match="unreachable"):
+        h.exists("s3://bucket/key")

@@ -70,8 +70,12 @@ def test_boundary_registration_detects_skew():
     skewed = cv2.warpAffine(
         page, m, (480, 320), borderValue=(255, 255, 255)
     )
+    # use_model=False: this test pins the weight-free angle-sweep path
+    # (the trained corner-regressor path is covered in
+    # tests/unit/test_trained_components.py)
     reg = DocumentBoundaryRegistration(
-        max_skew_deg=6.0, num_angles=49, registration_method="none"
+        max_skew_deg=6.0, num_angles=49, registration_method="none",
+        use_model=False,
     )
     pred = reg.register(skewed)
     assert pred.detected
@@ -86,7 +90,9 @@ def test_boundary_fit_to_page_fills_frame():
     )
 
     page, _ = synth_page([("content", 200, 150)], size=(300, 400))
-    reg = DocumentBoundaryRegistration(registration_method="fit_to_page")
+    reg = DocumentBoundaryRegistration(
+        registration_method="fit_to_page", use_model=False
+    )
     pred = reg.register(page)
     # after fit_to_page the content fills the frame -> ink near the borders
     g = pred.aligned.mean(axis=-1)

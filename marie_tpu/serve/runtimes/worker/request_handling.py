@@ -131,6 +131,44 @@ class WorkerRequestHandler:
         if isinstance(uses, str):
             import os
 
+            if uses.startswith("hub://"):
+                # executor-hub reference: resolve/install, then load the
+                # bundle's config.yml (reference jinahub:// resolution)
+                import sys
+
+                from marie_tpu.hub import ExecutorHub
+
+                hub = ExecutorHub(
+                    registry_url=os.environ.get("MARIE_HUB_REGISTRY")
+                )
+                pkg_dir = hub.resolve(uses)
+                if pkg_dir not in sys.path:
+                    sys.path.insert(0, os.path.dirname(pkg_dir))
+                    sys.path.insert(0, pkg_dir)
+                config = os.path.join(pkg_dir, "config.yml")
+                if not os.path.exists(config):
+                    raise FileNotFoundError(
+                        f"{uses}: bundle has no config.yml ({pkg_dir})"
+                    )
+                # import the bundle's py_modules so its jtype registers
+                import importlib.util
+
+                import yaml as _yaml
+
+                with open(config) as fp:
+                    cfg = _yaml.safe_load(fp) or {}
+                for mod_rel in cfg.get("py_modules", []) or []:
+                    mod_path = os.path.join(pkg_dir, mod_rel)
+                    mod_name = os.path.splitext(os.path.basename(mod_rel))[0]
+                    spec = importlib.util.spec_from_file_location(
+                        f"marie_hub_{mod_name}", mod_path
+                    )
+                    module = importlib.util.module_from_spec(spec)
+                    sys.modules[spec.name] = module
+                    spec.loader.exec_module(module)
+                return BaseExecutor.load_config(
+                    config, runtime_args=runtime_args, **uses_with
+                )
             if not os.path.exists(uses) and "." in uses and "\n" not in uses:
                 # dotted class path, e.g. mypkg.executors.MyExecutor
                 import importlib

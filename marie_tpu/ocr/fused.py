@@ -67,6 +67,11 @@ def _fused_page(
     dtype,
     max_steps: int,
 ):
+    if page_u8.ndim == 2:
+        # grayscale upload (1/3 the host->device bytes — the transfer is
+        # a top-3 cost through a relay AND on PCIe); channel-identical
+        # pages expand back to RGB on device, bit-identical results
+        page_u8 = jnp.repeat(page_u8[..., None], 3, axis=-1)
     stats = _detect_jit(
         craft_model, craft_vars, page_u8,
         text_threshold, low_text, link_threshold, max_components, box_source,
@@ -193,7 +198,10 @@ def fused_dispatch_many(box_processor, ocr_processor, images,
             # their outputs are dropped on collect)
             psize = _ladder_size(len(group), page_batch)
             rows = group + [group[-1]] * (psize - len(group))
-            batch = jnp.asarray(np.stack([preps[k][0] for k in rows]))
+            stack = np.stack([preps[k][0] for k in rows])
+            if _is_grayscale(stack):
+                stack = stack[..., 0]  # upload 1/3 the bytes
+            batch = jnp.asarray(stack)
             clip = jnp.asarray(
                 [[preps[k][2][1] * preps[k][1], preps[k][2][0] * preps[k][1]]
                  for k in rows],
@@ -224,6 +232,22 @@ def _ladder_size(n: int, cap: int) -> int:
     return min(s, cap)
 
 
+def _is_grayscale(stack: np.ndarray) -> bool:
+    """All channels identical? (sampled check + full verify on a hit)."""
+    if stack.ndim != 4 or stack.shape[-1] != 3:
+        return False
+    probe = stack[..., ::16, ::16, :]
+    if not (
+        np.array_equal(probe[..., 0], probe[..., 1])
+        and np.array_equal(probe[..., 0], probe[..., 2])
+    ):
+        return False
+    return bool(
+        np.array_equal(stack[..., 0], stack[..., 1])
+        and np.array_equal(stack[..., 0], stack[..., 2])
+    )
+
+
 def _np_rgb(image: np.ndarray) -> np.ndarray:
     if image.ndim == 2:
         return np.stack([image] * 3, axis=-1)
@@ -232,7 +256,17 @@ def _np_rgb(image: np.ndarray) -> np.ndarray:
     return image
 
 
+def _dev_rgb(page_dev):
+    """Expand a grayscale-uploaded device page back to RGB (rare tail
+    path: overflow recognition needs the RGB page)."""
+    if page_dev.ndim == 2:
+        return jnp.repeat(page_dev[..., None], 3, axis=-1)
+    return page_dev
+
+
 def _dispatch_prepped(bp, op, padded, scale, hw, rec_slots):
+    if padded.ndim == 3 and _is_grayscale(padded[None]):
+        padded = padded[..., 0]
     page_dev = jnp.asarray(padded)
     h, w = hw
     clip_wh = jnp.asarray([w * scale, h * scale], jnp.float32)
@@ -278,7 +312,7 @@ def fused_collect_many(
                     {k: stats_host[k][s] for k in stats_host},
                     tokens_host[s],
                     conf_host[s],
-                    lambda s=s: pages_dev[s],
+                    lambda s=s: _dev_rgb(pages_dev[s]),
                     metas[s][0],
                     metas[s][1],
                 )
@@ -287,7 +321,8 @@ def fused_collect_many(
         else:
             _, _, _, _, page_dev, scale, hw, rec_slots = handle
             members = [
-                (stats_host, tokens_host, conf_host, lambda: page_dev, scale, hw)
+                (stats_host, tokens_host, conf_host,
+                 lambda: _dev_rgb(page_dev), scale, hw)
             ]
         for stats_i, toks_i, conf_i, page_fn, scale, (h, w) in members:
             xywh, scores, rows = bp.detect_collect(

@@ -56,13 +56,21 @@ class GRPCClient:
             parameters=parameters,
             target_executor=target_executor,
         )
+        from marie_tpu.serve.instrumentation import tracing
+
         async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
             stub = ch.unary_unary(
                 _PROCESS_DATA,
                 request_serializer=lambda r: r.to_bytes(),
                 response_deserializer=DataRequest.from_bytes,
             )
-            resp: DataRequest = await stub(req, timeout=timeout, metadata=self._metadata)
+            with tracing.start_span(
+                "client/post", {"endpoint": on, "request_id": req.request_id}
+            ):
+                resp: DataRequest = await stub(
+                    req, timeout=timeout,
+                    metadata=tracing.inject_metadata(self._metadata) or None,
+                )
         if resp.is_error():
             st = resp.proto.header.status
             raise BadServer(

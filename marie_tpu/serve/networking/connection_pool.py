@@ -133,7 +133,12 @@ class GrpcConnectionPool:
                     request_serializer=lambda r: r.to_bytes(),
                     response_deserializer=DataRequest.from_bytes,
                 )
-                resp = await stub(req, timeout=timeout)
+                from marie_tpu.serve.instrumentation import tracing
+
+                resp = await stub(
+                    req, timeout=timeout,
+                    metadata=tracing.inject_metadata(None) or None,
+                )
                 if (
                     resp.is_error()
                     and resp.proto.header.status.exception.executor == "raft"

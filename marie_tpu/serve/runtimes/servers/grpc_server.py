@@ -84,15 +84,29 @@ class GRPCServer:
     async def setup_server(self) -> None:
         self.server = grpc.aio.server(options=_GRPC_OPTIONS)
 
+        from marie_tpu.serve.instrumentation import tracing
+
+        async def _traced_process(request: DataRequest, context) -> DataRequest:
+            # adopt the caller's W3C traceparent (reference
+            # _extract_tracing_context, worker request_handling.py:1158)
+            parent = tracing.extract_metadata(context.invocation_metadata())
+            with tracing.activate(parent):
+                with tracing.start_span(
+                    f"rpc/{getattr(self.req_handler, 'name', 'handler')}",
+                    {"request_id": request.request_id,
+                     "endpoint": request.exec_endpoint},
+                ):
+                    return await self.req_handler.process_data([request])
+
         async def process_data(request: DataRequest, context) -> DataRequest:
-            return await self.req_handler.process_data([request])
+            return await _traced_process(request, context)
 
         async def process_single_data(request: DataRequest, context) -> DataRequest:
-            return await self.req_handler.process_data([request])
+            return await _traced_process(request, context)
 
         async def call_stream(request_iterator, context):
             async for req in request_iterator:
-                yield await self.req_handler.process_data([req])
+                yield await _traced_process(req, context)
 
         async def endpoint_discovery(request, context) -> bytes:
             eps = self.req_handler.endpoints()

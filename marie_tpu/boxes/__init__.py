@@ -6,6 +6,18 @@ __all__ = [
     "BoxProcessor",
     "PSMode",
     "BoxProcessorCraft",
+    "BoxProcessorTextFuseNet",
     "line_merge",
     "find_line_number",
 ]
+
+
+def __getattr__(name):
+    # lazy: the fusion detector pulls in roi_align/flax only when used
+    if name == "BoxProcessorTextFuseNet":
+        from marie_tpu.boxes.textfusenet_box_processor import (
+            BoxProcessorTextFuseNet,
+        )
+
+        return BoxProcessorTextFuseNet
+    raise AttributeError(name)

@@ -1,0 +1,154 @@
+"""TextFuseNet box processor — multi-level fusion detection in ONE program.
+
+Counterpart of the reference's TextFuseNet detector (vendored detectron2
+fork under ``/root/reference/marie/models/textfusenet/`` — Mask R-CNN
+with a seg-head global context and a per-instance multi-path fuse
+module).  The TPU program: FPN dense forward -> word-heatmap
+connected-components -> static top-K word candidates -> char-heatmap CC
+-> top-M char candidates -> vectorised multi-path fusion (word ROI +
+contained-char mean + global-context ROI) -> refined per-word score and
+box.  No proposal loops, no dynamic instance lists — the whole page
+compiles to one XLA program per bucket.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from marie_tpu.boxes.box_processor import BoxProcessor
+from marie_tpu.models.textfusenet import TextFuseNet, TextFuseNetConfig
+from marie_tpu.ops import component_boxes, connected_components
+from marie_tpu.preprocess import BucketSpec, pad_to
+from marie_tpu.preprocess.ops import normalize_page
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _tfn_detect_jit(model, variables, page_u8, word_threshold, low_text,
+                    char_threshold):
+    cfg = model.cfg
+    rgb = normalize_page(page_u8)
+    out = model.apply(variables, rgb[None])
+    word_region = out["word"][0, ..., 0]
+    word_affinity = out["word"][0, ..., 1]
+    char_map = out["char"][0, ..., 0]
+
+    # word candidates: region|affinity CC (CRAFT post-processing shape)
+    wmask = (word_region > low_text) | (word_affinity > low_text)
+    wstats = component_boxes(
+        connected_components(wmask), word_region,
+        max_components=cfg.max_words,
+    )
+    # char candidates
+    cstats = component_boxes(
+        connected_components(char_map > char_threshold), char_map,
+        max_components=cfg.max_chars,
+    )
+    word_valid = wstats["valid"] & (wstats["scores"] >= word_threshold)
+    score, refined = model.apply(
+        variables,
+        out["p3"][0],
+        out["seg_feat"][0],
+        wstats["boxes"].astype(jnp.float32),
+        word_valid,
+        cstats["boxes"].astype(jnp.float32),
+        cstats["valid"],
+        method=TextFuseNet.fuse,
+    )
+    return {
+        "boxes": refined,                   # [K,4] xyxy stride-4 grid
+        "heat_boxes": wstats["boxes"],      # [K,4] pre-refinement
+        "scores": score,                    # [K] fused text/noise score
+        "heat_scores": wstats["scores"],
+        "areas": wstats["areas"],
+        "valid": word_valid,
+        "char_boxes": cstats["boxes"],
+        "char_valid": cstats["valid"],
+        "seg": jax.nn.sigmoid(out["seg_logits"][0, ..., 0]),
+    }
+
+
+class BoxProcessorTextFuseNet(BoxProcessor):
+    """Multi-branch fusion detector with the shared box pipeline."""
+
+    def __init__(
+        self,
+        work_dir: str = "/tmp/boxes",
+        models_dir: str = "",
+        config: Optional[TextFuseNetConfig] = None,
+        variables=None,
+        word_threshold: float = 0.6,
+        low_text: float = 0.4,
+        char_threshold: float = 0.5,
+        fuse_threshold: float = 0.5,
+        min_area: int = 4,
+        page_hw: Tuple[int, int] = (1024, 768),
+        bucket_spec: Optional[BucketSpec] = None,
+        **kwargs,
+    ):
+        super().__init__(work_dir, models_dir, **kwargs)
+        if variables is None and config is None:
+            # default: the in-repo synthetic-trained checkpoint
+            # (scripts/train_textfusenet.py -> model_zoo/textfusenet-synth)
+            from marie_tpu.registry.zoo import zoo_params
+
+            variables = zoo_params("textfusenet-synth")
+            if variables is not None:
+                config = TextFuseNetConfig.synth()
+        self.config = config or TextFuseNetConfig.synth()
+        self.model = TextFuseNet(self.config)
+        self.word_threshold = word_threshold
+        self.low_text = low_text
+        self.char_threshold = char_threshold
+        self.fuse_threshold = fuse_threshold
+        self.min_area = min_area
+        self.buckets = bucket_spec or BucketSpec(shapes=(tuple(page_hw),))
+        if variables is None:
+            h, w = page_hw
+            dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+            variables = jax.jit(
+                self.model.init,
+                static_argnames=("method",),
+            )(jax.random.PRNGKey(0), dummy, method="init_probe")
+        self.variables = variables
+
+    def detect_words(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        h, w = image.shape[:2]
+        (bh, bw), scale = self.buckets.fit_with_scale(h, w)
+        if scale < 1.0:
+            import cv2
+
+            image = cv2.resize(
+                image, (int(w * scale), int(h * scale)),
+                interpolation=cv2.INTER_AREA,
+            )
+        padded = pad_to(image, bh, bw)
+        stats = jax.device_get(
+            _tfn_detect_jit(
+                self.model, self.variables, jnp.asarray(padded),
+                self.word_threshold, self.low_text, self.char_threshold,
+            )
+        )
+        keep = (
+            stats["valid"]
+            & (stats["scores"] >= self.fuse_threshold)
+            & (stats["areas"] >= self.min_area)
+        )
+        boxes = stats["boxes"][keep] * 4.0 / scale  # head stride 4
+        scores = (
+            stats["scores"][keep] * stats["heat_scores"][keep]
+        ) ** 0.5  # geometric mean of heatmap + fused confidence
+        xywh = np.stack(
+            [
+                np.clip(boxes[:, 0], 0, w),
+                np.clip(boxes[:, 1], 0, h),
+                np.clip(boxes[:, 2], 0, w) - np.clip(boxes[:, 0], 0, w),
+                np.clip(boxes[:, 3], 0, h) - np.clip(boxes[:, 1], 0, h),
+            ],
+            axis=-1,
+        )
+        ok = (xywh[:, 2] > 0) & (xywh[:, 3] > 0)
+        return xywh[ok], scores[ok]

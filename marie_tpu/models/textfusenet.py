@@ -1,0 +1,237 @@
+"""TextFuseNet-analog multi-level fusion text detector (TPU-native).
+
+Counterpart of the reference's TextFuseNet
+(``/root/reference/marie/models/textfusenet/detectron2/modeling/roi_heads/
+mutil_path_fuse_module.py`` and ``seg_head.py``): a Mask R-CNN whose mask
+features for each *word* instance are enriched by (a) the mean features
+of the *character* instances contained in it (pairwise
+inter-area/char-area > 0.9) and (b) a *global* semantic-segmentation
+context pooled from FPN-fused features.
+
+TPU re-design (no two-stage proposal loop, no dynamic instance lists):
+
+* a small conv FPN backbone produces P2(/4), P3(/8), P4(/16);
+* three DENSE branches at stride 4 — word region+affinity heatmap
+  (CRAFT supervision), character-center heatmap, and a global text/
+  non-text segmentation map whose pre-logit features are the "global
+  context" tensor;
+* candidate word boxes and char boxes come from the shared on-device
+  connected-components post-processing (static top-K / top-M slots);
+* the fuse module is fully vectorised: a [K, M] containment matrix
+  (inter_area / char_area > 0.9, exactly the reference predicate)
+  gathers a masked mean of char ROI features per word, added to the
+  word's own ROI features and the ROI-pooled global context, then
+  refined by conv3x3 -> conv1x1 -> GroupNorm -> relu into a per-word
+  text/noise score and a box delta.
+
+Everything is static-shape and jit-compiles to ONE program per page
+bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from marie_tpu.models.craft import ConvBNRelu, VGGStage, _resize
+from marie_tpu.ops.roi_align import roi_align
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class TextFuseNetConfig:
+    channels: int = 64          # FPN / fuse-module channel width
+    backbone_widths: Tuple[int, int, int] = (32, 64, 128)
+    pool: int = 7               # ROI pooler resolution (reference: 14 for
+    #                             masks, 7 for boxes; one size fits both here)
+    max_words: int = 128        # K static word-instance slots
+    max_chars: int = 512        # M static char-instance slots
+    contain_thresh: float = 0.9  # reference predicate inter/self > 0.9
+
+    @staticmethod
+    def synth() -> "TextFuseNetConfig":
+        return TextFuseNetConfig()
+
+
+class _FPN(nn.Module):
+    """3-level conv backbone + top-down FPN -> (P2/4, P3/8, P4/16)."""
+
+    cfg: TextFuseNetConfig
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False):
+        w2, w3, w4 = self.cfg.backbone_widths
+        c = self.cfg.channels
+        # stem /2
+        x = ConvBNRelu(w2)(x, train)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        c2 = VGGStage(w2, 2)(x, train)                    # /2
+        x = nn.max_pool(c2, (2, 2), strides=(2, 2))
+        c3 = VGGStage(w3, 2)(x, train)                    # /4
+        x = nn.max_pool(c3, (2, 2), strides=(2, 2))
+        c4 = VGGStage(w4, 2)(x, train)                    # /8
+        x = nn.max_pool(c4, (2, 2), strides=(2, 2))
+        c5 = VGGStage(w4, 2)(x, train)                    # /16
+        # lateral 1x1 + top-down add (classic FPN)
+        p5 = nn.Conv(c, (1, 1), name="lat5")(c5)
+        p4 = nn.Conv(c, (1, 1), name="lat4")(c4) + _resize(p5, c4.shape[1:3])
+        p3 = nn.Conv(c, (1, 1), name="lat3")(c3) + _resize(p4, c3.shape[1:3])
+        p3 = nn.Conv(c, (3, 3), padding="SAME", name="smooth3")(p3)
+        p4 = nn.Conv(c, (3, 3), padding="SAME", name="smooth4")(p4)
+        return p3, p4, p5  # strides 4, 8, 16
+
+
+class TextFuseNet(nn.Module):
+    """Dense multi-branch detector with instance-level feature fusion."""
+
+    cfg: TextFuseNetConfig
+
+    def setup(self):
+        c = self.cfg.channels
+        self.fpn = _FPN(self.cfg)
+        # dense branches at /4
+        self.word_convs = [ConvBNRelu(c) for _ in range(2)]
+        self.word_out = nn.Conv(2, (1, 1), name="word_logits")   # region+affinity
+        self.char_convs = [ConvBNRelu(c) for _ in range(2)]
+        self.char_out = nn.Conv(1, (1, 1), name="char_logits")
+        # global seg head: fuse all levels at /4 (seg_head.py:66-77)
+        self.seg_lat = [nn.Conv(c, (1, 1)) for _ in range(3)]
+        self.seg_convs = [ConvBNRelu(c) for _ in range(2)]
+        self.seg_out = nn.Conv(1, (1, 1), name="seg_logits")
+        # fuse module convs (mutil_path_fuse_module.py:47-63)
+        self.char_c3 = nn.Conv(c, (3, 3), padding="SAME", use_bias=False)
+        self.char_c1 = nn.Conv(c, (1, 1), use_bias=False)
+        self.fuse_c3 = nn.Conv(c, (3, 3), padding="SAME", use_bias=False)
+        self.fuse_c1 = nn.Conv(c, (1, 1), use_bias=False)
+        self.fuse_gn = nn.GroupNorm(num_groups=8)
+        # refinement heads over fused [K, pool, pool, c]
+        self.score_head = nn.Dense(1)
+        self.delta_head = nn.Dense(4)
+
+    def dense(self, images: Array, train: bool = False):
+        """[B,H,W,3] float 0..1 -> dense maps at stride 4.
+
+        Returns dict: word [B,h,w,2] sigmoid, char [B,h,w,1] sigmoid,
+        seg_logits [B,h,w,1], seg_feat [B,h,w,C], p3 [B,h,w,C].
+        """
+        p3, p4, p5 = self.fpn(images, train)
+        x = p3
+        for conv in self.word_convs:
+            x = conv(x, train)
+        word = nn.sigmoid(self.word_out(x))
+        x = p3
+        for conv in self.char_convs:
+            x = conv(x, train)
+        char = nn.sigmoid(self.char_out(x))
+        # global fused features: conv1x1 each level, resize to /4, sum
+        seg = self.seg_lat[0](p3)
+        seg = seg + _resize(self.seg_lat[1](p4), p3.shape[1:3])
+        seg = seg + _resize(self.seg_lat[2](p5), p3.shape[1:3])
+        for conv in self.seg_convs:
+            seg = conv(seg, train)
+        return {
+            "word": word,
+            "char": char,
+            "seg_logits": self.seg_out(seg),
+            "seg_feat": seg,
+            "p3": p3,
+        }
+
+    def fuse(
+        self,
+        p3: Array,          # [h, w, C] stride-4 features (single page)
+        seg_feat: Array,    # [h, w, C] global-context features
+        word_boxes: Array,  # [K, 4] xyxy in stride-4 grid coords
+        word_valid: Array,  # [K] bool
+        char_boxes: Array,  # [M, 4] xyxy in stride-4 grid coords
+        char_valid: Array,  # [M] bool
+    ):
+        """Multi-path fusion -> (score [K] in 0..1, refined boxes [K,4]).
+
+        Vectorised analog of Mutil_Path_Fuse_Module.forward: word ROI
+        features + masked mean of contained char ROI features + global
+        context ROI, then conv3x3/conv1x1/norm/relu and two small heads.
+        """
+        cfg = self.cfg
+        pool = cfg.pool
+
+        def _pool_rois(feat_hwc, boxes):
+            # roi_align API: features [N,C,H,W], rois [K,5] with batch idx
+            nchw = feat_hwc.transpose(2, 0, 1)[None]
+            rois = jnp.concatenate(
+                [jnp.zeros((boxes.shape[0], 1), boxes.dtype), boxes], axis=-1
+            )
+            out = roi_align(nchw, rois, output_size=pool)    # [K,C,p,p]
+            return out.transpose(0, 2, 3, 1)                 # [K,p,p,C]
+
+        w_feat = _pool_rois(p3, word_boxes)                  # [K,p,p,C]
+        c_feat = _pool_rois(p3, char_boxes)                  # [M,p,p,C]
+        g_feat = _pool_rois(seg_feat, word_boxes)            # [K,p,p,C]
+
+        # containment: inter_area / char_area > 0.9  (reference
+        # get_selfarea_and_interarea + char_pos predicate)
+        lt = jnp.maximum(word_boxes[:, None, :2], char_boxes[None, :, :2])
+        rb = jnp.minimum(word_boxes[:, None, 2:], char_boxes[None, :, 2:])
+        wh = jnp.clip(rb - lt, 0.0)
+        inter = wh[..., 0] * wh[..., 1]                      # [K, M]
+        char_area = jnp.clip(
+            (char_boxes[:, 2] - char_boxes[:, 0])
+            * (char_boxes[:, 3] - char_boxes[:, 1]),
+            1e-6,
+        )
+        contains = (inter / char_area[None, :]) > cfg.contain_thresh
+        contains = contains & word_valid[:, None] & char_valid[None, :]
+
+        # masked mean of char features per word; fall back to the word's
+        # own features when no char lands inside (reference else-branch)
+        wmask = contains.astype(p3.dtype)                    # [K, M]
+        denom = jnp.clip(wmask.sum(-1), 1.0)                 # [K]
+        char_mean = jnp.einsum("km,mijc->kijc", wmask, c_feat) / denom[
+            :, None, None, None
+        ]
+        has_char = contains.any(-1)
+        char_ctx = jnp.where(
+            has_char[:, None, None, None], char_mean, w_feat
+        )
+        char_ctx = self.char_c1(self.char_c3(char_ctx))
+
+        fused = char_ctx + w_feat + g_feat
+        fused = self.fuse_c1(self.fuse_c3(fused))
+        fused = nn.relu(self.fuse_gn(fused))
+
+        flat = fused.mean(axis=(1, 2))                       # [K, C]
+        score = nn.sigmoid(self.score_head(flat)[:, 0])
+        deltas = self.delta_head(flat)                       # [K, 4]
+        # deltas refine (cx, cy, log w, log h) like Faster R-CNN
+        cx = (word_boxes[:, 0] + word_boxes[:, 2]) * 0.5
+        cy = (word_boxes[:, 1] + word_boxes[:, 3]) * 0.5
+        bw = jnp.clip(word_boxes[:, 2] - word_boxes[:, 0], 1e-3)
+        bh = jnp.clip(word_boxes[:, 3] - word_boxes[:, 1], 1e-3)
+        ncx = cx + deltas[:, 0] * bw
+        ncy = cy + deltas[:, 1] * bh
+        nw = bw * jnp.exp(jnp.clip(deltas[:, 2], -2.0, 2.0))
+        nh = bh * jnp.exp(jnp.clip(deltas[:, 3], -2.0, 2.0))
+        refined = jnp.stack(
+            [ncx - nw / 2, ncy - nh / 2, ncx + nw / 2, ncy + nh / 2], axis=-1
+        )
+        return score, refined
+
+    def __call__(self, images: Array, train: bool = False):
+        return self.dense(images, train)
+
+    def init_probe(self, images: Array):
+        """Trace dense + fuse so ``init`` creates every parameter."""
+        out = self.dense(images)
+        k, m = self.cfg.max_words, self.cfg.max_chars
+        boxes = jnp.tile(jnp.asarray([[0.0, 0.0, 4.0, 4.0]]), (k, 1))
+        cboxes = jnp.tile(jnp.asarray([[0.0, 0.0, 2.0, 2.0]]), (m, 1))
+        self.fuse(
+            out["p3"][0], out["seg_feat"][0],
+            boxes, jnp.ones((k,), bool), cboxes, jnp.ones((m,), bool),
+        )
+        return out

@@ -76,11 +76,73 @@ class LayoutDocumentIndexer(BaseDocumentIndexer):
         self.params = params
         self._fwd = jax.jit(lambda p, t, b, s: self.model.apply(p, t, b, s, None))
 
-    def index(self, pages: Sequence[PageInput]) -> List[Dict[str, Any]]:
+    def index(
+        self,
+        pages: Sequence[PageInput],
+        entities_to_group: Optional[Sequence[Dict[str, Any]]] = None,
+        validate: bool = True,
+    ) -> List[Dict[str, Any]]:
+        """Per page: {"entities": [...], "groups": {...}}.
+
+        ``entities_to_group`` definitions ([{"name", "entities"}], the
+        reference's composite-entity config) turn word-level predictions
+        into line-aggregated EntityGroups; registered validators add
+        ``normalized``/``valid`` fields per entity (reference
+        transformers.py:703 + validator.py).
+        """
         out = []
         for page in pages:
-            out.append(self._index_page(page))
+            result = self._index_page(page)
+            if validate:
+                self._apply_validators(result["entities"])
+            if entities_to_group and page.boxes:
+                result["groups"] = self._group_entities(
+                    page, result, entities_to_group
+                )
+            out.append(result)
         return out
+
+    def _apply_validators(self, entities: List[Dict[str, Any]]) -> None:
+        from marie_tpu.components.document_indexer.validator import (
+            get_validator,
+        )
+
+        for e in entities:
+            v = get_validator(e["label"])
+            if v is None:
+                continue
+            try:
+                e["normalized"] = v(e["text"])
+                e["valid"] = True
+            except ValueError as err:
+                e["valid"] = False
+                e["validation_error"] = str(err)
+
+    def _group_entities(self, page, result, definitions):
+        import dataclasses
+
+        from marie_tpu.boxes.line_processor import line_merge
+        from marie_tpu.components.document_indexer.aggregation import (
+            group_composites,
+        )
+
+        n = len(page.words)
+        # word-level BIO tags from the decoded entities
+        predictions = ["O"] * n
+        scores = [0.0] * n
+        for e in result["entities"]:
+            s, t = e["word_span"]
+            for i in range(s, min(t, n)):
+                predictions[i] = ("B-" if i == s else "I-") + e["label"]
+                scores[i] = e["score"]
+        lines_bboxes = line_merge(np.zeros((1, 1), np.uint8), page.boxes)
+        groups = group_composites(
+            definitions, lines_bboxes, page.boxes, predictions, scores
+        )
+        return {
+            name: [dataclasses.asdict(g) for g in gs]
+            for name, gs in groups.items()
+        }
 
     def _index_page(self, page: PageInput) -> Dict[str, Any]:
         n = len(page.words)

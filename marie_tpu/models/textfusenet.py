@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from marie_tpu.models.craft import ConvBNRelu, VGGStage, _resize
-from marie_tpu.ops.roi_align import roi_align
+from marie_tpu.ops.roi_align import roi_align_single
 
 Array = jnp.ndarray
 
@@ -161,12 +161,10 @@ class TextFuseNet(nn.Module):
         pool = cfg.pool
 
         def _pool_rois(feat_hwc, boxes):
-            # roi_align API: features [N,C,H,W], rois [K,5] with batch idx
-            nchw = feat_hwc.transpose(2, 0, 1)[None]
-            rois = jnp.concatenate(
-                [jnp.zeros((boxes.shape[0], 1), boxes.dtype), boxes], axis=-1
-            )
-            out = roi_align(nchw, rois, output_size=pool)    # [K,C,p,p]
+            # single-map variant: backward stays one scatter-add
+            out = roi_align_single(
+                feat_hwc.transpose(2, 0, 1), boxes, output_size=pool
+            )                                                # [K,C,p,p]
             return out.transpose(0, 2, 3, 1)                 # [K,p,p,C]
 
         w_feat = _pool_rois(p3, word_boxes)                  # [K,p,p,C]

@@ -38,6 +38,25 @@ def find_overlap_vertical(
     return [arr[i].tolist() for i in idx], idx.tolist(), [float(scores[i]) for i in idx]
 
 
+def find_overlap_horizontal(
+    box: Sequence[float], candidates: Sequence[Sequence[float]]
+) -> Tuple[List[List[float]], List[int], List[float]]:
+    """Boxes whose x-interval overlaps ``box``'s (reference semantics):
+    returns (overlapping boxes, their indexes, x-interval IoU scores)."""
+    if len(candidates) == 0:
+        return [], [], []
+    arr = np.asarray(candidates, dtype=np.float64)
+    x0, x1 = box[0], box[0] + box[2]
+    c0 = arr[:, 0]
+    c1 = arr[:, 0] + arr[:, 2]
+    inter = np.maximum(0.0, np.minimum(x1, c1) - np.maximum(x0, c0))
+    union = (x1 - x0) + (c1 - c0) - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scores = np.where(union > 0, inter / union, 0.0)
+    idx = np.nonzero(inter > 0)[0]
+    return [arr[i].tolist() for i in idx], idx.tolist(), [float(scores[i]) for i in idx]
+
+
 def compute_iou(box_a: Sequence[float], box_b: Sequence[float]) -> float:
     """IoU of two xyxy boxes."""
     ax0, ay0, ax1, ay1 = box_a

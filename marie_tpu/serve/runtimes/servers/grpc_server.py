@@ -60,6 +60,15 @@ def _guard_stream(fn, check_auth):
     return wrapped
 
 
+def _guard_unary_stream(fn, check_auth):
+    async def wrapped(request, context):
+        await check_auth(context)
+        async for item in fn(request, context):
+            yield item
+
+    return wrapped
+
+
 class GRPCServer:
     """Serves a request handler (worker / gateway / head) over gRPC."""
 
@@ -79,6 +88,9 @@ class GRPCServer:
         self.logger = MarieLogger(f"GRPCServer/{name}")
         self.server: Optional[grpc.aio.Server] = None
         self.health = _HealthServicer()
+        # id -> serialized status proto, for the *Progress services
+        self._snapshot_status: dict = {}
+        self._restore_status: dict = {}
 
     # ------------------------------------------------------------------
     async def setup_server(self) -> None:
@@ -133,6 +145,33 @@ class GRPCServer:
                 st.description = repr(ex)
             return st.SerializeToString()
 
+        async def stream_doc(request: bytes, context):
+            """JinaSingleDocumentRequestRPC.stream_doc parity
+            (jina.proto:186-191): one document in, a stream of processed
+            documents out."""
+            from marie_tpu.types.docs import Document, DocumentArray
+
+            single = marie_pb2.SingleDocumentRequestProto()
+            single.ParseFromString(request)
+            req = DataRequest()
+            if single.header.request_id:
+                req.request_id = single.header.request_id
+            if single.header.exec_endpoint:
+                req.exec_endpoint = single.header.exec_endpoint
+            if single.parameters:
+                req.parameters = json.loads(single.parameters.decode())
+            if single.document:
+                req.docs = DocumentArray(
+                    [Document.from_json(single.document.decode())]
+                )
+            resp = await _traced_process(req, context)
+            for doc in resp.docs:
+                out = marie_pb2.SingleDocumentRequestProto()
+                out.header.CopyFrom(resp.proto.header)
+                out.parameters = single.parameters
+                out.document = doc.to_json().encode()
+                yield out.SerializeToString()
+
         async def snapshot(request: bytes, context) -> bytes:
             """JinaExecutorSnapshot parity: trigger executor snapshot."""
             import uuid
@@ -150,6 +189,33 @@ class GRPCServer:
             except Exception as ex:  # noqa: BLE001
                 self.logger.error(f"snapshot failed: {ex!r}")
                 proto.status = marie_pb2.SnapshotStatusProto.FAILED
+            self._snapshot_status[proto.id.value] = bytes(
+                proto.SerializeToString()
+            )
+            return proto.SerializeToString()
+
+        async def snapshot_status(request: bytes, context) -> bytes:
+            """JinaExecutorSnapshotProgress parity (jina.proto:283-288)."""
+            sid = marie_pb2.SnapshotId()
+            sid.ParseFromString(request)
+            known = self._snapshot_status.get(sid.value)
+            if known is not None:
+                return known
+            proto = marie_pb2.SnapshotStatusProto()
+            proto.id.value = sid.value
+            proto.status = marie_pb2.SnapshotStatusProto.NOT_FOUND
+            return proto.SerializeToString()
+
+        async def restore_status(request: bytes, context) -> bytes:
+            """JinaExecutorRestoreProgress parity (jina.proto:330)."""
+            rid = marie_pb2.RestoreId()
+            rid.ParseFromString(request)
+            known = self._restore_status.get(rid.value)
+            if known is not None:
+                return known
+            proto = marie_pb2.RestoreSnapshotStatusProto()
+            proto.id.value = rid.value
+            proto.status = marie_pb2.SnapshotStatusProto.NOT_FOUND
             return proto.SerializeToString()
 
         async def restore(request: bytes, context) -> bytes:
@@ -178,6 +244,9 @@ class GRPCServer:
             except Exception as ex:  # noqa: BLE001
                 self.logger.error(f"restore failed: {ex!r}")
                 proto.status = marie_pb2.SnapshotStatusProto.FAILED
+            self._restore_status[proto.id.value] = bytes(
+                proto.SerializeToString()
+            )
             return proto.SerializeToString()
 
         ident = lambda b: b  # noqa: E731 — raw-bytes (de)serializer
@@ -225,13 +294,24 @@ class GRPCServer:
                     response_serializer=_req_serializer,
                 ),
             },
+            "jina.JinaSingleDocumentRequestRPC": {
+                "stream_doc": grpc.unary_stream_rpc_method_handler(
+                    _guard_unary_stream(stream_doc, _check_auth),
+                ),
+            },
             "jina.JinaDiscoverEndpointsRPC": {
                 "endpoint_discovery": unary(endpoint_discovery),
             },
             "jina.JinaInfoRPC": {"_status": unary(status)},
             "jina.JinaGatewayDryRunRPC": {"dry_run": unary(dry_run)},
             "jina.JinaExecutorSnapshot": {"snapshot": unary(snapshot)},
+            "jina.JinaExecutorSnapshotProgress": {
+                "snapshot_status": unary(snapshot_status),
+            },
             "jina.JinaExecutorRestore": {"restore": unary(restore)},
+            "jina.JinaExecutorRestoreProgress": {
+                "restore_status": unary(restore_status),
+            },
             # health probes stay open so orchestrators can see readiness
             "grpc.health.v1.Health": {
                 "Check": unary(self.health.check, guarded=False)

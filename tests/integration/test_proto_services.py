@@ -49,6 +49,10 @@ def test_proto_declares_the_full_service_surface():
     assert "/jina.JinaInfoRPC/_status" in services
     assert "/jina.JinaExecutorSnapshot/snapshot" in services
     assert "/jina.JinaExecutorRestore/restore" in services
+    # full 10-service reference surface (jina.proto:166-330)
+    assert services["/jina.JinaSingleDocumentRequestRPC/stream_doc"][0] is True
+    assert "/jina.JinaExecutorSnapshotProgress/snapshot_status" in services
+    assert "/jina.JinaExecutorRestoreProgress/restore_status" in services
     # request/response types all resolve to generated message classes
     for _, req_t, resp_t in services.values():
         assert hasattr(marie_pb2, req_t), req_t
@@ -126,6 +130,22 @@ def test_proto_derived_stubs_roundtrip_live_server():
                 info = await stub("/jina.JinaInfoRPC/_status")(marie_pb2.Empty())
                 assert json.loads(info.jina)  # version table parses
 
+                # single-document server stream
+                sreq = marie_pb2.SingleDocumentRequestProto()
+                sreq.header.exec_endpoint = "/echo"
+                sreq.parameters = b"{}"
+                sreq.document = json.dumps({"id": "d0", "text": "one"}).encode()
+                sd = ch.unary_stream(
+                    "/jina.JinaSingleDocumentRequestRPC/stream_doc",
+                    request_serializer=lambda m: m.SerializeToString(),
+                    response_deserializer=(
+                        marie_pb2.SingleDocumentRequestProto.FromString
+                    ),
+                )
+                stream_docs = [r async for r in sd(sreq)]
+                assert len(stream_docs) == 1
+                assert json.loads(stream_docs[0].document)["text"] == "echo:one"
+
         asyncio.run(drive())
 
     # snapshot/restore against an executor that implements the hooks
@@ -154,6 +174,42 @@ def test_proto_derived_stubs_roundtrip_live_server():
                 )
                 rst = await rst_stub(cmd)
                 assert rst.status == marie_pb2.SnapshotStatusProto.SUCCEEDED
+
+                # progress services report the recorded status by id,
+                # NOT_FOUND for unknown ids
+                snap_prog = ch.unary_unary(
+                    "/jina.JinaExecutorSnapshotProgress/snapshot_status",
+                    request_serializer=lambda m: m.SerializeToString(),
+                    response_deserializer=(
+                        marie_pb2.SnapshotStatusProto.FromString
+                    ),
+                )
+                sid = marie_pb2.SnapshotId()
+                sid.value = snap.id.value
+                got = await snap_prog(sid)
+                assert got.status == marie_pb2.SnapshotStatusProto.SUCCEEDED
+                assert got.snapshot_file == snap.snapshot_file
+                sid.value = "no-such-snapshot"
+                assert (
+                    await snap_prog(sid)
+                ).status == marie_pb2.SnapshotStatusProto.NOT_FOUND
+
+                rst_prog = ch.unary_unary(
+                    "/jina.JinaExecutorRestoreProgress/restore_status",
+                    request_serializer=lambda m: m.SerializeToString(),
+                    response_deserializer=(
+                        marie_pb2.RestoreSnapshotStatusProto.FromString
+                    ),
+                )
+                rid = marie_pb2.RestoreId()
+                rid.value = rst.id.value
+                assert (
+                    await rst_prog(rid)
+                ).status == marie_pb2.SnapshotStatusProto.SUCCEEDED
+                rid.value = "no-such-restore"
+                assert (
+                    await rst_prog(rid)
+                ).status == marie_pb2.SnapshotStatusProto.NOT_FOUND
 
         asyncio.run(drive_snapshot())
 

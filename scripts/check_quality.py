@@ -180,8 +180,81 @@ def main() -> int:
             }
             print(f"{dist}/{name}: {table[f'{dist}/{name}']}", file=sys.stderr, flush=True)
 
+    # detector-only quality for the alternative trained detectors
+    for det_name, evaluator in (("textfusenet", _eval_textfusenet),):
+        try:
+            row = evaluator(args.pages, args.seed)
+            if row:
+                table[f"detector/{det_name}"] = row
+                print(f"detector/{det_name}: {row}", file=sys.stderr, flush=True)
+        except Exception as ex:  # noqa: BLE001 — optional checkpoint
+            print(f"detector/{det_name} skipped: {ex!r}", file=sys.stderr)
+
     print(json.dumps({"pages_per_config": args.pages, "quality": table}, indent=1))
     return 0
+
+
+def _eval_textfusenet(n_pages: int, seed: int):
+    """Detection-only eval of the trained TextFuseNet-analog checkpoint
+    on held-out synthetic pages (recall/precision/IoU at 0.4)."""
+    import numpy as np
+
+    from marie_tpu.boxes.textfusenet_box_processor import (
+        BoxProcessorTextFuseNet,
+    )
+    from marie_tpu.preprocess import BucketSpec
+    from marie_tpu.registry.zoo import zoo_checkpoint
+    from marie_tpu.train.textfusenet import render_page_tfn
+
+    if zoo_checkpoint("textfusenet-synth") is None:
+        return None
+    proc = BoxProcessorTextFuseNet(
+        page_hw=(512, 384), bucket_spec=BucketSpec(shapes=((512, 384),))
+    )
+    rng = np.random.default_rng(seed + 766)
+    tp = fp = fn = 0
+    ious = []
+    for _ in range(n_pages):
+        page, _, wb, wv, _, _ = render_page_tfn(rng, (512, 384))
+        gt = wb[wv]
+        boxes, _ = proc.detect_words(page)
+        pred = (
+            np.stack(
+                [boxes[:, 0], boxes[:, 1],
+                 boxes[:, 0] + boxes[:, 2], boxes[:, 1] + boxes[:, 3]], -1
+            )
+            if len(boxes)
+            else np.zeros((0, 4))
+        )
+        used = np.zeros(len(pred), bool)
+        for g in gt:
+            best, bi = 0.0, -1
+            for i, p in enumerate(pred):
+                if used[i]:
+                    continue
+                ix = max(0.0, min(g[2], p[2]) - max(g[0], p[0]))
+                iy = max(0.0, min(g[3], p[3]) - max(g[1], p[1]))
+                inter = ix * iy
+                u = (
+                    (g[2] - g[0]) * (g[3] - g[1])
+                    + (p[2] - p[0]) * (p[3] - p[1])
+                    - inter
+                )
+                iou = inter / u if u > 0 else 0.0
+                if iou > best:
+                    best, bi = iou, i
+            if best >= 0.4:
+                tp += 1
+                used[bi] = True
+                ious.append(best)
+            else:
+                fn += 1
+        fp += int((~used).sum())
+    return {
+        "detection_recall": round(tp / max(tp + fn, 1), 3),
+        "detection_precision": round(tp / max(tp + fp, 1), 3),
+        "detection_iou": round(float(np.mean(ious)) if ious else 0.0, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from marie_tpu.boxes.box_processor import BoxProcessor
 from marie_tpu.models.configs import CraftConfig
 from marie_tpu.models.craft import CRAFT
-from marie_tpu.ops import component_boxes, connected_components
+from marie_tpu.ops import component_boxes_reduce, connected_components
 from marie_tpu.preprocess import BucketSpec, pad_to
 from marie_tpu.preprocess.ops import normalize_page
 
@@ -79,8 +79,11 @@ def _detect_jit(
         mask = (region > low_text) | (affinity > link_threshold)
         scores = region
         stride = 2
+    # sort-free box stats: top_k reps + masked broadcast-reductions beat
+    # the 4-operand full-pixel sort at the production K (<=1024 slots on a
+    # 512x384 grid); outputs identical (test_ops_roi_cc.py parity test)
     labels = connected_components(mask)
-    stats = component_boxes(labels, scores, max_components=max_components)
+    stats = component_boxes_reduce(labels, scores, max_components=max_components)
     stats["stride"] = jnp.asarray(stride, jnp.int32)
     return stats
 

@@ -118,13 +118,20 @@ def _init_self_caches(cfg: DecoderConfig, batch: int, dtype=jnp.float32):
 
 @partial(jax.jit, static_argnames=("model", "max_steps"))
 def greedy_decode(model: TrOCRModel, params, images: Array,
-                  max_steps: int | None = None):
+                  max_steps: int | None = None, active: Array | None = None):
     """Batched greedy decode, one compiled program.
 
-    ``max_steps`` (<= decoder.max_len) bounds the scan — word crops have a
-    geometric character budget (crop_width / char_width), so fewer steps
+    ``max_steps`` (<= decoder.max_len) bounds the decode — word crops have
+    a geometric character budget (crop_width / char_width), so fewer steps
     than the architectural max are usually sufficient and decode cost is
-    linear in steps.
+    linear in steps.  The step loop is a ``lax.while_loop`` that EXITS
+    EARLY once every row has emitted EOS: real words average well under
+    the cap, so the compiled program pays for the batch's longest word
+    instead of the cap (~40% of decode-scan time on dense pages).
+
+    ``active``: optional [B] bool — rows marked False (padding slots in a
+    compacted fused batch) start pre-finished, so a batch of mostly-empty
+    slots exits after one step instead of decoding white noise to the cap.
 
     Returns:
       tokens: [B, max_steps] int32 (starts after BOS; pad-filled after EOS)
@@ -139,10 +146,17 @@ def greedy_decode(model: TrOCRModel, params, images: Array,
     caches = _init_self_caches(c, b, enc.dtype)
 
     bos = jnp.full((b,), c.bos_id, jnp.int32)
-    done0 = jnp.zeros((b,), bool)
+    done0 = (
+        jnp.zeros((b,), bool) if active is None else ~active.astype(bool)
+    )
+    toks0 = jnp.full((b, n_steps), c.pad_id, jnp.int32)
 
-    def body(carry, pos):
-        token, caches, done, logp_sum = carry
+    def cond(state):
+        pos, _token, _caches, done, _logp, _steps, _toks = state
+        return (pos < n_steps) & ~jnp.all(done)
+
+    def body(state):
+        pos, token, caches, done, logp_sum, steps, toks = state
         logits, caches = model.apply(
             params, token, pos, cross, None, caches,
             method=TrOCRModel.decode_step,
@@ -152,17 +166,20 @@ def greedy_decode(model: TrOCRModel, params, images: Array,
         step_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         nxt = jnp.where(done, c.pad_id, nxt)
         logp_sum = logp_sum + jnp.where(done, 0.0, step_logp)
-        new_done = done | (nxt == c.eos_id)
+        steps = steps + (~done).astype(jnp.int32)  # counts the EOS step
         out_token = jnp.where(done | (nxt == c.eos_id), c.pad_id, nxt)
-        return (nxt, caches, new_done, logp_sum), (out_token, ~done)
+        toks = jax.lax.dynamic_update_slice(toks, out_token[:, None], (0, pos))
+        done = done | (nxt == c.eos_id)
+        return pos + 1, nxt, caches, done, logp_sum, steps, toks
 
-    (_, _, done, logp_sum), (toks, alive) = jax.lax.scan(
-        body, (bos, caches, done0, jnp.zeros((b,), jnp.float32)),
-        jnp.arange(n_steps),
+    state = (
+        jnp.int32(0), bos, caches, done0,
+        jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.int32), toks0,
     )
-    tokens = toks.T  # [B, max_len]
+    _, _, _, done, logp_sum, steps, tokens = jax.lax.while_loop(
+        cond, body, state
+    )
     emitted = (tokens != c.pad_id).sum(axis=1)
-    steps = alive.T.sum(axis=1)  # includes the EOS step
     conf = jnp.exp(logp_sum / jnp.maximum(steps, 1))
     return tokens, emitted.astype(jnp.int32), conf.astype(jnp.float32)
 

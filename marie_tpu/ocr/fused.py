@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from marie_tpu.boxes.craft_box_processor import _detect_jit
 from marie_tpu.models.trocr import greedy_decode
-from marie_tpu.preprocess.ops import crop_resize
+from marie_tpu.preprocess.ops import crop_resize, crop_resize_pages
 
 
 @partial(
@@ -159,6 +159,113 @@ def _fused_pages(
     )(pages_u8, clip_whs)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "craft_model",
+        "trocr_model",
+        "max_components",
+        "box_source",
+        "total_slots",
+        "out_h",
+        "out_w",
+        "dtype",
+        "max_steps",
+    ),
+)
+def _fused_pages_compact(
+    craft_model,
+    craft_vars,
+    trocr_model,
+    trocr_params,
+    pages_u8: jnp.ndarray,  # [P, H, W, 3] or [P, H, W] uint8, same bucket
+    clip_whs: jnp.ndarray,  # [P, 2] float32
+    n_real: jnp.ndarray,  # scalar int32: pages before ladder padding
+    text_threshold: float,
+    low_text: float,
+    link_threshold: float,
+    min_area: float,
+    box_expand: float,
+    max_components: int,
+    box_source: str,
+    total_slots: int,
+    out_h: int,
+    out_w: int,
+    dtype,
+    max_steps: int,
+):
+    """Page-batched fused OCR with GLOBAL crop compaction.
+
+    ``_fused_pages`` decodes ``rec_slots`` crops per page even though a
+    typical page fills barely half of them — the recogniser burns its
+    encoder and decode-scan on empty slots.  Here the kept boxes of ALL
+    pages are compacted into ONE cross-page crop batch of ``total_slots``
+    rows (kept boxes first, page-major then slot-ascending — the host
+    reproduces this order from the fetched stats, so row alignment still
+    needs no index arrays), sized for the page batch's aggregate word
+    count rather than per-page worst case.
+
+    Row alignment contract: global row of page p's j-th kept box =
+    (total kept boxes of pages < p) + j; rows >= ``total_slots`` fall
+    back to the per-page overflow path in ``fused_collect_many``.
+    Ladder-padding duplicate pages (slots >= ``n_real``) are excluded
+    from compaction so they neither consume budget nor shift rows.
+    """
+    if pages_u8.ndim == 3:
+        # grayscale upload: detection needs the 3-channel page, but crops
+        # gather from the 1-channel stack (1/3 the gather traffic) and
+        # expand channels on the [T, out_h, out_w] result instead
+        crop_src = pages_u8[..., None]  # [P, H, W, 1]
+        pages_u8 = jnp.repeat(pages_u8[..., None], 3, axis=-1)
+    else:
+        crop_src = pages_u8
+    p = pages_u8.shape[0]
+
+    stats = jax.vmap(
+        lambda page: _detect_jit(
+            craft_model, craft_vars, page,
+            text_threshold, low_text, link_threshold, max_components,
+            box_source,
+        )
+    )(pages_u8)
+
+    m = stats["boxes"].shape[1]
+    stride = stats["stride"][0].astype(jnp.float32)
+    score_floor = 0.0 if box_source == "ink" else text_threshold
+    min_area_grid = min_area / (stride / 2.0) ** 2
+    keep = (
+        stats["valid"]
+        & (stats["scores"] >= score_floor)
+        & (stats["areas"] >= min_area_grid)
+        & (jnp.arange(p)[:, None] < n_real)
+    )  # [P, M]
+
+    # global selection: kept boxes first, page-major then slot order
+    flat_keep = keep.reshape(-1)
+    gid = jnp.arange(p * m)
+    order = jnp.argsort(jnp.where(flat_keep, gid, p * m + gid))[:total_slots]
+    sel_keep = flat_keep[order]
+    page_of = (order // m).astype(jnp.int32)
+
+    b = stats["boxes"].reshape(p * m, 4)[order].astype(jnp.float32) * stride
+    bw = b[:, 2] - b[:, 0]
+    bh = b[:, 3] - b[:, 1]
+    b = b + jnp.stack([-bw, -bh, bw, bh], axis=-1) * box_expand
+    clip = clip_whs[page_of]  # [T, 2]
+    hi = jnp.stack([clip[:, 0], clip[:, 1], clip[:, 0], clip[:, 1]], axis=-1)
+    b = jnp.clip(b, 0.0, hi)
+    b = jnp.where(sel_keep[:, None], b, jnp.asarray([0.0, 0.0, 1.0, 1.0]))
+
+    crops, _ = crop_resize_pages(crop_src, page_of, b, out_h, out_w)
+    if crops.shape[-1] == 1:
+        crops = jnp.repeat(crops, 3, axis=-1)
+    tokens, _, conf = greedy_decode(
+        trocr_model, trocr_params, crops.astype(dtype), max_steps,
+        active=sel_keep,
+    )
+    return stats, tokens, conf
+
+
 def supports_fused_page(box_processor, ocr_processor) -> bool:
     """Duck-typed gate: CRAFT-style detector + greedy TrOCR recogniser."""
     return (
@@ -171,10 +278,17 @@ def supports_fused_page(box_processor, ocr_processor) -> bool:
 
 
 def fused_dispatch_many(box_processor, ocr_processor, images,
-                        rec_slots: int = 256, page_batch: int = 4):
+                        rec_slots: int = 256, page_batch: int = 4,
+                        compact_slots: int = 192):
     """Dispatch fused OCR for many pages, stacking same-bucket runs of up
     to ``page_batch`` pages into single program executions.  Returns one
-    handle per page (same shape as ``fused_dispatch`` handles)."""
+    handle per page (same shape as ``fused_dispatch`` handles).
+
+    Groups of >= 2 pages run the globally-compacted program
+    (:func:`_fused_pages_compact`) with ``psize * compact_slots`` total
+    recognition rows shared across the group — pages over the average
+    borrow budget from pages under it; a batch that overflows the global
+    budget finishes through the per-page overflow path on collect."""
     bp, op = box_processor, ocr_processor
     preps = [bp.prep_page(_np_rgb(im)) for im in images]
     handles: List[Any] = [None] * len(images)
@@ -207,17 +321,21 @@ def fused_dispatch_many(box_processor, ocr_processor, images,
                  for k in rows],
                 jnp.float32,
             )
-            stats, tokens, conf = _fused_pages(
+            total_slots = psize * compact_slots
+            stats, tokens, conf = _fused_pages_compact(
                 bp.model, bp.variables, op.model, op.params, batch, clip,
+                jnp.int32(len(group)),
                 bp.text_threshold, bp.low_text, bp.link_threshold,
                 float(bp.min_area), float(bp.box_expand),
-                bp.max_components, bp.box_source, rec_slots,
+                bp.max_components, bp.box_source, total_slots,
                 op.crop_h, op.crop_w, op.compute_dtype, op.decode_steps,
             )
             metas = [(preps[k][1], preps[k][2]) for k in group]
             # ONE group handle for the whole stack — per-page device slicing
             # would spend the executions the batch just saved
-            handles[group[0]] = ("g", stats, tokens, conf, batch, metas, rec_slots)
+            handles[group[0]] = (
+                "gc", stats, tokens, conf, batch, metas, total_slots
+            )
             for k in group[1:]:
                 handles[k] = "_merged"
         i += len(group)
@@ -305,13 +423,33 @@ def fused_collect_many(
     out = []
     page_i = 0
     for handle, (stats_host, tokens_host, conf_host) in zip(handles, fetched):
-        if handle[0] == "g":
+        # member: (stats, tokens, conf, row_base, slot_budget, page_fn,
+        #          scale, hw) — row_base/slot_budget express the row
+        # alignment contract: page-local decoded row r lives at
+        # tokens[row_base + r] and overflows past slot_budget TOTAL rows.
+        if handle[0] == "gc":
+            # globally-compacted group: ONE token array for all pages,
+            # page p's rows start after the kept counts of pages < p
+            _, _, _, _, pages_dev, metas, total_slots = handle
+            members = []
+            offset = 0
+            for s in range(len(metas)):
+                stats_i = {k: stats_host[k][s] for k in stats_host}
+                members.append(
+                    (stats_i, tokens_host, conf_host, offset, total_slots,
+                     lambda s=s: _dev_rgb(pages_dev[s]),
+                     metas[s][0], metas[s][1])
+                )
+                offset += _kept_count(bp, stats_i)
+        elif handle[0] == "g":
             _, _, _, _, pages_dev, metas, rec_slots = handle
             members = [
                 (
                     {k: stats_host[k][s] for k in stats_host},
                     tokens_host[s],
                     conf_host[s],
+                    0,
+                    rec_slots,
                     lambda s=s: _dev_rgb(pages_dev[s]),
                     metas[s][0],
                     metas[s][1],
@@ -321,10 +459,11 @@ def fused_collect_many(
         else:
             _, _, _, _, page_dev, scale, hw, rec_slots = handle
             members = [
-                (stats_host, tokens_host, conf_host,
+                (stats_host, tokens_host, conf_host, 0, rec_slots,
                  lambda: _dev_rgb(page_dev), scale, hw)
             ]
-        for stats_i, toks_i, conf_i, page_fn, scale, (h, w) in members:
+        for (stats_i, toks_i, conf_i, row_base, budget, page_fn, scale,
+             (h, w)) in members:
             xywh, scores, rows = bp.detect_collect(
                 (None, None, scale, (h, w)), stats=stats_i, return_rows=True
             )
@@ -332,10 +471,10 @@ def fused_collect_many(
                 xywh, scores, (h, w), pms_modes[page_i], return_order=True
             )
             words: List[Dict[str, Any]] = []
-            overflow: List[int] = []  # organized positions past rec_slots
+            overflow: List[int] = []  # organized positions past the budget
             for j in range(len(boxes_int)):
-                row = int(rows[order[j]])
-                if row < rec_slots:
+                row = row_base + int(rows[order[j]])
+                if row < budget:
                     words.append(
                         {
                             "text": op.tokenizer.decode(toks_i[row]),
@@ -346,8 +485,8 @@ def fused_collect_many(
                     words.append({"text": "", "confidence": 0.0})
                     overflow.append(j)
             if overflow:
-                # >rec_slots kept boxes — recognise the tail with the
-                # regular fused-crop path (rare; one extra dispatch)
+                # budget exhausted — recognise the tail with the regular
+                # fused-crop path (rare; one extra dispatch)
                 tail = np.asarray([boxes_int[j] for j in overflow], np.float32)
                 fut = op.recognize_dispatch(page_fn(), tail, scale)
                 for j, wd in zip(overflow, op.recognize_collect(fut)):
@@ -355,3 +494,18 @@ def fused_collect_many(
             out.append((boxes_int, scores_o, lines, line_bboxes, words))
             page_i += 1
     return out
+
+
+def _kept_count(bp, stats) -> int:
+    """Device keep-predicate replica (see ``_fused_pages_compact``): how
+    many component slots of one page's stats survive on device and thus
+    occupy compacted recognition rows."""
+    stride = float(np.asarray(stats.get("stride", 2)))
+    floor = 0.0 if bp.box_source == "ink" else bp.text_threshold
+    min_area = bp.min_area / (stride / 2.0) ** 2
+    keep = (
+        np.asarray(stats["valid"])
+        & (np.asarray(stats["scores"]) >= floor)
+        & (np.asarray(stats["areas"]) >= min_area)
+    )
+    return int(keep.sum())

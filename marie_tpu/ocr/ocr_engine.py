@@ -49,6 +49,7 @@ class PipelineOcrEngine(OcrEngine):
         single_program: bool = True,
         page_fuse_batch: int = 16,
         rec_slots: int = 256,
+        compact_slots: int = 192,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -59,9 +60,13 @@ class PipelineOcrEngine(OcrEngine):
         # page_fuse_batch stacks same-bucket pages into one execution —
         # measured 0.41 -> 1.79 pages/s (pb 1 -> 8) through the relay, and
         # pb=16 beat pb=8 again on 16-page batches; quality identical.
+        # compact_slots: per-page share of the GROUP's global recognition
+        # budget (cross-page crop compaction — pages borrow unused slots
+        # from each other; overflow recognised in a tail dispatch).
         self.single_program = single_program
         self.page_fuse_batch = page_fuse_batch
         self.rec_slots = rec_slots
+        self.compact_slots = compact_slots
 
     def extract(
         self,
@@ -118,6 +123,7 @@ class PipelineOcrEngine(OcrEngine):
                     frames,
                     rec_slots=getattr(self, "rec_slots", 256),
                     page_batch=getattr(self, "page_fuse_batch", 1),
+                    compact_slots=getattr(self, "compact_slots", 192),
                 )
                 pages = fused_collect_many(
                     self.box_processor,

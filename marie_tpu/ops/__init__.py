@@ -17,7 +17,11 @@ from marie_tpu.ops.box_ops import (
     boxes_xywh_to_xyxy,
     boxes_xyxy_to_xywh,
 )
-from marie_tpu.ops.connected_components import connected_components, component_boxes
+from marie_tpu.ops.connected_components import (
+    component_boxes,
+    component_boxes_reduce,
+    connected_components,
+)
 from marie_tpu.ops.ctc import ctc_greedy_decode
 from marie_tpu.ops.deform_conv import deform_conv2d
 from marie_tpu.ops.nms import nms, rotated_nms
@@ -38,6 +42,7 @@ __all__ = [
     "roi_align_rotated",
     "connected_components",
     "component_boxes",
+    "component_boxes_reduce",
     "deform_conv2d",
     "ctc_greedy_decode",
 ]

@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _masked_min_scan_axis1(lbl: jnp.ndarray, mask: jnp.ndarray, big) -> jnp.ndarray:
-    """Masked min over each contiguous run along axis 1, both directions.
+def _masked_min_scan(lbl: jnp.ndarray, mask: jnp.ndarray, big, axis: int) -> jnp.ndarray:
+    """Masked min over each contiguous run along ``axis``, both directions.
 
     Within a contiguous masked run, every pixel receives the run's min
     label; unmasked pixels reset the carry so labels never leak across
@@ -30,6 +30,8 @@ def _masked_min_scan_axis1(lbl: jnp.ndarray, mask: jnp.ndarray, big) -> jnp.ndar
     (the classic segmented-scan monoid): log2(W) parallel steps instead
     of W sequential scan steps — on a 512-wide heatmap this cut the CC
     stage ~an order of magnitude (each sweep was 896 serial steps).
+    Scanning the column axis directly (instead of transposing) keeps the
+    sweep free of physical [H, W] transposes.
     """
     v = jnp.where(mask, lbl, big)
     boundary = ~mask
@@ -39,9 +41,9 @@ def _masked_min_scan_axis1(lbl: jnp.ndarray, mask: jnp.ndarray, big) -> jnp.ndar
         bv, bb = b
         return (jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb)
 
-    fwd, _ = jax.lax.associative_scan(combine, (v, boundary), axis=1)
+    fwd, _ = jax.lax.associative_scan(combine, (v, boundary), axis=axis)
     bwd, _ = jax.lax.associative_scan(
-        combine, (v, boundary), axis=1, reverse=True
+        combine, (v, boundary), axis=axis, reverse=True
     )
     return jnp.minimum(fwd, bwd)
 
@@ -75,9 +77,9 @@ def connected_components(mask: jnp.ndarray, num_iters: int = 64) -> jnp.ndarray:
 
     def sweep(lbl):
         lbl = neighbor_min(lbl)
-        lbl = jnp.where(mask, _masked_min_scan_axis1(lbl, mask, big), big)
-        lbl_t = _masked_min_scan_axis1(lbl.T, mask.T, big).T
-        return jnp.where(mask, lbl_t, big)
+        lbl = jnp.where(mask, _masked_min_scan(lbl, mask, big, axis=1), big)
+        lbl = _masked_min_scan(lbl, mask, big, axis=0)
+        return jnp.where(mask, lbl, big)
 
     def cond(state):
         i, _, changed = state
@@ -90,6 +92,66 @@ def connected_components(mask: jnp.ndarray, num_iters: int = 64) -> jnp.ndarray:
 
     _, labels, _ = jax.lax.while_loop(cond, body, (0, labels, True))
     return jnp.where(mask, labels, -1)
+
+
+@partial(jax.jit, static_argnames=("max_components",))
+def component_boxes_reduce(
+    labels: jnp.ndarray,
+    scores: jnp.ndarray | None = None,
+    max_components: int = 256,
+):
+    """Sort-free :func:`component_boxes` — identical outputs.
+
+    The sort-based version pays one 4-operand full-pixel ``lax.sort``
+    (H·W elements, log²-depth bitonic passes on TPU).  Here the K
+    representatives come from ``lax.top_k`` (O(N·logK)) and the per-slot
+    stats from masked broadcast-reductions over [N, K] — pure VPU work
+    that XLA fuses without materialising the broadcast.  Wins when K is
+    small relative to H·W (the production shape: 256 slots on a
+    512×384 heatmap grid); kept alongside the sort version, which wins
+    for huge K.
+    """
+    h, w = labels.shape
+    flat = labels.reshape(-1)
+    n = flat.shape[0]
+    lin = jnp.arange(n, dtype=jnp.int32)
+
+    # representatives: pixels whose label equals their own linear index;
+    # top_k over the NEGATED rank = the K smallest label ids, ascending
+    is_rep = (flat == lin) & (flat >= 0)
+    rep_rank = jnp.where(is_rep, lin, n)
+    neg_top, _ = jax.lax.top_k(-rep_rank, max_components)
+    rep_sorted = -neg_top  # [K] ascending label ids (n where empty)
+    valid = rep_sorted < n
+
+    # [N, K] membership, fused into the reductions below
+    match = flat[:, None] == rep_sorted[None, :]
+    ys = (lin // w).astype(jnp.float32)[:, None]
+    xs = (lin % w).astype(jnp.float32)[:, None]
+    big = jnp.float32(n)
+
+    x0 = jnp.min(jnp.where(match, xs, big), axis=0)
+    y0 = jnp.min(jnp.where(match, ys, big), axis=0)
+    x1 = jnp.max(jnp.where(match, xs, -1.0), axis=0)
+    y1 = jnp.max(jnp.where(match, ys, -1.0), axis=0)
+    areas = jnp.sum(match, axis=0, dtype=jnp.int32)
+
+    boxes = jnp.stack([x0, y0, x1 + 1.0, y1 + 1.0], axis=-1)
+    boxes = jnp.where(valid[:, None], boxes, 0.0)
+
+    if scores is not None:
+        sc = scores.reshape(-1).astype(jnp.float32)[:, None]
+        smax = jnp.max(jnp.where(match, sc, 0.0), axis=0)
+        smax = jnp.where(valid, smax, 0.0)
+    else:
+        smax = valid.astype(jnp.float32)
+
+    return {
+        "boxes": boxes.astype(jnp.float32),
+        "areas": jnp.where(valid, areas, 0),
+        "scores": smax.astype(jnp.float32),
+        "valid": valid,
+    }
 
 
 @partial(jax.jit, static_argnames=("max_components",))

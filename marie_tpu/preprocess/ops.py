@@ -119,6 +119,62 @@ def crop_resize(
     return crops, eff_w.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def crop_resize_pages(
+    pages: Array,  # [P, H, W, C] uint8 (or float 0..255) page STACK
+    page_idx: Array,  # [N] int32 — which page each box crops from
+    boxes: Array,  # [N, 4] xyxy float (page coords)
+    out_h: int,
+    out_w: int,
+):
+    """Cut N boxes out of a stack of pages, resize each to (out_h, out_w).
+
+    Cross-page variant of :func:`crop_resize` for the globally-compacted
+    fused OCR batch (``ocr/fused.py``): boxes from different pages are
+    gathered into ONE crop batch, so the recogniser only encodes slots
+    that hold real detections.  Interpolation rows are gathered straight
+    from the uint8 page stack and converted to float AFTER the gather —
+    the page stack is never materialised in f32, which is 4x less gather
+    traffic than the single-page path (pages[pidx, rows] lowers to one
+    combined gather; XLA never builds the [N, H, W, C] intermediate).
+
+    Returns (crops [N, out_h, out_w, C] float32 in [0, 1] — white-padded
+    past each crop's aspect-preserved effective width, eff_w [N] int32).
+    """
+    h, w = pages.shape[1], pages.shape[2]
+    x0, y0, x1, y1 = (boxes[:, i] for i in range(4))
+    bh = jnp.maximum(y1 - y0, 1.0)
+    bw = jnp.maximum(x1 - x0, 1.0)
+    scale = out_h / bh
+    eff_w = jnp.minimum(jnp.round(bw * scale), out_w)
+
+    ys_frac = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
+    xs_idx = jnp.arange(out_w, dtype=jnp.float32) + 0.5
+
+    def one(pidx, b_x0, b_y0, b_bh, b_eff):
+        sy = jnp.clip(b_y0 + ys_frac * b_bh - 0.5, 0.0, h - 1.0)
+        step = b_bh / out_h
+        sx = jnp.clip(b_x0 + xs_idx * step - 0.5, 0.0, w - 1.0)
+
+        y0i = jnp.floor(sy).astype(jnp.int32)
+        y1i = jnp.minimum(y0i + 1, h - 1)
+        ly = (sy - y0i)[:, None, None].astype(jnp.float32)
+        r0 = pages[pidx, y0i].astype(jnp.float32)  # [out_h, W, C]
+        r1 = pages[pidx, y1i].astype(jnp.float32)
+        rows = r0 * (1.0 - ly) + r1 * ly
+
+        x0i = jnp.floor(sx).astype(jnp.int32)
+        x1i = jnp.minimum(x0i + 1, w - 1)
+        lx = (sx - x0i)[None, :, None].astype(jnp.float32)
+        vals = rows[:, x0i] * (1.0 - lx) + rows[:, x1i] * lx
+
+        pad_mask = (jnp.arange(out_w)[None, :] >= b_eff)[..., None]
+        return jnp.where(pad_mask, 255.0, vals)
+
+    crops = jax.vmap(one)(page_idx.astype(jnp.int32), x0, y0, bh, eff_w)
+    return crops / 255.0, eff_w.astype(jnp.int32)
+
+
 def _bilinear_hwc(img: Array, ys: Array, xs: Array) -> Array:
     """Bilinear sample [H, W, C] at float coords; clamps at borders."""
     h, w = img.shape[0], img.shape[1]

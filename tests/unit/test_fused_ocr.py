@@ -87,9 +87,26 @@ def test_mixed_buckets_split_groups(processors):
 def test_rec_slots_overflow_falls_back(processors):
     bp, op = processors
     pages = [_page(s, n_words=4) for s in range(2)]
-    fused = PipelineOcrEngine(bp, op, page_fuse_batch=2, rec_slots=2)
+    # single-page fused program: per-page rec_slots budget overflows
+    fused1 = PipelineOcrEngine(bp, op, page_fuse_batch=1, rec_slots=2)
+    # page-batched compact program: GLOBAL budget (2 pages * 2 slots)
+    # overflows and the tail recognises through the fallback dispatch
+    fusedg = PipelineOcrEngine(bp, op, page_fuse_batch=2, compact_slots=2)
     two_phase = PipelineOcrEngine(bp, op, single_program=False)
-    assert _words(fused.extract(pages)) == _words(two_phase.extract(pages))
+    want = _words(two_phase.extract(pages))
+    assert _words(fused1.extract(pages)) == want
+    assert _words(fusedg.extract(pages)) == want
+
+
+def test_compact_budget_borrowing(processors):
+    """A dense page may borrow compacted slots a sparse page leaves
+    unused — total kept fits the global budget, nothing overflows."""
+    bp, op = processors
+    dense, sparse = _page(1, n_words=5), _page(2, n_words=1)
+    fused = PipelineOcrEngine(bp, op, page_fuse_batch=2, compact_slots=4)
+    two_phase = PipelineOcrEngine(bp, op, single_program=False)
+    for pages in ([dense, sparse], [sparse, dense]):
+        assert _words(fused.extract(pages)) == _words(two_phase.extract(pages))
 
 
 def test_blank_page_in_group(processors):

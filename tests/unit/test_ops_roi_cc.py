@@ -83,6 +83,28 @@ def test_component_boxes():
     np.testing.assert_allclose(np.asarray(out["areas"])[valid], [24, 50])
 
 
+def test_component_boxes_reduce_matches_sort():
+    """The sort-free variant must be output-identical to the sort-based
+    one on random blob masks (incl. the >max_components drop rule)."""
+    from marie_tpu.ops import component_boxes_reduce
+
+    rng = np.random.default_rng(11)
+    mask = np.zeros((64, 96), bool)
+    for _ in range(30):
+        y, x = rng.integers(0, 58), rng.integers(0, 88)
+        mask[y : y + rng.integers(2, 6), x : x + rng.integers(2, 8)] = True
+    scores = (rng.random((64, 96)) * mask).astype(np.float32)
+    labels = connected_components(jnp.array(mask))
+    for k in (8, 64):  # k=8 forces the drop-by-label-order path
+        a = component_boxes(labels, jnp.array(scores), max_components=k)
+        b = component_boxes_reduce(labels, jnp.array(scores), max_components=k)
+        for field in ("boxes", "areas", "scores", "valid"):
+            np.testing.assert_allclose(
+                np.asarray(a[field]), np.asarray(b[field]), atol=1e-6,
+                err_msg=field,
+            )
+
+
 def test_ctc_greedy_decode():
     # V=4, blank=0; frames: [1 1 0 2 2 2 0 1] -> [1, 2, 1]
     t = 8

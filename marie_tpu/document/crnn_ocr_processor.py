@@ -19,7 +19,7 @@ from marie_tpu.models.crnn import CRNN
 from marie_tpu.models.tokenizer import CTCCharTokenizer
 from marie_tpu.ops import ctc_greedy_decode
 from marie_tpu.preprocess.buckets import group_by_bucket, pad_batch
-from marie_tpu.preprocess.ops import crop_resize
+from marie_tpu.preprocess.ops import crop_resize_pages
 
 
 @partial(jax.jit, static_argnames=("model", "out_h", "out_w"))
@@ -27,8 +27,10 @@ def _crop_and_ctc(model, variables, page_u8, boxes_xyxy, out_h, out_w):
     """ONE program: cut word crops from the on-device page, grayscale
     (channel mean — matches ``train/crnn.py``), CRNN forward, CTC
     collapse.  Device-path analog of TrOCR's ``_crop_and_decode``."""
-    rgb = page_u8.astype(jnp.float32) / 255.0
-    crops, _ = crop_resize(rgb, boxes_xyxy, out_h, out_w)
+    crops, _ = crop_resize_pages(
+        page_u8[None], jnp.zeros((boxes_xyxy.shape[0],), jnp.int32),
+        boxes_xyxy, out_h, out_w,
+    )
     gray = crops.mean(axis=-1, keepdims=True)
     logits = model.apply(variables, gray)
     return ctc_greedy_decode(logits, blank_id=0)

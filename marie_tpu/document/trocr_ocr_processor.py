@@ -24,15 +24,17 @@ from marie_tpu.models.configs import TrOCRConfig
 from marie_tpu.models.tokenizer import CharTokenizer
 from marie_tpu.models.trocr import TrOCRModel, beam_decode, greedy_decode
 from marie_tpu.preprocess.buckets import group_by_bucket, pad_batch
-from marie_tpu.preprocess.ops import crop_resize
+from marie_tpu.preprocess.ops import crop_resize_pages
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def _crop_batch_on_device(page_u8: jnp.ndarray, boxes_xyxy: jnp.ndarray,
                           out_h: int, out_w: int) -> jnp.ndarray:
     """uint8 page (already on device) + boxes -> float crop batch, on device."""
-    rgb = page_u8.astype(jnp.float32) / 255.0
-    crops, _ = crop_resize(rgb, boxes_xyxy, out_h, out_w)
+    crops, _ = crop_resize_pages(
+        page_u8[None], jnp.zeros((boxes_xyxy.shape[0],), jnp.int32),
+        boxes_xyxy, out_h, out_w,
+    )
     return crops
 
 
@@ -41,9 +43,14 @@ def _crop_and_decode(model, params, page_u8, boxes_xyxy, out_h, out_w,
                      beam_size: int = 1, dtype=jnp.float32,
                      max_steps: int | None = None):
     """ONE program: cut crops from the on-device page and decode them —
-    a single dispatch per chunk instead of crop + decode round trips."""
-    rgb = page_u8.astype(jnp.float32) / 255.0
-    crops, _ = crop_resize(rgb, boxes_xyxy, out_h, out_w)
+    a single dispatch per chunk instead of crop + decode round trips.
+    Crops gather straight from the uint8 page via the layout-aware
+    :func:`crop_resize_pages` (no f32 page materialisation, no
+    lane-padded trailing-channel gathers)."""
+    crops, _ = crop_resize_pages(
+        page_u8[None], jnp.zeros((boxes_xyxy.shape[0],), jnp.int32),
+        boxes_xyxy, out_h, out_w,
+    )
     crops = crops.astype(dtype)
     if beam_size > 1:
         tokens, lengths, conf = beam_decode(model, params, crops, beam_size)

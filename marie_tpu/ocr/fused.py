@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from marie_tpu.boxes.craft_box_processor import _detect_jit
 from marie_tpu.models.trocr import greedy_decode
-from marie_tpu.preprocess.ops import crop_resize, crop_resize_pages
+from marie_tpu.preprocess.ops import crop_resize_pages
 
 
 @partial(
@@ -70,8 +70,13 @@ def _fused_page(
     if page_u8.ndim == 2:
         # grayscale upload (1/3 the host->device bytes — the transfer is
         # a top-3 cost through a relay AND on PCIe); channel-identical
-        # pages expand back to RGB on device, bit-identical results
+        # pages expand back to RGB on device, bit-identical results.
+        # Crops gather from the channel-free [H, W] view (a trailing
+        # C=1/C=3 dim is lane-padded to 128 on TPU — 42-128x the bytes)
+        crop_src = page_u8[None]  # [1, H, W]
         page_u8 = jnp.repeat(page_u8[..., None], 3, axis=-1)
+    else:
+        crop_src = page_u8[None]  # [1, H, W, 3]
     stats = _detect_jit(
         craft_model, craft_vars, page_u8,
         text_threshold, low_text, link_threshold, max_components, box_source,
@@ -102,8 +107,11 @@ def _fused_page(
     b = jnp.clip(b, lo, hi)
     b = jnp.where(sel_keep[:, None], b, jnp.asarray([0.0, 0.0, 1.0, 1.0]))
 
-    rgb = page_u8.astype(jnp.float32) / 255.0
-    crops, _ = crop_resize(rgb, b, out_h, out_w)
+    crops, _ = crop_resize_pages(
+        crop_src, jnp.zeros((b.shape[0],), jnp.int32), b, out_h, out_w
+    )
+    if crops.ndim == 3:
+        crops = jnp.repeat(crops[..., None], 3, axis=-1)
     tokens, _, conf = greedy_decode(
         trocr_model, trocr_params, crops.astype(dtype), max_steps
     )
@@ -213,9 +221,10 @@ def _fused_pages_compact(
     """
     if pages_u8.ndim == 3:
         # grayscale upload: detection needs the 3-channel page, but crops
-        # gather from the 1-channel stack (1/3 the gather traffic) and
-        # expand channels on the [T, out_h, out_w] result instead
-        crop_src = pages_u8[..., None]  # [P, H, W, 1]
+        # gather from the channel-FREE [P, H, W] stack (well-tiled minor
+        # dims — a trailing C=1 dim would be lane-padded 128x) and expand
+        # channels on the [T, out_h, out_w] result instead
+        crop_src = pages_u8
         pages_u8 = jnp.repeat(pages_u8[..., None], 3, axis=-1)
     else:
         crop_src = pages_u8
@@ -257,8 +266,8 @@ def _fused_pages_compact(
     b = jnp.where(sel_keep[:, None], b, jnp.asarray([0.0, 0.0, 1.0, 1.0]))
 
     crops, _ = crop_resize_pages(crop_src, page_of, b, out_h, out_w)
-    if crops.shape[-1] == 1:
-        crops = jnp.repeat(crops, 3, axis=-1)
+    if crops.ndim == 3:
+        crops = jnp.repeat(crops[..., None], 3, axis=-1)
     tokens, _, conf = greedy_decode(
         trocr_model, trocr_params, crops.astype(dtype), max_steps,
         active=sel_keep,

@@ -124,16 +124,19 @@ def component_boxes_reduce(
     rep_sorted = -neg_top  # [K] ascending label ids (n where empty)
     valid = rep_sorted < n
 
-    # [N, K] membership, fused into the reductions below
+    # [N, K] membership, fused into the reductions below.  Component
+    # labels ARE min linear indices, so y0 = label // w comes free; y1
+    # needs only a max-linear-index pass (the max index has the max row)
+    # — 5 broadcast-reduction passes instead of 6.
     match = flat[:, None] == rep_sorted[None, :]
-    ys = (lin // w).astype(jnp.float32)[:, None]
     xs = (lin % w).astype(jnp.float32)[:, None]
     big = jnp.float32(n)
 
     x0 = jnp.min(jnp.where(match, xs, big), axis=0)
-    y0 = jnp.min(jnp.where(match, ys, big), axis=0)
+    y0 = (rep_sorted // w).astype(jnp.float32)
     x1 = jnp.max(jnp.where(match, xs, -1.0), axis=0)
-    y1 = jnp.max(jnp.where(match, ys, -1.0), axis=0)
+    max_lin = jnp.max(jnp.where(match, lin[:, None], -1), axis=0)
+    y1 = (max_lin // w).astype(jnp.float32)
     areas = jnp.sum(match, axis=0, dtype=jnp.int32)
 
     boxes = jnp.stack([x0, y0, x1 + 1.0, y1 + 1.0], axis=-1)

@@ -121,7 +121,7 @@ def crop_resize(
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def crop_resize_pages(
-    pages: Array,  # [P, H, W, C] uint8 (or float 0..255) page STACK
+    pages: Array,  # [P, H, W] or [P, H, W, C] uint8 (or float 0..255)
     page_idx: Array,  # [N] int32 — which page each box crops from
     boxes: Array,  # [N, 4] xyxy float (page coords)
     out_h: int,
@@ -132,16 +132,28 @@ def crop_resize_pages(
     Cross-page variant of :func:`crop_resize` for the globally-compacted
     fused OCR batch (``ocr/fused.py``): boxes from different pages are
     gathered into ONE crop batch, so the recogniser only encodes slots
-    that hold real detections.  Interpolation rows are gathered straight
-    from the uint8 page stack and converted to float AFTER the gather —
-    the page stack is never materialised in f32, which is 4x less gather
-    traffic than the single-page path (pages[pidx, rows] lowers to one
-    combined gather; XLA never builds the [N, H, W, C] intermediate).
+    that hold real detections.
 
-    Returns (crops [N, out_h, out_w, C] float32 in [0, 1] — white-padded
-    past each crop's aspect-preserved effective width, eff_w [N] int32).
+    LAYOUT-CRITICAL: TPU tiles the two minor dims to (8, 128) lanes, so
+    an array whose trailing dim is C=1 or C=3 is padded 128/C× in memory
+    — gathers against it read 42-128× the useful bytes (a measured 10×
+    on the crop stage).  The gathers here therefore run against a
+    channel-FREE [P, H, W] view (grayscale) or a channel-INTERLEAVED
+    [P, H, W·C] view (RGB, column index = x·C + c), and the uint8 rows
+    convert to float only after the gather.
+
+    Returns (crops [N, out_h, out_w] for 3-D input / [N, out_h, out_w, C]
+    for 4-D input, float32 in [0, 1], white-padded past each crop's
+    aspect-preserved effective width, eff_w [N] int32).
     """
     h, w = pages.shape[1], pages.shape[2]
+    chans = None
+    if pages.ndim == 4:
+        chans = pages.shape[3]
+        if chans == 1:
+            pages = pages[..., 0]
+        else:
+            pages = pages.reshape(pages.shape[0], h, w * chans)
     x0, y0, x1, y1 = (boxes[:, i] for i in range(4))
     bh = jnp.maximum(y1 - y0, 1.0)
     bw = jnp.maximum(x1 - x0, 1.0)
@@ -150,6 +162,7 @@ def crop_resize_pages(
 
     ys_frac = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
     xs_idx = jnp.arange(out_w, dtype=jnp.float32) + 0.5
+    interleaved = chans is not None and chans > 1
 
     def one(pidx, b_x0, b_y0, b_bh, b_eff):
         sy = jnp.clip(b_y0 + ys_frac * b_bh - 0.5, 0.0, h - 1.0)
@@ -158,20 +171,31 @@ def crop_resize_pages(
 
         y0i = jnp.floor(sy).astype(jnp.int32)
         y1i = jnp.minimum(y0i + 1, h - 1)
-        ly = (sy - y0i)[:, None, None].astype(jnp.float32)
-        r0 = pages[pidx, y0i].astype(jnp.float32)  # [out_h, W, C]
+        ly = (sy - y0i)[:, None].astype(jnp.float32)
+        r0 = pages[pidx, y0i].astype(jnp.float32)  # [out_h, W(·C)]
         r1 = pages[pidx, y1i].astype(jnp.float32)
         rows = r0 * (1.0 - ly) + r1 * ly
 
         x0i = jnp.floor(sx).astype(jnp.int32)
         x1i = jnp.minimum(x0i + 1, w - 1)
-        lx = (sx - x0i)[None, :, None].astype(jnp.float32)
-        vals = rows[:, x0i] * (1.0 - lx) + rows[:, x1i] * lx
-
-        pad_mask = (jnp.arange(out_w)[None, :] >= b_eff)[..., None]
+        lx = (sx - x0i).astype(jnp.float32)
+        if interleaved:
+            # column gather picks all C interleaved samples per x index
+            cc = jnp.arange(chans)[None, :]
+            g0 = rows[:, (x0i[:, None] * chans + cc).reshape(-1)]
+            g1 = rows[:, (x1i[:, None] * chans + cc).reshape(-1)]
+            g0 = g0.reshape(out_h, out_w, chans)
+            g1 = g1.reshape(out_h, out_w, chans)
+            vals = g0 * (1.0 - lx)[None, :, None] + g1 * lx[None, :, None]
+            pad_mask = (jnp.arange(out_w)[None, :] >= b_eff)[..., None]
+        else:
+            vals = rows[:, x0i] * (1.0 - lx)[None, :] + rows[:, x1i] * lx[None, :]
+            pad_mask = jnp.arange(out_w)[None, :] >= b_eff
         return jnp.where(pad_mask, 255.0, vals)
 
     crops = jax.vmap(one)(page_idx.astype(jnp.int32), x0, y0, bh, eff_w)
+    if chans == 1:
+        crops = crops[..., None]
     return crops / 255.0, eff_w.astype(jnp.int32)
 
 

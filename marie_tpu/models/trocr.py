@@ -223,8 +223,12 @@ def beam_decode(
     fin0 = jnp.zeros((b, k), bool)
     lens0 = jnp.zeros((b, k), jnp.int32)
 
-    def body(carry, pos):
-        cur, tokens, scores, fin, lens, caches = carry
+    def cond(state):
+        pos, _cur, _tokens, _scores, fin, _lens, _caches = state
+        return (pos < c.max_len) & ~jnp.all(fin)
+
+    def body(state):
+        pos, cur, tokens, scores, fin, lens, caches = state
         logits, caches = model.apply(
             params, cur.reshape(b * k), pos, cross, None, caches,
             method=TrOCRModel.decode_step,
@@ -252,13 +256,16 @@ def beam_decode(
 
         is_eos = (tok == c.eos_id) & ~fin
         write = jnp.where(fin | (tok == c.eos_id), c.pad_id, tok)
-        tokens = tokens.at[:, :, pos].set(write)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, write, pos, 2)
         lens = jnp.where(fin, lens, lens + (~(tok == c.eos_id)).astype(jnp.int32))
         fin = fin | is_eos
-        return (tok, tokens, new_scores, fin, lens, caches), None
+        return pos + 1, tok, tokens, new_scores, fin, lens, caches
 
-    (cur, tokens, scores, fin, lens, _), _ = jax.lax.scan(
-        body, (cur, tokens0, scores0, fin0, lens0, caches), jnp.arange(c.max_len)
+    # while_loop with early exit: stops once EVERY beam of every row has
+    # emitted EOS — real words finish far below the architectural max_len
+    _, cur, tokens, scores, fin, lens, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), cur, tokens0, scores0, fin0, lens0, caches),
     )
 
     # length-normalised final scores; unfinished beams keep raw normalisation

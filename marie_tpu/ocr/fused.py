@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from marie_tpu.boxes.craft_box_processor import _detect_jit
+from marie_tpu.boxes.craft_box_processor import _detect_core, _detect_jit
 from marie_tpu.models.trocr import greedy_decode
 from marie_tpu.preprocess.ops import crop_resize_pages
 
@@ -154,17 +154,64 @@ def _fused_pages(
 ):
     """Page-batched fused program: P pages in ONE execution.
 
-    The CC ``while_loop`` runs to the worst page's iteration count under
-    vmap, but the CRAFT forward and the decode batch P× wider onto the
-    MXU and the per-execution dispatch cost is paid once for P pages."""
-    return jax.vmap(
-        lambda page, clip: _fused_page(
-            craft_model, craft_vars, trocr_model, trocr_params, page, clip,
-            text_threshold, low_text, link_threshold, min_area, box_expand,
-            max_components, box_source, rec_slots, out_h, out_w, dtype,
-            max_steps,
-        )
-    )(pages_u8, clip_whs)
+    BATCH-NATIVE: the CRAFT forward and the recogniser run once on
+    [P, ...] batches (``vmap(single_page)`` would push the convs through
+    the batching rule — measured 4-5x slower, see ``_detect_core``);
+    only the elementwise box selection is vmapped.  Per page a fixed
+    ``rec_slots`` recognition rows are decoded (kept slots first, slot
+    order — the same row-alignment contract as ``_fused_page``)."""
+    if pages_u8.ndim == 3:
+        crop_src = pages_u8  # channel-free [P, H, W] for the crop gathers
+        pages_rgb = jnp.repeat(pages_u8[..., None], 3, axis=-1)
+    else:
+        crop_src = pages_u8
+        pages_rgb = pages_u8
+    p = pages_rgb.shape[0]
+
+    stats = _detect_core(
+        craft_model, craft_vars, pages_rgb, text_threshold, low_text,
+        link_threshold, max_components, box_source,
+    )
+    stride = stats["stride"][0].astype(jnp.float32)
+    score_floor = 0.0 if box_source == "ink" else text_threshold
+    min_area_grid = min_area / (stride / 2.0) ** 2
+
+    def select(boxes_p, scores_p, areas_p, valid_p, clip_p):
+        # identical predicate + ordering to BoxProcessorCraft.detect_collect
+        keep = valid_p & (scores_p >= score_floor) & (areas_p >= min_area_grid)
+        m = boxes_p.shape[0]
+        slot = jnp.arange(m)
+        sel = jnp.argsort(jnp.where(keep, slot, m + slot))[:rec_slots]
+        sel_keep = keep[sel]
+        b = boxes_p[sel].astype(jnp.float32) * stride
+        bw = b[:, 2] - b[:, 0]
+        bh = b[:, 3] - b[:, 1]
+        b = b + jnp.stack([-bw, -bh, bw, bh], axis=-1) * box_expand
+        hi = jnp.stack([clip_p[0], clip_p[1], clip_p[0], clip_p[1]])
+        b = jnp.clip(b, jnp.zeros((4,), jnp.float32), hi)
+        b = jnp.where(sel_keep[:, None], b, jnp.asarray([0.0, 0.0, 1.0, 1.0]))
+        return b, sel_keep
+
+    b, keep = jax.vmap(select)(
+        stats["boxes"], stats["scores"], stats["areas"], stats["valid"],
+        clip_whs,
+    )  # [P, rec_slots, 4], [P, rec_slots]
+
+    page_of = jnp.repeat(jnp.arange(p, dtype=jnp.int32), rec_slots)
+    crops, _ = crop_resize_pages(
+        crop_src, page_of, b.reshape(-1, 4), out_h, out_w
+    )
+    if crops.ndim == 3:
+        crops = jnp.repeat(crops[..., None], 3, axis=-1)
+    tokens, _, conf = greedy_decode(
+        trocr_model, trocr_params, crops.astype(dtype), max_steps,
+        active=keep.reshape(-1),
+    )
+    return (
+        stats,
+        tokens.reshape(p, rec_slots, -1),
+        conf.reshape(p, rec_slots),
+    )
 
 
 @partial(
@@ -230,13 +277,10 @@ def _fused_pages_compact(
         crop_src = pages_u8
     p = pages_u8.shape[0]
 
-    stats = jax.vmap(
-        lambda page: _detect_jit(
-            craft_model, craft_vars, page,
-            text_threshold, low_text, link_threshold, max_components,
-            box_source,
-        )
-    )(pages_u8)
+    stats = _detect_core(
+        craft_model, craft_vars, pages_u8, text_threshold, low_text,
+        link_threshold, max_components, box_source,
+    )
 
     m = stats["boxes"].shape[1]
     stride = stats["stride"][0].astype(jnp.float32)

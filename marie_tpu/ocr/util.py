@@ -35,6 +35,10 @@ def _craft_box_processor():
         return BoxProcessorCraft(
             variables=load_params(ckpt), box_source="heatmap",
             text_threshold=0.6, low_text=0.4, link_threshold=0.4,
+            # production serving defaults — bf16 trunk (MXU-native) and a
+            # 384-slot component budget: box stats scale linearly in K and
+            # ~140 words/page leaves 2.7x headroom (bench.py matches)
+            max_components=384, param_dtype="bfloat16",
         )
     return BoxProcessorCraft(box_source="ink", min_area=4)
 

@@ -55,7 +55,10 @@ def make_pages(n, seed=0, with_truth=False):
     ]
     pages, truths = [], []
     for k in range(n):
-        img = Image.new("RGB", (PAGE_W, PAGE_H), (255, 255, 255))
+        # grayscale pages ("L") — the scanned-document reality and 1/3 the
+        # host copy + upload bytes; 2-D frames flow through the fused path
+        # without channel expansion until the device needs RGB
+        img = Image.new("L", (PAGE_W, PAGE_H), 255)
         draw = ImageDraw.Draw(img)
         truth = []
         y = 40
@@ -63,7 +66,7 @@ def make_pages(n, seed=0, with_truth=False):
             x = 40
             while x < PAGE_W - 180:
                 wtext = words[int(rng.integers(0, len(words)))]
-                draw.text((x, y), wtext, fill=(0, 0, 0), font=font)
+                draw.text((x, y), wtext, fill=0, font=font)
                 bx = draw.textbbox((x, y), wtext, font=font)
                 truth.append(
                     (wtext, [bx[0], bx[1], bx[2] - bx[0], bx[3] - bx[1]])

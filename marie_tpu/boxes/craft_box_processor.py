@@ -102,7 +102,9 @@ def _detect_core(
     return stats
 
 
-@partial(jax.jit, static_argnames=("model", "max_components", "box_source"))
+@partial(jax.jit, static_argnames=("model", "text_threshold", "low_text",
+                                   "link_threshold", "max_components",
+                                   "box_source"))
 def _detect_jit(
     model: CRAFT,
     variables,
@@ -121,7 +123,9 @@ def _detect_jit(
     return {k: v[0] for k, v in stats.items()}
 
 
-@partial(jax.jit, static_argnames=("model", "max_components", "box_source"))
+@partial(jax.jit, static_argnames=("model", "text_threshold", "low_text",
+                                   "link_threshold", "max_components",
+                                   "box_source"))
 def _detect_batch_jit(
     model: CRAFT,
     variables,
@@ -182,7 +186,11 @@ class BoxProcessorCraft(BoxProcessor):
             from marie_tpu.utils.dtype import cast_floats
 
             variables = cast_floats(variables, jnp.bfloat16)
-        self.variables = variables
+        # commit weights to device ONCE: checkpoint loaders return host
+        # (numpy) arrays, and a numpy leaf passed as a jit argument is
+        # re-uploaded on EVERY call — measured 4x on the fused program
+        # through the device relay (1.8s -> 0.44s per 16-page batch)
+        self.variables = jax.device_put(variables)
 
     def detect_words(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         boxes, scores, _, _ = self.detect_with_page(image)

@@ -100,7 +100,8 @@ class BoxProcessorUlimDit(BoxProcessor):
             h, w = self.config.image_size
             dummy = jnp.zeros((1, h, w, 3), jnp.float32)
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
-        self.variables = variables
+        # device_put once — numpy leaves as jit args re-upload per call
+        self.variables = jax.device_put(variables)
 
     def detect_words(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         h, w = image.shape[:2]

@@ -113,7 +113,8 @@ class BoxProcessorTextFuseNet(BoxProcessor):
                 self.model.init,
                 static_argnames=("method",),
             )(jax.random.PRNGKey(0), dummy, method="init_probe")
-        self.variables = variables
+        # device_put once — numpy leaves as jit args re-upload per call
+        self.variables = jax.device_put(variables)
 
     def detect_words(self, image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         h, w = image.shape[:2]

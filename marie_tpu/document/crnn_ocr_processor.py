@@ -57,7 +57,8 @@ class CrnnOcrProcessor(OcrProcessor):
         if variables is None:
             dummy = jnp.zeros((1, self.crop_h, self.width_buckets[0], 1), jnp.float32)
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
-        self.variables = variables
+        # device_put once — numpy leaves as jit args re-upload per call
+        self.variables = jax.device_put(variables)
         self._fwd = jax.jit(lambda v, x: self.model.apply(v, x))
 
     # ------------------------------------------------------------------

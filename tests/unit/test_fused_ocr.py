@@ -109,6 +109,16 @@ def test_compact_budget_borrowing(processors):
         assert _words(fused.extract(pages)) == _words(two_phase.extract(pages))
 
 
+def test_grayscale_2d_frames_match_rgb(processors):
+    """2-D grayscale frames flow through the fused path without channel
+    expansion on host and decode identically to their RGB triplicates."""
+    bp, op = processors
+    rgb_pages = [_page(s) for s in range(3)]
+    gray_pages = [p[..., 0].copy() for p in rgb_pages]  # channels equal
+    fused = PipelineOcrEngine(bp, op, page_fuse_batch=2)
+    assert _words(fused.extract(gray_pages)) == _words(fused.extract(rgb_pages))
+
+
 def test_blank_page_in_group(processors):
     bp, op = processors
     blank = np.full((256, 384, 3), 255, np.uint8)

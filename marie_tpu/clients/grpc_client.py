@@ -49,35 +49,99 @@ class GRPCClient:
         target_executor: str = "",
         timeout: Optional[float] = None,
         return_responses: bool = False,
+        request_size: int = 0,
+        max_attempts: int = 1,
+        initial_backoff: float = 0.1,
+        max_backoff: float = 2.0,
+        backoff_multiplier: float = 1.5,
+        on_done=None,
+        on_error=None,
+        on_always=None,
+        continue_on_error: bool = False,
     ):
-        req = DataRequest.from_docs(
-            inputs if inputs is not None else DocumentArray(),
-            endpoint=on,
-            parameters=parameters,
-            target_executor=target_executor,
-        )
+        """Post docs to an endpoint (reference ``Client.post`` semantics).
+
+        ``inputs`` accepts a DocumentArray, list, or lazy generator;
+        ``request_size`` > 0 chunks it into that many docs per request.
+        Transient RPC failures (UNAVAILABLE / DEADLINE_EXCEEDED) retry up
+        to ``max_attempts`` with exponential backoff (the reference's
+        ``max_attempts``/``initial_backoff``/``backoff_multiplier`` args).
+        Callbacks mirror the reference: ``on_done(resp)`` per successful
+        request, ``on_error(resp)`` per failed one (suppresses the raise),
+        ``on_always(resp)`` after each.  With ``return_responses`` a single
+        un-chunked call returns the response object; chunked calls return
+        the list of responses.
+        """
+        import asyncio as _asyncio
+
+        from marie_tpu.clients.helper import as_docarray, chunk_docs
         from marie_tpu.serve.instrumentation import tracing
 
+        chunks = chunk_docs(as_docarray(inputs), request_size)
+        responses: List[DataRequest] = []
         async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
             stub = ch.unary_unary(
                 _PROCESS_DATA,
                 request_serializer=lambda r: r.to_bytes(),
                 response_deserializer=DataRequest.from_bytes,
             )
-            with tracing.start_span(
-                "client/post", {"endpoint": on, "request_id": req.request_id}
-            ):
-                resp: DataRequest = await stub(
-                    req, timeout=timeout,
-                    metadata=tracing.inject_metadata(self._metadata) or None,
+            for chunk in chunks:
+                req = DataRequest.from_docs(
+                    chunk,
+                    endpoint=on,
+                    parameters=parameters,
+                    target_executor=target_executor,
                 )
-        if resp.is_error():
-            st = resp.proto.header.status
-            raise BadServer(
-                f"request failed in {st.exception.executor or 'server'}: "
-                f"{st.description}"
-            )
-        return resp if return_responses else resp.docs
+                backoff = initial_backoff
+                attempt = 0
+                while True:
+                    attempt += 1
+                    try:
+                        with tracing.start_span(
+                            "client/post",
+                            {"endpoint": on, "request_id": req.request_id},
+                        ):
+                            resp: DataRequest = await stub(
+                                req, timeout=timeout,
+                                metadata=tracing.inject_metadata(self._metadata)
+                                or None,
+                            )
+                        break
+                    except grpc.aio.AioRpcError as ex:
+                        retriable = ex.code() in (
+                            grpc.StatusCode.UNAVAILABLE,
+                            grpc.StatusCode.DEADLINE_EXCEEDED,
+                        )
+                        if not retriable or attempt >= max_attempts:
+                            raise
+                        self.logger.warning(
+                            f"retrying after {ex.code().name} "
+                            f"(attempt {attempt}/{max_attempts})"
+                        )
+                        await _asyncio.sleep(backoff)
+                        backoff = min(backoff * backoff_multiplier, max_backoff)
+                if resp.is_error():
+                    if on_error is not None:
+                        on_error(resp)
+                    elif not continue_on_error:
+                        st = resp.proto.header.status
+                        raise BadServer(
+                            f"request failed in "
+                            f"{st.exception.executor or 'server'}: "
+                            f"{st.description}"
+                        )
+                elif on_done is not None:
+                    on_done(resp)
+                if on_always is not None:
+                    on_always(resp)
+                responses.append(resp)
+        if return_responses:
+            return responses if len(responses) > 1 else responses[0]
+        out = DocumentArray()
+        for resp in responses:
+            for d in resp.docs:
+                out.append(d)
+        return out
 
     async def adry_run(self, timeout: float = 5.0) -> bool:
         from marie_tpu.proto import marie_pb2

@@ -55,6 +55,11 @@ class WebSocketServer:
                     parameters=body.get("parameters") or {},
                     target_executor=body.get("targetExecutor", "") or "",
                 )
+                # echo the client's requestId so a streaming client can
+                # match completion-order responses back to its requests
+                client_rid = (body.get("header") or {}).get("requestId")
+                if client_rid:
+                    req.request_id = str(client_rid)
                 resp = await self.req_handler.process_data([req])
                 await ws.send_json(
                     {

@@ -128,6 +128,13 @@ class CraftConfig:
         return CraftConfig(base_channels=64)
 
     @staticmethod
+    def fast() -> "CraftConfig":
+        """Serving preset: half the channels = ~4x less conv FLOPs.
+        Trained checkpoint (train/craft.py -> model_zoo/craft-fast-synth)
+        matches base recall on the synthetic distribution."""
+        return CraftConfig(base_channels=32)
+
+    @staticmethod
     def tiny() -> "CraftConfig":
         return CraftConfig(base_channels=8)
 

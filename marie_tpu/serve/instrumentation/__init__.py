@@ -54,7 +54,18 @@ class InstrumentationMixin:
                 trace.set_tracer_provider(provider)
                 self.tracer = trace.get_tracer(name)
             except Exception as ex:  # noqa: BLE001 — missing exporter wheels
-                logger.warning(f"tracing unavailable: {ex!r}")
+                logger.warning(f"otel SDK unavailable ({ex!r})")
+                if traces_exporter_host:
+                    # no-SDK fallback: the homegrown collector speaks
+                    # OTLP/HTTP JSON directly (tracing.export_otlp_http)
+                    from marie_tpu.serve.instrumentation import tracing as _tr
+
+                    host = traces_exporter_host
+                    if "://" not in host:
+                        host = f"http://{host}"
+                    endpoint = f"{host}:{traces_exporter_port or 4318}"
+                    self._otlp_stop = _tr.start_otlp_exporter(endpoint, name)
+                    logger.info(f"OTLP/HTTP span exporter -> {endpoint}")
         if metrics:
             try:
                 from opentelemetry import metrics as otel_metrics

@@ -202,3 +202,106 @@ def _otel_mirror(span: Span) -> None:
 
 def set_otel_tracer(tracer) -> None:
     _otel_mirror.tracer = tracer  # type: ignore[attr-defined]
+
+
+# --- OTLP/HTTP export (no OpenTelemetry SDK required) -----------------------
+
+
+def spans_to_otlp(spans: List[Span], service_name: str = "marie") -> Dict[str, Any]:
+    """Convert collected spans into the OTLP/HTTP **JSON** request body
+    (``ExportTraceServiceRequest`` — the stable public schema any OTLP
+    collector accepts on ``/v1/traces``).  The reference exports through
+    the OpenTelemetry SDK's OTLP exporter; this build speaks the wire
+    format directly so export works with zero optional wheels."""
+    return {
+        "resourceSpans": [
+            {
+                "resource": {
+                    "attributes": [
+                        {
+                            "key": "service.name",
+                            "value": {"stringValue": service_name},
+                        }
+                    ]
+                },
+                "scopeSpans": [
+                    {
+                        "scope": {"name": "marie_tpu.tracing"},
+                        "spans": [
+                            {
+                                "traceId": s.trace_id,
+                                "spanId": s.span_id,
+                                **(
+                                    {"parentSpanId": s.parent_span_id}
+                                    if s.parent_span_id
+                                    else {}
+                                ),
+                                "name": s.name,
+                                "kind": 1,  # SPAN_KIND_INTERNAL
+                                "startTimeUnixNano": str(int(s.start * 1e9)),
+                                "endTimeUnixNano": str(int(s.end * 1e9)),
+                                "attributes": [
+                                    {
+                                        "key": k,
+                                        "value": {"stringValue": str(v)},
+                                    }
+                                    for k, v in s.attributes.items()
+                                ],
+                            }
+                            for s in spans
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+
+
+def export_otlp_http(
+    endpoint: str,
+    service_name: str = "marie",
+    timeout: float = 5.0,
+) -> int:
+    """Drain the collector and POST spans to an OTLP/HTTP collector
+    (``<endpoint>/v1/traces``).  Returns the number of spans shipped;
+    on failure the spans are re-queued so the next flush retries them."""
+    import urllib.request
+
+    spans = collector.drain()
+    if not spans:
+        return 0
+    body = json.dumps(spans_to_otlp(spans, service_name)).encode()
+    url = endpoint.rstrip("/")
+    if not url.endswith("/v1/traces"):
+        url += "/v1/traces"
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            resp.read()
+        return len(spans)
+    except Exception:  # noqa: BLE001 — requeue and let the next flush retry
+        for s in spans:
+            collector.add(s)
+        return 0
+
+
+def start_otlp_exporter(
+    endpoint: str,
+    service_name: str = "marie",
+    interval: float = 5.0,
+) -> threading.Event:
+    """Background flusher: periodically ships collected spans to an OTLP
+    collector.  Returns a stop Event; set it to terminate the thread
+    (one final flush runs on stop)."""
+    stop = threading.Event()
+
+    def run():
+        while not stop.wait(interval):
+            export_otlp_http(endpoint, service_name)
+        export_otlp_http(endpoint, service_name)
+
+    t = threading.Thread(target=run, name="otlp-exporter", daemon=True)
+    t.start()
+    return stop

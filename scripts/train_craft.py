@@ -12,13 +12,19 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument(
+        "--preset", choices=("base", "fast", "tiny"), default="base",
+        help="CraftConfig preset (fast = 32ch serving trunk)",
+    )
     args = ap.parse_args()
 
+    from marie_tpu.models.configs import CraftConfig
     from marie_tpu.train.craft import train_craft_device
     from marie_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
     train_craft_device(
+        config=getattr(CraftConfig, args.preset)(),
         steps=args.steps, batch_size=args.batch_size,
         checkpoint_path=args.out,
     )

@@ -75,3 +75,57 @@ def test_spans_export_jsonl(tmp_path):
     assert rec["name"] == "export-me"
     assert rec["attributes"]["k"] == "v"
     assert rec["duration_ms"] >= 0
+
+
+def test_otlp_http_export():
+    """Spans ship to an OTLP/HTTP collector as the public JSON schema;
+    a dead collector re-queues them for the next flush."""
+    import http.server
+    import json
+    import threading
+
+    from marie_tpu.serve.instrumentation import tracing
+
+    received = []
+
+    class Sink(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, json.loads(body)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Sink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        tracing.collector.drain()
+        with tracing.start_span("parent", {"k": "v"}):
+            with tracing.start_span("child"):
+                pass
+        n = tracing.export_otlp_http(f"http://127.0.0.1:{srv.server_port}")
+        assert n == 2
+        path, body = received[0]
+        assert path == "/v1/traces"
+        spans = body["resourceSpans"][0]["scopeSpans"][0]["spans"]
+        names = {s["name"] for s in spans}
+        assert names == {"parent", "child"}
+        child = next(s for s in spans if s["name"] == "child")
+        parent = next(s for s in spans if s["name"] == "parent")
+        assert child["traceId"] == parent["traceId"]
+        assert child["parentSpanId"] == parent["spanId"]
+        assert int(parent["endTimeUnixNano"]) >= int(parent["startTimeUnixNano"])
+        attr = {a["key"]: a["value"]["stringValue"] for a in parent["attributes"]}
+        assert attr["k"] == "v"
+    finally:
+        srv.shutdown()
+
+    # dead collector: spans requeue instead of dropping
+    tracing.collector.drain()
+    with tracing.start_span("keep-me"):
+        pass
+    n = tracing.export_otlp_http("http://127.0.0.1:9")  # discard port
+    assert n == 0
+    assert [s.name for s in tracing.collector.snapshot()] == ["keep-me"]

@@ -121,7 +121,11 @@ def stage_breakdown(box, icr, pages):
     import jax.numpy as jnp
 
     from marie_tpu.boxes.craft_box_processor import _detect_batch_jit
-    from marie_tpu.ocr.fused import _fused_pages_compact, _is_grayscale
+    from marie_tpu.ocr.fused import (
+        _fused_pages_compact,
+        _is_grayscale,
+        _pallas_crop_default,
+    )
     from marie_tpu.preprocess.ops import normalize_page
 
     preps = [box.prep_page(p) for p in pages]
@@ -163,7 +167,7 @@ def stage_breakdown(box, icr, pages):
         box.text_threshold, box.low_text, box.link_threshold,
         float(box.min_area), float(box.box_expand), box.max_components,
         box.box_source, n * 192, icr.crop_h, icr.crop_w, icr.compute_dtype,
-        icr.decode_steps,
+        icr.decode_steps, _pallas_crop_default(),
     )
     t_fused = _timed(lambda: _fused_pages_compact(*fused_args)[1])
 

@@ -54,6 +54,9 @@ def _detect_core(
     page's binarised ink with horizontal closing — deterministic boxes for
     benchmarking and CI where no trained weights exist.
     """
+    if pages_u8.ndim == 3:
+        # grayscale [B, H, W] pages — expand channels on device
+        pages_u8 = jnp.repeat(pages_u8[..., None], 3, axis=-1)
     rgb = jax.vmap(normalize_page)(pages_u8)  # [B, H, W, 3] f32
     vdt = jax.tree_util.tree_leaves(variables)[0].dtype
     heat = model.apply(variables, rgb.astype(vdt)).astype(jnp.float32)

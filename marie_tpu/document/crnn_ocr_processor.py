@@ -31,7 +31,10 @@ def _crop_and_ctc(model, variables, page_u8, boxes_xyxy, out_h, out_w):
         page_u8[None], jnp.zeros((boxes_xyxy.shape[0],), jnp.int32),
         boxes_xyxy, out_h, out_w,
     )
-    gray = crops.mean(axis=-1, keepdims=True)
+    if crops.ndim == 3:  # grayscale page — crops already single-channel
+        gray = crops[..., None]
+    else:
+        gray = crops.mean(axis=-1, keepdims=True)
     logits = model.apply(variables, gray)
     return ctc_greedy_decode(logits, blank_id=0)
 

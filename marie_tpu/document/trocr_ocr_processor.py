@@ -35,6 +35,8 @@ def _crop_batch_on_device(page_u8: jnp.ndarray, boxes_xyxy: jnp.ndarray,
         page_u8[None], jnp.zeros((boxes_xyxy.shape[0],), jnp.int32),
         boxes_xyxy, out_h, out_w,
     )
+    if crops.ndim == 3:  # grayscale page -> expand crop channels
+        crops = jnp.repeat(crops[..., None], 3, axis=-1)
     return crops
 
 
@@ -51,6 +53,8 @@ def _crop_and_decode(model, params, page_u8, boxes_xyxy, out_h, out_w,
         page_u8[None], jnp.zeros((boxes_xyxy.shape[0],), jnp.int32),
         boxes_xyxy, out_h, out_w,
     )
+    if crops.ndim == 3:  # grayscale page -> expand crop channels
+        crops = jnp.repeat(crops[..., None], 3, axis=-1)
     crops = crops.astype(dtype)
     if beam_size > 1:
         tokens, lengths, conf = beam_decode(model, params, crops, beam_size)

@@ -119,6 +119,16 @@ def test_grayscale_2d_frames_match_rgb(processors):
     assert _words(fused.extract(gray_pages)) == _words(fused.extract(rgb_pages))
 
 
+def test_detector_accepts_2d_page(processors):
+    """detect_words (the two-phase dispatch path) must accept a 2-D
+    grayscale page directly — channels expand on device."""
+    bp, _ = processors
+    rgb = _page(4)
+    b_rgb, _ = bp.detect_words(rgb)
+    b_gray, _ = bp.detect_words(rgb[..., 0].copy())
+    assert np.array_equal(b_rgb, b_gray)
+
+
 def test_blank_page_in_group(processors):
     bp, op = processors
     blank = np.full((256, 384, 3), 255, np.uint8)

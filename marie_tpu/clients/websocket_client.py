@@ -42,10 +42,20 @@ class WebSocketClient:
         request_size: int = 0,
         timeout: Optional[float] = None,
         return_responses: bool = False,
+        on_done=None,
+        on_error=None,
+        on_always=None,
+        continue_on_error: bool = False,
     ):
         """Send ``inputs`` (chunked into ``request_size`` requests when
         > 0) over ONE socket; returns the concatenated response docs in
-        REQUEST order (responses may complete out of order)."""
+        REQUEST order (responses may complete out of order).
+
+        Callbacks mirror the gRPC client: ``on_done(resp)`` per
+        successful chunk, ``on_error(resp)`` per failed one (suppresses
+        the raise, like ``continue_on_error``), ``on_always(resp)``
+        after each — a failed chunk no longer abandons still-in-flight
+        sibling chunks."""
         import aiohttp
 
         docs = _as_docarray(inputs)
@@ -73,27 +83,51 @@ class WebSocketClient:
                         }
                     )
                 remaining = len(chunks)
+                first_error: Optional[BadServer] = None
                 while remaining:
                     msg = await ws.receive(timeout=timeout)
                     if msg.type != aiohttp.WSMsgType.TEXT:
                         raise BadServer(f"websocket closed early: {msg.type}")
                     body = json.loads(msg.data)
-                    if "error" in body:
-                        raise BadServer(body["error"])
                     status = body.get("header", {}).get("status", {})
-                    if status.get("code", 0) != 0:
-                        raise BadServer(status.get("description", "error"))
+                    err = body.get("error") or (
+                        status.get("description", "error")
+                        if status.get("code", 0) != 0
+                        else None
+                    )
                     rid = body.get("header", {}).get("requestId", "")
                     slot = ids.get(rid)
+                    if err is not None:
+                        if slot is None:
+                            # unattributable error (no requestId): cannot
+                            # know which chunk failed — fatal either way
+                            raise BadServer(err)
+                        if on_error is not None:
+                            on_error(body)
+                        elif not continue_on_error:
+                            first_error = first_error or BadServer(err)
+                        if on_always is not None:
+                            on_always(body)
+                        remaining -= 1
+                        continue
                     if slot is None:
                         continue  # stale/unknown response
                     results[slot] = body
                     remaining -= 1
+                    if on_done is not None:
+                        on_done(body)
+                    if on_always is not None:
+                        on_always(body)
+                if first_error is not None:
+                    # all in-flight chunks drained first — siblings kept
+                    raise first_error
 
         if return_responses:
             return results
         out = DocumentArray()
         for body in results:
+            if body is None:
+                continue  # failed chunk under continue_on_error/on_error
             for d in DocumentArray.from_dict(body.get("data", [])):
                 out.append(d)
         return out

@@ -58,6 +58,10 @@ class AmountValidator(EntityValidator):
             raise ValueError(f"Expected a string, but got {value!r}")
         text = value.strip()
         negative = text.startswith("(") and text.endswith(")")
+        # accounting negatives need BOTH parentheses — an unbalanced
+        # '(42.00' must be rejected, not parsed as positive 42.00
+        if text.startswith("(") != text.endswith(")"):
+            raise ValueError(f"Unable to parse amount: {value!r}")
         m = self.PATTERN.match(text)
         if not m:
             raise ValueError(f"Unable to parse amount: {value!r}")

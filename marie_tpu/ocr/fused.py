@@ -36,9 +36,24 @@ from marie_tpu.preprocess.ops import crop_resize_pages
 
 def _crop_batch(crop_src, page_of, b, out_h, out_w, pallas_crop: bool):
     """Crop extraction: the Pallas slab-DMA kernel on TPU grayscale
-    stacks (~8x the gather path), XLA gathers elsewhere."""
+    stacks (~8x the gather path), XLA gathers elsewhere.
+
+    The Pallas kernel reads a contiguous ~192-row slab per crop; a box
+    taller than the usable window would be top-anchor-clamped (TPU and
+    CPU would produce different crops for e.g. merged multi-line
+    components).  A ``lax.cond`` routes the whole batch through the XLA
+    gather path whenever any box exceeds the window — the common
+    all-short-boxes batch still pays only the Pallas cost."""
     if pallas_crop and crop_src.ndim == 3:
-        return crop_resize_pallas(crop_src, page_of, b, out_h, out_w)
+        from marie_tpu.ops.pallas.crop_resize import _ROW_ALIGN, DEFAULT_WINDOW
+
+        usable = DEFAULT_WINDOW - _ROW_ALIGN
+        bh = b[:, 3] - b[:, 1]
+        return jax.lax.cond(
+            jnp.any(bh >= usable),
+            lambda: crop_resize_pages(crop_src, page_of, b, out_h, out_w),
+            lambda: crop_resize_pallas(crop_src, page_of, b, out_h, out_w),
+        )
     return crop_resize_pages(crop_src, page_of, b, out_h, out_w)
 
 
@@ -613,11 +628,15 @@ def _kept_count(bp, stats) -> int:
     many component slots of one page's stats survive on device and thus
     occupy compacted recognition rows."""
     stride = float(np.asarray(stats.get("stride", 2)))
-    floor = 0.0 if bp.box_source == "ink" else bp.text_threshold
-    min_area = bp.min_area / (stride / 2.0) ** 2
+    # compare in float32 on the raw fetched arrays — the device compares
+    # f32 stats against the f32-rounded threshold constants, and a python
+    # float here would promote to float64 and disagree for scores exactly
+    # equal to f32(threshold) (e.g. 0.7), shifting every later row
+    floor = np.float32(0.0 if bp.box_source == "ink" else bp.text_threshold)
+    min_area = np.float32(bp.min_area) / np.float32(stride / 2.0) ** 2
     keep = (
         np.asarray(stats["valid"])
-        & (np.asarray(stats["scores"]) >= floor)
-        & (np.asarray(stats["areas"]) >= min_area)
+        & (np.asarray(stats["scores"], dtype=np.float32) >= floor)
+        & (np.asarray(stats["areas"], dtype=np.float32) >= min_area)
     )
     return int(keep.sum())

@@ -64,6 +64,17 @@ def _load():
             lib.raft_submit.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int
             ]
+            lib.raft_snapshot.restype = ctypes.c_longlong
+            lib.raft_snapshot.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int
+            ]
+            lib.raft_set_restore_cb.argtypes = [
+                ctypes.c_void_p, _APPLY_CB, ctypes.c_void_p
+            ]
+            lib.raft_log_length.restype = ctypes.c_longlong
+            lib.raft_log_length.argtypes = [ctypes.c_void_p]
+            lib.raft_snapshot_index.restype = ctypes.c_longlong
+            lib.raft_snapshot_index.argtypes = [ctypes.c_void_p]
             lib.raft_state.argtypes = [ctypes.c_void_p]
             lib.raft_commit_index.restype = ctypes.c_longlong
             lib.raft_commit_index.argtypes = [ctypes.c_void_p]
@@ -97,12 +108,15 @@ class RaftNode:
         node_id: str,
         bind_addr: str,
         apply_fn: Optional[Callable[[bytes, int], None]] = None,
+        restore_fn: Optional[Callable[[bytes, int], None]] = None,
     ):
         self.logger = MarieLogger(f"raft/{node_id}")
         self.node_id = node_id
         self.bind_addr = bind_addr
         self.apply_fn = apply_fn
+        self.restore_fn = restore_fn
         self.applied: List[bytes] = []
+        self.restored: List[bytes] = []
         lib = _load()
 
         def _cb(data, length, index, _user):
@@ -114,10 +128,21 @@ class RaftNode:
                 except Exception as ex:  # noqa: BLE001
                     self.logger.error(f"apply_fn failed at {index}: {ex!r}")
 
+        def _rcb(data, length, index, _user):
+            payload = ctypes.string_at(data, length) if length else b""
+            self.restored.append(payload)
+            if self.restore_fn is not None:
+                try:
+                    self.restore_fn(payload, int(index))
+                except Exception as ex:  # noqa: BLE001
+                    self.logger.error(f"restore_fn failed at {index}: {ex!r}")
+
         self._cb = _APPLY_CB(_cb)  # keep a reference — ctypes trampoline
+        self._rcb = _APPLY_CB(_rcb)
         self._node = lib.raft_create(
             node_id.encode(), bind_addr.encode(), self._cb, None
         )
+        lib.raft_set_restore_cb(self._node, self._rcb, None)
         self._lib = lib
         self._started = False
 
@@ -134,6 +159,22 @@ class RaftNode:
     def submit(self, data: bytes) -> int:
         """Append a log entry (leader only). Returns index, 0 if follower."""
         return int(self._lib.raft_submit(self._node, data, len(data)))
+
+    def snapshot(self, state: bytes) -> int:
+        """Record ``state`` (the executor snapshot blob) at last_applied
+        and COMPACT the log below it — long-lived deployments stay
+        bounded and fresh followers catch up from the blob + tail
+        (reference: hashicorp/raft fsm.go:132 + snapshot.go)."""
+        return int(self._lib.raft_snapshot(self._node, state, len(state)))
+
+    @property
+    def log_length(self) -> int:
+        """Entries currently retained (post-compaction suffix)."""
+        return int(self._lib.raft_log_length(self._node))
+
+    @property
+    def snapshot_index(self) -> int:
+        return int(self._lib.raft_snapshot_index(self._node))
 
     @property
     def state(self) -> int:

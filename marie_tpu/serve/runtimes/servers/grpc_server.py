@@ -88,9 +88,22 @@ class GRPCServer:
         self.logger = MarieLogger(f"GRPCServer/{name}")
         self.server: Optional[grpc.aio.Server] = None
         self.health = _HealthServicer()
-        # id -> serialized status proto, for the *Progress services
-        self._snapshot_status: dict = {}
-        self._restore_status: dict = {}
+        # id -> serialized status proto, for the *Progress services.
+        # OrderedDicts with LRU eviction (_STATUS_CAP) — a long-lived
+        # server would otherwise retain one proto per snapshot forever
+        from collections import OrderedDict
+
+        self._snapshot_status: "OrderedDict[str, bytes]" = OrderedDict()
+        self._restore_status: "OrderedDict[str, bytes]" = OrderedDict()
+
+    _STATUS_CAP = 256
+
+    @classmethod
+    def _record_status(cls, store, key: str, value: bytes) -> None:
+        store[key] = value
+        store.move_to_end(key)
+        while len(store) > cls._STATUS_CAP:
+            store.popitem(last=False)
 
     # ------------------------------------------------------------------
     async def setup_server(self) -> None:
@@ -189,8 +202,9 @@ class GRPCServer:
             except Exception as ex:  # noqa: BLE001
                 self.logger.error(f"snapshot failed: {ex!r}")
                 proto.status = marie_pb2.SnapshotStatusProto.FAILED
-            self._snapshot_status[proto.id.value] = bytes(
-                proto.SerializeToString()
+            self._record_status(
+                self._snapshot_status, proto.id.value,
+                bytes(proto.SerializeToString()),
             )
             return proto.SerializeToString()
 
@@ -244,8 +258,9 @@ class GRPCServer:
             except Exception as ex:  # noqa: BLE001
                 self.logger.error(f"restore failed: {ex!r}")
                 proto.status = marie_pb2.SnapshotStatusProto.FAILED
-            self._restore_status[proto.id.value] = bytes(
-                proto.SerializeToString()
+            self._record_status(
+                self._restore_status, proto.id.value,
+                bytes(proto.SerializeToString()),
             )
             return proto.SerializeToString()
 

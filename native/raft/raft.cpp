@@ -12,9 +12,16 @@
 // election timeouts, term-checked RequestVote / AppendEntries, log
 // replication with commit on majority match, FSM apply callback on
 // commit.  Transport is length-prefixed JSON over TCP (no external
-// dependencies).  Log compaction/snapshots are delegated to the
-// executor's snapshot RPCs at the Python layer (as in the reference,
-// fsm.go:132 Snapshot → executor snapshot).
+// dependencies).
+//
+// Log compaction (reference: hashicorp/raft snapshots AND truncates,
+// fsm.go:132 Snapshot + snapshot.go): raft_snapshot(blob) records the
+// executor-state blob (produced by the Python layer's snapshot RPC),
+// pins (snapshot_index, snapshot_term) at last_applied, and DROPS the
+// log prefix.  A follower whose next_index falls below snapshot_index
+// receives an install_snapshot RPC — the blob is handed to the restore
+// callback and replication resumes from the snapshot tail, so a fresh
+// follower never replays from entry 0.
 
 #include <arpa/inet.h>
 #include <netinet/in.h>
@@ -149,7 +156,18 @@ struct RaftNode {
   long long current_term = 0;
   std::string voted_for;
   std::string leader_id;
-  std::vector<LogEntry> log;  // 1-indexed externally: log[0] == index 1
+  // log[0] holds index snapshot_index+1 (1-indexed externally); the
+  // prefix up to snapshot_index lives only in snapshot_data
+  std::vector<LogEntry> log;
+  long long snapshot_index = 0;
+  long long snapshot_term = 0;
+  std::string snapshot_data;  // opaque executor-state blob
+  apply_cb_t restore_cb = nullptr;
+  void* restore_user = nullptr;
+  // restore handed off to apply_loop so the Python callback never runs
+  // under the node mutex
+  long long pending_restore_index = -1;
+  std::string pending_restore_data;
   long long commit_index = 0;
   long long last_applied = 0;
   std::vector<Peer> peers;  // excludes self
@@ -170,8 +188,19 @@ struct RaftNode {
     last_heartbeat = steady_clock::now();
   }
 
-  long long last_log_index() { return (long long)log.size(); }
-  long long last_log_term() { return log.empty() ? 0 : log.back().term; }
+  long long last_log_index() { return snapshot_index + (long long)log.size(); }
+  long long last_log_term() {
+    return log.empty() ? snapshot_term : log.back().term;
+  }
+  // term of entry idx; valid for snapshot_index <= idx <= last_log_index
+  long long term_at(long long idx) {
+    if (idx == snapshot_index) return snapshot_term;
+    if (idx < snapshot_index || idx > last_log_index()) return -1;
+    return log[(size_t)(idx - snapshot_index - 1)].term;
+  }
+  LogEntry& entry_at(long long idx) {
+    return log[(size_t)(idx - snapshot_index - 1)];
+  }
 };
 
 // --- framed JSON over TCP ------------------------------------------------
@@ -304,18 +333,22 @@ static std::string handle_rpc(RaftNode* n, const std::string& raw) {
       n->last_heartbeat = steady_clock::now();
       long long prev_idx = m.num["prev_log_index"];
       long long prev_term = m.num["prev_log_term"];
-      bool prev_ok = prev_idx == 0 ||
+      // entries at or below snapshot_index are covered by the snapshot
+      // (they were committed before it was taken) — treat as matching
+      bool prev_ok = prev_idx <= n->snapshot_index ||
                      (prev_idx <= n->last_log_index() &&
-                      n->log[prev_idx - 1].term == prev_term);
+                      n->term_at(prev_idx) == prev_term);
       if (prev_ok) {
         ok = true;
         long long idx = prev_idx;
         for (auto& e : m.entries) {
           idx++;
+          if (idx <= n->snapshot_index) continue;  // already snapshotted
           long long eterm = atoll(e["term"].c_str());
           if (idx <= n->last_log_index()) {
-            if (n->log[idx - 1].term != eterm) {
-              n->log.resize(idx - 1);  // conflict: truncate
+            if (n->term_at(idx) != eterm) {
+              // conflict: truncate from idx (log[0] == snapshot_index+1)
+              n->log.resize((size_t)(idx - n->snapshot_index - 1));
               n->log.push_back({eterm, b64dec(e["data"])});
             }
           } else {
@@ -332,6 +365,44 @@ static std::string handle_rpc(RaftNode* n, const std::string& raw) {
     out << "{\"type\":\"append_reply\",\"term\":" << n->current_term
         << ",\"success\":" << (ok ? 1 : 0)
         << ",\"match_index\":" << n->last_log_index() << "}";
+  } else if (type == "install_snapshot") {
+    // leader -> lagging follower: executor-state blob + (index, term);
+    // replaces the log prefix so the follower catches up without
+    // replaying from entry 0 (hashicorp InstallSnapshot semantics)
+    long long term = m.num["term"];
+    bool ok = false;
+    if (term >= n->current_term) {
+      if (term > n->current_term || n->role != Role::Follower)
+        become_follower(n, term);
+      n->leader_id = m.str["leader"];
+      n->last_heartbeat = steady_clock::now();
+      long long sidx = m.num["snapshot_index"];
+      long long sterm = m.num["snapshot_term"];
+      if (sidx > n->snapshot_index) {
+        std::string data = b64dec(m.str["data"]);
+        if (sidx <= n->last_log_index() && n->term_at(sidx) == sterm) {
+          // matching tail survives — drop only the covered prefix
+          n->log.erase(n->log.begin(),
+                       n->log.begin() + (size_t)(sidx - n->snapshot_index));
+        } else {
+          n->log.clear();
+        }
+        n->snapshot_index = sidx;
+        n->snapshot_term = sterm;
+        n->snapshot_data = data;
+        if (n->commit_index < sidx) n->commit_index = sidx;
+        if (n->last_applied < sidx) {
+          n->last_applied = sidx;
+          // restore runs in apply_loop, outside the node mutex
+          n->pending_restore_index = sidx;
+          n->pending_restore_data = std::move(data);
+        }
+        n->apply_cv.notify_all();
+      }
+      ok = true;
+    }
+    out << "{\"type\":\"install_snapshot_reply\",\"term\":" << n->current_term
+        << ",\"ok\":" << (ok ? 1 : 0) << "}";
   } else if (type == "add_voter") {
     // leader-side membership change (simplified joint consensus: single
     // server addition applied immediately, as hashicorp AddVoter does for
@@ -436,16 +507,53 @@ static void start_election(RaftNode* n) {
 static void replicate_to(RaftNode* n, Peer snapshot_peer) {
   long long term, prev_idx, prev_term, commit;
   std::vector<LogEntry> entries;
+  bool need_snapshot = false;
+  long long snap_idx = 0, snap_term = 0;
+  std::string snap_data;
   {
     std::lock_guard<std::mutex> lk(n->mu);
     if (n->role != Role::Leader) return;
     term = n->current_term;
-    prev_idx = snapshot_peer.next_index - 1;
-    prev_term = prev_idx > 0 && prev_idx <= n->last_log_index()
-                    ? n->log[prev_idx - 1].term : 0;
-    for (long long i = snapshot_peer.next_index; i <= n->last_log_index(); i++)
-      entries.push_back(n->log[i - 1]);
-    commit = n->commit_index;
+    if (snapshot_peer.next_index <= n->snapshot_index) {
+      // the entries this follower needs were compacted away — ship the
+      // snapshot blob instead and resume from its tail
+      need_snapshot = true;
+      snap_idx = n->snapshot_index;
+      snap_term = n->snapshot_term;
+      snap_data = n->snapshot_data;
+    } else {
+      prev_idx = snapshot_peer.next_index - 1;
+      prev_term = prev_idx > 0 ? std::max(0LL, n->term_at(prev_idx)) : 0;
+      for (long long i = snapshot_peer.next_index; i <= n->last_log_index();
+           i++)
+        entries.push_back(n->entry_at(i));
+      commit = n->commit_index;
+    }
+  }
+  if (need_snapshot) {
+    std::ostringstream req;
+    req << "{\"type\":\"install_snapshot\",\"term\":" << term
+        << ",\"leader\":\"" << mj::esc(n->id) << "\""
+        << ",\"snapshot_index\":" << snap_idx
+        << ",\"snapshot_term\":" << snap_term
+        << ",\"data\":\"" << b64enc(snap_data) << "\"}";
+    std::string resp = rpc_round_trip(snapshot_peer.addr, req.str());
+    if (resp.empty()) return;
+    mj::Parser p(resp);
+    auto m = p.parse();
+    std::lock_guard<std::mutex> lk(n->mu);
+    if (m.num["term"] > n->current_term) {
+      become_follower(n, m.num["term"]);
+      return;
+    }
+    if (m.num["ok"]) {
+      for (auto& pr : n->peers) {
+        if (pr.id != snapshot_peer.id) continue;
+        pr.match_index = std::max(pr.match_index, snap_idx);
+        pr.next_index = snap_idx + 1;
+      }
+    }
+    return;
   }
   std::ostringstream req;
   req << "{\"type\":\"append_entries\",\"term\":" << term
@@ -471,12 +579,17 @@ static void replicate_to(RaftNode* n, Peer snapshot_peer) {
       pr.match_index = m.num["match_index"];
       pr.next_index = pr.match_index + 1;
     } else {
-      pr.next_index = std::max(1LL, pr.next_index - 1);  // back off
+      // back off; the reply's match_index is the follower's last index,
+      // so jump straight past any gap (one round to install_snapshot
+      // for a fresh follower instead of one step per entry)
+      pr.next_index = std::max(
+          1LL, std::min(pr.next_index - 1, m.num["match_index"] + 1));
     }
   }
   // advance commit index: majority match on an entry from the current term
-  for (long long idx = n->last_log_index(); idx > n->commit_index; idx--) {
-    if (n->log[idx - 1].term != n->current_term) break;
+  for (long long idx = n->last_log_index();
+       idx > std::max(n->commit_index, n->snapshot_index); idx--) {
+    if (n->term_at(idx) != n->current_term) break;
     int count = 1;
     for (auto& pr : n->peers)
       if (pr.match_index >= idx) count++;
@@ -532,9 +645,18 @@ static void apply_loop(RaftNode* n) {
   std::unique_lock<std::mutex> lk(n->mu);
   while (n->running.load()) {
     n->apply_cv.wait_for(lk, milliseconds(100));
+    if (n->pending_restore_index >= 0) {
+      long long idx = n->pending_restore_index;
+      std::string data = std::move(n->pending_restore_data);
+      n->pending_restore_index = -1;
+      lk.unlock();
+      if (n->restore_cb)
+        n->restore_cb(data.data(), (int)data.size(), idx, n->restore_user);
+      lk.lock();
+    }
     while (n->last_applied < n->commit_index) {
       long long idx = ++n->last_applied;
-      LogEntry entry = n->log[idx - 1];
+      LogEntry entry = n->entry_at(idx);
       lk.unlock();
       if (n->apply_cb)
         n->apply_cb(entry.data.data(), (int)entry.data.size(), idx, n->user);
@@ -603,6 +725,40 @@ long long raft_submit(RaftNode* n, const char* data, int len) {
   if (n->role != Role::Leader) return 0;
   n->log.push_back({n->current_term, std::string(data, (size_t)len)});
   return n->last_log_index();
+}
+
+// Compact the log: record the executor-state blob for (index, term) =
+// (last_applied, term_at(last_applied)) and drop entries at or below it.
+// Returns the new snapshot_index (unchanged if nothing new to compact).
+long long raft_snapshot(RaftNode* n, const char* data, int len) {
+  std::lock_guard<std::mutex> lk(n->mu);
+  if (n->last_applied <= n->snapshot_index) return n->snapshot_index;
+  long long sidx = n->last_applied;
+  n->snapshot_term = n->term_at(sidx);
+  n->log.erase(n->log.begin(),
+               n->log.begin() + (size_t)(sidx - n->snapshot_index));
+  n->snapshot_index = sidx;
+  n->snapshot_data = std::string(data, (size_t)len);
+  return sidx;
+}
+
+// restore_cb(data, len, snapshot_index, user) fires when an installed
+// snapshot replaces this node's state (fresh/lagging follower catch-up)
+int raft_set_restore_cb(RaftNode* n, apply_cb_t cb, void* user) {
+  std::lock_guard<std::mutex> lk(n->mu);
+  n->restore_cb = cb;
+  n->restore_user = user;
+  return 0;
+}
+
+long long raft_log_length(RaftNode* n) {
+  std::lock_guard<std::mutex> lk(n->mu);
+  return (long long)n->log.size();
+}
+
+long long raft_snapshot_index(RaftNode* n) {
+  std::lock_guard<std::mutex> lk(n->mu);
+  return n->snapshot_index;
 }
 
 // 0=follower, 1=candidate, 2=leader

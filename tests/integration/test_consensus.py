@@ -133,3 +133,50 @@ def test_stateful_adapter_replicates_executor_state():
     finally:
         for a in adapters:
             a.shutdown()
+
+
+def test_log_compaction_and_snapshot_install():
+    """VERDICT r2 #9: snapshot + truncate (hashicorp fsm.go:132/snapshot.go
+    semantics) — 1k entries, snapshot compacts the log, a FRESH follower
+    comes up from the snapshot blob + tail instead of replaying from 0."""
+    n_entries = 1000
+    leader = RaftNode("lead", f"127.0.0.1:{random_port()}")
+    leader.start()
+    try:
+        assert _wait(lambda: leader.is_leader)
+        for k in range(n_entries):
+            assert leader.submit(f"e{k}".encode()) > 0
+        assert _wait(lambda: len(leader.applied) == n_entries, timeout=20)
+
+        # executor-state blob stands in for the snapshot RPC payload
+        state = b"counter=" + str(n_entries).encode()
+        sidx = leader.snapshot(state)
+        assert sidx == n_entries
+        assert leader.log_length == 0  # everything applied was compacted
+        assert leader.snapshot_index == n_entries
+
+        # a few post-snapshot entries form the live tail
+        for k in range(5):
+            leader.submit(f"tail{k}".encode())
+        assert _wait(lambda: len(leader.applied) == n_entries + 5)
+        assert leader.log_length < n_entries  # stays bounded
+
+        # fresh follower: must restore from the blob, then apply the tail
+        f_addr = f"127.0.0.1:{random_port()}"
+        follower = RaftNode("f1", f_addr)
+        follower.start()
+        try:
+            leader.add_voter("f1", f_addr)
+            follower.add_voter("lead", leader.bind_addr)
+            assert _wait(lambda: follower.restored == [state], timeout=15)
+            assert _wait(
+                lambda: [p.decode() for p in follower.applied]
+                == [f"tail{k}" for k in range(5)],
+                timeout=15,
+            )
+            assert follower.snapshot_index == n_entries
+            assert follower.log_length < n_entries
+        finally:
+            follower.shutdown()
+    finally:
+        leader.shutdown()

@@ -63,6 +63,25 @@ def _pallas_crop_default() -> bool:
     return _jax.devices()[0].platform == "tpu"
 
 
+def _unpack4(packed_u8: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of :func:`marie_tpu.utils.pack4.pack4`:
+    [..., W//2] packed nibbles -> [..., W] uint8 (nibble * 17).
+
+    Lane-friendly formulation: repeat along the minor dim then select
+    hi/lo nibble by column parity — no [..., 2] trailing dim appears
+    (TPU would pad it to 128 lanes)."""
+    rep = jnp.repeat(packed_u8, 2, axis=-1)
+    col = jax.lax.broadcasted_iota(jnp.int32, rep.shape, rep.ndim - 1)
+    nib = jnp.where(col % 2 == 0, rep >> 4, rep & 0xF)
+    return nib * jnp.uint8(17)
+
+
+@partial(jax.jit, static_argnames=())
+def _unpack4_page(packed_u8: jnp.ndarray) -> jnp.ndarray:
+    """Standalone unpack for the rare overflow-recognition path."""
+    return _unpack4(packed_u8)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -292,6 +311,7 @@ def _fused_pages(
         "dtype",
         "max_steps",
         "pallas_crop",
+        "packed",
     ),
 )
 def _fused_pages_compact(
@@ -315,6 +335,7 @@ def _fused_pages_compact(
     dtype,
     max_steps: int,
     pallas_crop: bool = False,
+    packed: bool = False,
 ):
     """Page-batched fused OCR with GLOBAL crop compaction.
 
@@ -333,6 +354,12 @@ def _fused_pages_compact(
     Ladder-padding duplicate pages (slots >= ``n_real``) are excluded
     from compaction so they neither consume budget nor shift rows.
     """
+    if packed:
+        # 4-bit packed grayscale upload ([P, H, W//2], HALF the bytes of
+        # the already-1/3 grayscale path over the host->device link —
+        # the dominant serving cost on bandwidth-limited relays);
+        # unpacked once here, shared by detection and crops
+        pages_u8 = _unpack4(pages_u8)
     if pages_u8.ndim == 3:
         # grayscale upload: detection needs the 3-channel page, but crops
         # gather from the channel-FREE [P, H, W] stack (well-tiled minor
@@ -386,6 +413,111 @@ def _fused_pages_compact(
     return stats, tokens, conf
 
 
+def _mesh_replicated_params(processor, attr: str, mesh):
+    """Replicate a processor's param tree over ``mesh`` ONCE (cached on
+    the processor keyed by mesh) — re-placing per call would re-transfer
+    the whole weight tree every execution."""
+    import jax.sharding as jsh
+
+    cache = getattr(processor, "_mesh_param_cache", None)
+    if cache is None:
+        cache = {}
+        processor._mesh_param_cache = cache
+    key = (attr, id(mesh))
+    if key not in cache:
+        repl = jsh.NamedSharding(mesh, jsh.PartitionSpec())
+        cache[key] = jax.device_put(getattr(processor, attr), repl)
+    return cache[key]
+
+
+def fused_ocr_pages(
+    box_processor,
+    ocr_processor,
+    pages,
+    clip_whs=None,
+    *,
+    n_real: Optional[int] = None,
+    total_slots: Optional[int] = None,
+    compact_slots: int = 192,
+    mesh=None,
+    packed: bool = False,
+    pallas_crop: Optional[bool] = None,
+):
+    """PUBLIC kwargs-stable fused OCR entry: detect + select + crop +
+    decode one same-bucket page batch in a single program.
+
+    Thresholds/decode config come from the processors; callers never
+    touch the private positional signature (``_fused_pages_compact``),
+    so signature evolution cannot silently break them.
+
+    Args:
+      pages: [P, H, W] / [P, H, W, 3] uint8 (numpy or device array); with
+        ``packed`` a [P, H, W//2] 4-bit stack (:mod:`marie_tpu.utils.pack4`).
+      clip_whs: [P, 2] float32 crop-clip (w, h) per page; defaults to the
+        full page extent.
+      n_real: pages before ladder padding (defaults to P).
+      total_slots: global recognition-row budget (defaults to
+        ``P * compact_slots``).
+      mesh: optional ``jax.sharding.Mesh`` — the page batch is sharded
+        over every mesh device (batch dim must divide the device count)
+        and both model param trees are replicated (cached per mesh), so
+        one call runs data-parallel over the local mesh: the TPU-native
+        analog of the reference's replica-per-GPU scaling
+        (``/root/reference/config/service/marie.yml:199``).
+
+    Returns (stats, tokens, conf) exactly as the fused program emits
+    them (row-alignment contract in the module docstring).
+    """
+    import jax.sharding as jsh
+
+    bp, op = box_processor, ocr_processor
+    p = int(pages.shape[0])
+    if clip_whs is None:
+        h = int(pages.shape[1])
+        w = int(pages.shape[2]) * (2 if packed else 1)
+        clip_whs = np.tile(np.asarray([[w, h]], np.float32), (p, 1))
+    if total_slots is None:
+        total_slots = p * compact_slots
+    if n_real is None:
+        n_real = p
+    if pallas_crop is None:
+        pallas_crop = _pallas_crop_default()
+
+    craft_vars, trocr_params = bp.variables, op.params
+    if mesh is not None:
+        n_dev = len(mesh.devices.reshape(-1))
+        if p % n_dev:
+            raise ValueError(
+                f"page batch {p} not divisible by mesh devices {n_dev}"
+            )
+        batch_sharding = jsh.NamedSharding(
+            mesh, jsh.PartitionSpec(mesh.axis_names)
+        )
+        # device_put is a no-op for arrays already placed with this
+        # sharding (the prefetching uploader pre-places them)
+        pages = jax.device_put(pages, batch_sharding)
+        clip_whs = jax.device_put(
+            clip_whs if hasattr(clip_whs, "sharding")
+            else np.asarray(clip_whs, np.float32),
+            batch_sharding,
+        )
+        craft_vars = _mesh_replicated_params(bp, "variables", mesh)
+        trocr_params = _mesh_replicated_params(op, "params", mesh)
+    else:
+        pages = jnp.asarray(pages)
+        clip_whs = jnp.asarray(clip_whs, jnp.float32)
+
+    return _fused_pages_compact(
+        bp.model, craft_vars, op.model, trocr_params, pages, clip_whs,
+        jnp.int32(n_real),
+        bp.text_threshold, bp.low_text, bp.link_threshold,
+        float(bp.min_area), float(bp.box_expand),
+        bp.max_components, bp.box_source, int(total_slots),
+        op.crop_h, op.crop_w, op.compute_dtype, op.decode_steps,
+        bool(pallas_crop), bool(packed),
+    )
+
+
 def supports_fused_page(box_processor, ocr_processor) -> bool:
     """Duck-typed gate: CRAFT-style detector + greedy TrOCR recogniser."""
     return (
@@ -397,9 +529,69 @@ def supports_fused_page(box_processor, ocr_processor) -> bool:
     )
 
 
+def _plan_groups(preps, page_batch: int) -> List[List[int]]:
+    """Split the prepped page list into same-bucket runs of <= page_batch."""
+    groups: List[List[int]] = []
+    i = 0
+    while i < len(preps):
+        bucket = preps[i][0].shape
+        group = [i]
+        while (
+            i + len(group) < len(preps)
+            and preps[i + len(group)][0].shape == bucket
+            and len(group) < page_batch
+        ):
+            group.append(i + len(group))
+        groups.append(group)
+        i += len(group)
+    return groups
+
+
+def _upload_group(preps, group, page_batch, upload_format: str = "u8",
+                  mesh=None):
+    """Host prep + device upload for one group (runs on the uploader
+    thread): ladder-pad the stack, drop identical channels, optionally
+    pack to 4 bits/pixel (native loop — halves the link bytes again),
+    device_put (sharded over ``mesh`` when given and divisible).
+    Returns (batch_dev, clip_dev, psize, packed, mesh_used)."""
+    psize = _ladder_size(len(group), page_batch)
+    rows = group + [group[-1]] * (psize - len(group))
+    stack = np.stack([preps[k][0] for k in rows])
+    if _is_grayscale(stack):
+        stack = stack[..., 0]  # upload 1/3 the bytes
+    packed = False
+    if (
+        upload_format == "u4"
+        and stack.ndim == 3
+        and stack.shape[-1] % 2 == 0
+    ):
+        from marie_tpu.utils.pack4 import pack4
+
+        stack = pack4(stack)
+        packed = True
+    clip_np = np.asarray(
+        [[preps[k][2][1] * preps[k][1], preps[k][2][0] * preps[k][1]]
+         for k in rows],
+        np.float32,
+    )
+    sharding = None
+    if mesh is not None:
+        import jax.sharding as jsh
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        if psize % n_dev == 0:
+            sharding = jsh.NamedSharding(
+                mesh, jsh.PartitionSpec(mesh.axis_names)
+            )
+    batch = jax.device_put(stack, sharding) if sharding else jax.device_put(stack)
+    clip = jax.device_put(clip_np, sharding) if sharding else jax.device_put(clip_np)
+    return batch, clip, psize, packed, (mesh if sharding else None)
+
+
 def fused_dispatch_many(box_processor, ocr_processor, images,
                         rec_slots: int = 256, page_batch: int = 4,
-                        compact_slots: int = 192):
+                        compact_slots: int = 192, prefetch: bool = True,
+                        upload_format: str = "u8", mesh=None):
     """Dispatch fused OCR for many pages, stacking same-bucket runs of up
     to ``page_batch`` pages into single program executions.  Returns one
     handle per page (same shape as ``fused_dispatch`` handles).
@@ -408,64 +600,76 @@ def fused_dispatch_many(box_processor, ocr_processor, images,
     (:func:`_fused_pages_compact`) with ``psize * compact_slots`` total
     recognition rows shared across the group — pages over the average
     borrow budget from pages under it; a batch that overflows the global
-    budget finishes through the per-page overflow path on collect."""
+    budget finishes through the per-page overflow path on collect.
+
+    With ``prefetch`` (default) the host prep + device_put of group i+1
+    runs on a background uploader thread while group i's program
+    executes — through a bandwidth-limited device link the upload is the
+    dominant per-page cost (measured 19-35 ms/page vs ~19 ms/page fused
+    compute on the axon relay) and overlapping it brings the wall back
+    to max(upload, compute) instead of the sum (the reference streams
+    with prefetch-limited concurrency the same way,
+    ``/root/reference/marie/serve/stream/__init__.py:229``)."""
     bp, op = box_processor, ocr_processor
     # 2-D (grayscale) frames stay 2-D through prep — 1/3 the host copy +
     # upload bytes with no channel-equality scan; the device programs
-    # expand channels where needed.  RGBA/3-D frames go through _np_rgb.
+    # expand channels through _np_rgb.
     preps = [
         bp.prep_page(im if im.ndim == 2 else _np_rgb(im)) for im in images
     ]
+    groups = _plan_groups(preps, page_batch)
+
+    uploads: List[Any]
+    if prefetch and len(groups) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # ONE uploader thread: uploads stay ordered and saturate the link
+        # without competing with each other; dispatches happen on the
+        # caller thread as each upload lands
+        pool = ThreadPoolExecutor(max_workers=1)
+        uploads = [
+            pool.submit(_upload_group, preps, g, page_batch, upload_format,
+                        mesh)
+            if len(g) > 1 else None
+            for g in groups
+        ]
+        pool.shutdown(wait=False)
+    else:
+        uploads = [None] * len(groups)
+
     handles: List[Any] = [None] * len(images)
-    i = 0
-    while i < len(preps):
-        bucket = preps[i][0].shape
-        group = []
-        while (
-            i + len(group) < len(preps)
-            and preps[i + len(group)][0].shape == bucket
-            and len(group) < page_batch
-        ):
-            group.append(i + len(group))
+    for gi, group in enumerate(groups):
         if len(group) == 1:
             k = group[0]
             padded, scale, (h, w) = preps[k]
-            handles[k] = _dispatch_prepped(bp, op, padded, scale, (h, w), rec_slots)
-        else:
-            # pad the stack up a size ladder so every group execution hits
-            # a pre-compiled program shape (pad rows repeat the last page;
-            # their outputs are dropped on collect)
-            psize = _ladder_size(len(group), page_batch)
-            rows = group + [group[-1]] * (psize - len(group))
-            stack = np.stack([preps[k][0] for k in rows])
-            if _is_grayscale(stack):
-                stack = stack[..., 0]  # upload 1/3 the bytes
-            batch = jnp.asarray(stack)
-            clip = jnp.asarray(
-                [[preps[k][2][1] * preps[k][1], preps[k][2][0] * preps[k][1]]
-                 for k in rows],
-                jnp.float32,
-            )
-            total_slots = psize * compact_slots
-            stats, tokens, conf = _fused_pages_compact(
-                bp.model, bp.variables, op.model, op.params, batch, clip,
-                jnp.int32(len(group)),
-                bp.text_threshold, bp.low_text, bp.link_threshold,
-                float(bp.min_area), float(bp.box_expand),
-                bp.max_components, bp.box_source, total_slots,
-                op.crop_h, op.crop_w, op.compute_dtype, op.decode_steps,
-                _pallas_crop_default(),
-            )
-            metas = [(preps[k][1], preps[k][2]) for k in group]
-            # ONE group handle for the whole stack — per-page device slicing
-            # would spend the executions the batch just saved
-            handles[group[0]] = (
-                "gc", stats, tokens, conf, batch, metas, total_slots
-            )
-            for k in group[1:]:
-                handles[k] = "_merged"
-        i += len(group)
+            handles[k] = _dispatch_prepped(bp, op, padded, scale, (h, w),
+                                           rec_slots)
+            continue
+        fut = uploads[gi]
+        batch, clip, psize, packed, mesh_used = (
+            fut.result() if fut is not None
+            else _upload_group(preps, group, page_batch, upload_format, mesh)
+        )
+        total_slots = psize * compact_slots
+        stats, tokens, conf = fused_ocr_pages(
+            bp, op, batch, clip,
+            n_real=len(group), total_slots=total_slots,
+            mesh=mesh_used, packed=packed,
+        )
+        metas = [(preps[k][1], preps[k][2]) for k in group]
+        # ONE group handle for the whole stack — per-page device slicing
+        # would spend the executions the batch just saved
+        handles[group[0]] = (
+            "gc", stats, tokens, conf, (batch, packed), metas, total_slots
+        )
+        for k in group[1:]:
+            handles[k] = "_merged"
     return [h for h in handles if h != "_merged"]
+
+
+def handle_page_count(handle) -> int:
+    """Pages covered by one dispatch handle."""
+    return len(handle[5]) if handle[0] in ("gc", "g") else 1
 
 
 def _ladder_size(n: int, cap: int) -> int:
@@ -557,14 +761,17 @@ def fused_collect_many(
         if handle[0] == "gc":
             # globally-compacted group: ONE token array for all pages,
             # page p's rows start after the kept counts of pages < p
-            _, _, _, _, pages_dev, metas, total_slots = handle
+            _, _, _, _, (pages_dev, packed), metas, total_slots = handle
             members = []
             offset = 0
             for s in range(len(metas)):
                 stats_i = {k: stats_host[k][s] for k in stats_host}
                 members.append(
                     (stats_i, tokens_host, conf_host, offset, total_slots,
-                     lambda s=s: _dev_rgb(pages_dev[s]),
+                     lambda s=s: _dev_rgb(
+                         _unpack4_page(pages_dev[s]) if packed
+                         else pages_dev[s]
+                     ),
                      metas[s][0], metas[s][1])
                 )
                 offset += _kept_count(bp, stats_i)

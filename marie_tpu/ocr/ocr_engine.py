@@ -50,11 +50,28 @@ class PipelineOcrEngine(OcrEngine):
         page_fuse_batch: int = 16,
         rec_slots: int = 256,
         compact_slots: int = 192,
+        upload_format: str = "u8",
+        mesh=None,
         **kwargs,
     ):
         super().__init__(**kwargs)
         self.box_processor = box_processor
         self.ocr_processor = ocr_processor
+        # "u4": pack grayscale pages to 4 bits/pixel before device_put
+        # (native packer) — halves the host->device bytes on bandwidth-
+        # limited links at <= 8/255 per-pixel quantization error
+        self.upload_format = upload_format
+        # optional jax.sharding.Mesh: page groups shard over every mesh
+        # device (slice-scale serving — the TPU-native analog of the
+        # reference's replica-per-GPU pinning, config/service/marie.yml:199);
+        # mesh="local" builds a 1-D mesh over all local devices
+        if mesh == "local":
+            import jax as _jax
+            from jax.sharding import Mesh as _Mesh
+
+            devs = _jax.local_devices()
+            mesh = _Mesh(np.asarray(devs), ("pages",)) if len(devs) > 1 else None
+        self.mesh = mesh
         # detect+crop+decode in ONE XLA program per page (ocr/fused.py);
         # falls back automatically when the processor pair doesn't qualify.
         # page_fuse_batch stacks same-bucket pages into one execution —
@@ -114,9 +131,15 @@ class PipelineOcrEngine(OcrEngine):
             )
 
             if supports_fused_page(self.box_processor, self.ocr_processor):
+                from marie_tpu.ocr.fused import handle_page_count
+
                 # ONE program per page (or per page-batch group): detect +
-                # box select + crop + decode in a single dispatch; ONE
-                # batched fetch for all pages.
+                # box select + crop + decode in a single dispatch.  The
+                # dispatcher prefetches uploads on a background thread;
+                # collection is PER GROUP so the host postprocessing of
+                # group i (organize_boxes + token decode, ~3-6 ms/page of
+                # Python) overlaps the device executing groups i+1.. —
+                # a 3-stage software pipeline: upload | compute | collect.
                 handles = fused_dispatch_many(
                     self.box_processor,
                     self.ocr_processor,
@@ -124,13 +147,20 @@ class PipelineOcrEngine(OcrEngine):
                     rec_slots=getattr(self, "rec_slots", 256),
                     page_batch=getattr(self, "page_fuse_batch", 1),
                     compact_slots=getattr(self, "compact_slots", 192),
+                    upload_format=getattr(self, "upload_format", "u8"),
+                    mesh=getattr(self, "mesh", None),
                 )
-                pages = fused_collect_many(
-                    self.box_processor,
-                    self.ocr_processor,
-                    handles,
-                    [pms_mode] * len(frames),
-                )
+                pages = []
+                for handle in handles:
+                    n = handle_page_count(handle)
+                    pages.extend(
+                        fused_collect_many(
+                            self.box_processor,
+                            self.ocr_processor,
+                            [handle],
+                            [pms_mode] * n,
+                        )
+                    )
                 results = []
                 for i, (frame, page) in enumerate(zip(frames, pages)):
                     boxes, scores, lines, line_bboxes, words = page

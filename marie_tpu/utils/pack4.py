@@ -1,0 +1,85 @@
+"""4-bit page packing for upload-bandwidth-limited device links.
+
+Host side packs two 4-bit pixels per byte (native loop,
+``native/pack/pack4.cpp`` — numpy's uint8 ufuncs are ~100x slower than
+memcpy on single-core hosts); the device unpacks with ``nibble * 17``
+inside the fused OCR program (:mod:`marie_tpu.ocr.fused`).  Grayscale
+document pages quantized to 16 levels lose at most 8/255 per pixel —
+the detection/recognition quality deltas are pinned by the bench's CER
+and recall columns (run with ``upload_format='u4'`` vs ``'u8'``).
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "pack",
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "libmarie_pack.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is None:
+            if not os.path.exists(_SO_PATH) or (
+                os.path.getmtime(os.path.join(_NATIVE_DIR, "pack4.cpp"))
+                > os.path.getmtime(_SO_PATH)
+            ):
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR], check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO_PATH)
+            for fn in (lib.pack4, lib.unpack4):
+                fn.restype = None
+                fn.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t
+                ]
+            _lib = lib
+    return _lib
+
+
+def pack4(pages: np.ndarray) -> np.ndarray:
+    """[..., W] uint8 (W even) -> [..., W//2] packed nibbles (rounded)."""
+    pages = np.ascontiguousarray(pages, dtype=np.uint8)
+    if pages.shape[-1] % 2:
+        raise ValueError(f"last dim must be even, got {pages.shape}")
+    out = np.empty(pages.shape[:-1] + (pages.shape[-1] // 2,), np.uint8)
+    try:
+        _load().pack4(
+            pages.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            out.size,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        # numpy fallback (slow on single-core hosts, but correct):
+        # nibble = round(v/17), the inverse of the device's nibble*17
+        q = ((pages.astype(np.uint16) + 8) // 17).astype(np.uint8)
+        out = (q[..., 0::2] << 4) | q[..., 1::2]
+    return out
+
+
+def unpack4_host(packed: np.ndarray) -> np.ndarray:
+    """Host-side inverse (parity tests): [..., W//2] -> [..., W] uint8."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    out = np.empty(packed.shape[:-1] + (packed.shape[-1] * 2,), np.uint8)
+    try:
+        _load().unpack4(
+            packed.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            packed.size,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        hi = ((packed >> 4) * np.uint8(17))
+        lo = ((packed & 0xF) * np.uint8(17))
+        out = np.stack([hi, lo], axis=-1).reshape(out.shape)
+    return out

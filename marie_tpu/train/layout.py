@@ -294,6 +294,8 @@ def train_layout_classifier(
     steps_per_dispatch: int = 25,
     seed: int = 0,
     checkpoint_path: Optional[str] = None,
+    tokenizer=None,
+    shuffle_words: bool = False,
 ):
     from marie_tpu.models.layoutlm import LayoutLMv3ForSequenceClassification
 
@@ -304,13 +306,21 @@ def train_layout_classifier(
         num_labels=len(labels),
     )
     model = LayoutLMv3ForSequenceClassification(config)
-    tokenizer = HashWordTokenizer(config.vocab_size)
+    # shuffle_words: permute the word sequence per page so the model
+    # reads layout from the 2D boxes, not the sequence position — the
+    # on-device chain (ocr/fused_chain.py) feeds words in CC-slot order,
+    # which differs from the synthetic reading order
+    tokenizer = tokenizer or HashWordTokenizer(config.vocab_size)
     rng = np.random.default_rng(seed)
 
     pages, ys = [], []
     for _ in range(dataset_size):
         li = int(rng.integers(0, len(labels)))
         words, boxes = synth_classified_page(rng, li)
+        if shuffle_words:
+            perm = rng.permutation(len(words))
+            words = [words[j] for j in perm]
+            boxes = [boxes[j] for j in perm]
         pages.append((words, boxes))
         ys.append(li)
     tokens, boxes, seq_len = _encode_pages(pages, tokenizer, config)
@@ -367,6 +377,10 @@ def train_layout_classifier(
     for _ in range(256):
         li = int(rng.integers(0, len(labels)))
         words, bxs = synth_classified_page(rng, li)
+        if shuffle_words:
+            perm = rng.permutation(len(words))
+            words = [words[j] for j in perm]
+            bxs = [bxs[j] for j in perm]
         test_pages.append((words, bxs))
         test_ys.append(li)
     tt, tb, tl = _encode_pages(test_pages, tokenizer, config)
@@ -393,6 +407,8 @@ def train_layout_indexer(
     steps_per_dispatch: int = 25,
     seed: int = 0,
     checkpoint_path: Optional[str] = None,
+    tokenizer=None,
+    shuffle_words: bool = False,
 ):
     from marie_tpu.models.layoutlm import LayoutLMv3ForTokenClassification
 
@@ -403,13 +419,18 @@ def train_layout_indexer(
         num_labels=len(labels),
     )
     model = LayoutLMv3ForTokenClassification(config)
-    tokenizer = HashWordTokenizer(config.vocab_size)
+    tokenizer = tokenizer or HashWordTokenizer(config.vocab_size)
     rng = np.random.default_rng(seed)
     l = config.max_seq_len
 
     pages, tags = [], []
     for _ in range(dataset_size):
         words, boxes, bio = synth_kv_page(rng)
+        if shuffle_words:
+            perm = rng.permutation(len(words))
+            words = [words[j] for j in perm]
+            boxes = [boxes[j] for j in perm]
+            bio = [bio[j] for j in perm]
         pages.append((words, boxes))
         row = np.zeros((l,), np.int32)
         row[: min(len(bio), l)] = bio[:l]
@@ -473,6 +494,11 @@ def train_layout_indexer(
     tp_rows = []
     for _ in range(128):
         words, boxes_, bio = synth_kv_page(rng)
+        if shuffle_words:
+            perm = rng.permutation(len(words))
+            words = [words[j] for j in perm]
+            boxes_ = [boxes_[j] for j in perm]
+            bio = [bio[j] for j in perm]
         tp_rows.append(((words, boxes_), bio))
     tt, tb, tl = _encode_pages([p for p, _ in tp_rows], tokenizer, config)
     logits = jax.jit(lambda p, a, b, c: model.apply(p, a, b, c, None))(

@@ -44,6 +44,33 @@ class LayoutDocumentClassifier(BaseDocumentClassifier):
             params=load_params(ckpt),
         )
 
+    @classmethod
+    def from_zoo_chain(cls, name: str = "layout-classifier-chain",
+                       labels=SYNTH_CLASS_LABELS):
+        """The on-device-chain head (scripts/train_chain_heads.py):
+        RollingWordTokenizer ids, shuffled-order training, seq cap 192."""
+        import dataclasses
+        import os
+
+        from marie_tpu.components.word_tokenizer import RollingWordTokenizer
+
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+        ckpt = os.path.join(repo, "model_zoo", name)
+        if not os.path.isdir(ckpt):
+            return None
+        from marie_tpu.registry.checkpoints import load_params
+
+        config = dataclasses.replace(
+            LayoutLMConfig.synth(num_labels=len(labels)), max_seq_len=192
+        )
+        return cls(
+            labels=labels,
+            config=config,
+            params=load_params(ckpt),
+            tokenizer=RollingWordTokenizer(config.vocab_size),
+        )
+
     def __init__(
         self,
         labels: Sequence[str] = ("negative", "positive"),

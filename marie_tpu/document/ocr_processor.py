@@ -91,15 +91,18 @@ def assemble_page_result(
     words: List[Dict[str, Any]] = []
     for i, idx in enumerate(order):
         ext = results[idx]
-        words.append(
-            {
-                "id": i,
-                "text": ext["text"],
-                "confidence": round(float(ext["confidence"]), 3),
-                "box": [int(v) for v in boxes_arr[idx]],
-                "line": int(lines_arr[idx]),
-            }
-        )
+        wd = {
+            "id": i,
+            "text": ext["text"],
+            "confidence": round(float(ext["confidence"]), 3),
+            "box": [int(v) for v in boxes_arr[idx]],
+            "line": int(lines_arr[idx]),
+        }
+        # carry extra per-word annotations (e.g. chained NER labels)
+        for k, v in ext.items():
+            if k not in wd:
+                wd[k] = v
+        words.append(wd)
 
     by_line: Dict[int, List[Dict[str, Any]]] = {}
     for wd in words:

@@ -118,7 +118,8 @@ def _init_self_caches(cfg: DecoderConfig, batch: int, dtype=jnp.float32):
 
 @partial(jax.jit, static_argnames=("model", "max_steps"))
 def greedy_decode(model: TrOCRModel, params, images: Array,
-                  max_steps: int | None = None, active: Array | None = None):
+                  max_steps: int | None = None, active: Array | None = None,
+                  step_caps: Array | None = None):
     """Batched greedy decode, one compiled program.
 
     ``max_steps`` (<= decoder.max_len) bounds the decode — word crops have
@@ -132,6 +133,12 @@ def greedy_decode(model: TrOCRModel, params, images: Array,
     ``active``: optional [B] bool — rows marked False (padding slots in a
     compacted fused batch) start pre-finished, so a batch of mostly-empty
     slots exits after one step instead of decoding white noise to the cap.
+
+    ``step_caps``: optional [B] int32 per-row step budget — word crops
+    have a geometric character bound (effective width / glyph width), so
+    a noisy crop that never emits EOS is force-finished at ITS bound
+    instead of holding the whole batch to ``max_steps`` (the while_loop
+    runs until ALL rows finish — one straggler costs every row).
 
     Returns:
       tokens: [B, max_steps] int32 (starts after BOS; pad-filled after EOS)
@@ -170,6 +177,8 @@ def greedy_decode(model: TrOCRModel, params, images: Array,
         out_token = jnp.where(done | (nxt == c.eos_id), c.pad_id, nxt)
         toks = jax.lax.dynamic_update_slice(toks, out_token[:, None], (0, pos))
         done = done | (nxt == c.eos_id)
+        if step_caps is not None:
+            done = done | (pos + 1 >= step_caps)
         return pos + 1, nxt, caches, done, logp_sum, steps, toks
 
     state = (

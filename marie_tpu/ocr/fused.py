@@ -34,6 +34,20 @@ from marie_tpu.ops.pallas.crop_resize import crop_resize_pallas
 from marie_tpu.preprocess.ops import crop_resize_pages
 
 
+def _geometric_step_caps(eff_w, out_h: int, max_steps: int):
+    """Per-row decode budget from crop geometry: a glyph is ~out_h/2 px
+    wide after height normalization, so eff_w bounds the character count
+    (+3 slack for EOS and narrow glyphs).  Keeps one noisy never-EOS row
+    from holding the whole decode batch to max_steps."""
+    glyph_w = max(out_h // 2, 1)
+    # +4 slack covers thin-glyph runs (i/l/1 compress well below the
+    # average glyph width) and the EOS step; the CER oracle pins the
+    # truncation risk of this bound
+    return jnp.clip(
+        eff_w.astype(jnp.int32) // glyph_w + 4, 6, max_steps
+    ).astype(jnp.int32)
+
+
 def _crop_batch(crop_src, page_of, b, out_h, out_w, pallas_crop: bool):
     """Crop extraction: the Pallas slab-DMA kernel on TPU grayscale
     stacks (~8x the gather path), XLA gathers elsewhere.
@@ -168,14 +182,15 @@ def _fused_page(
     b = jnp.clip(b, lo, hi)
     b = jnp.where(sel_keep[:, None], b, jnp.asarray([0.0, 0.0, 1.0, 1.0]))
 
-    crops, _ = _crop_batch(
+    crops, eff_w = _crop_batch(
         crop_src, jnp.zeros((b.shape[0],), jnp.int32), b, out_h, out_w,
         pallas_crop,
     )
     if crops.ndim == 3:
         crops = jnp.repeat(crops[..., None], 3, axis=-1)
     tokens, _, conf = greedy_decode(
-        trocr_model, trocr_params, crops.astype(dtype), max_steps
+        trocr_model, trocr_params, crops.astype(dtype), max_steps,
+        step_caps=_geometric_step_caps(eff_w, out_h, max_steps),
     )
     return stats, tokens, conf
 
@@ -272,7 +287,7 @@ def _fused_pages(
     )  # [P, rec_slots, 4], [P, rec_slots]
 
     page_of = jnp.repeat(jnp.arange(p, dtype=jnp.int32), rec_slots)
-    crops, _ = _crop_batch(
+    crops, eff_w = _crop_batch(
         crop_src, page_of, b.reshape(-1, 4), out_h, out_w, pallas_crop
     )
     if crops.ndim == 3:
@@ -280,6 +295,7 @@ def _fused_pages(
     tokens, _, conf = greedy_decode(
         trocr_model, trocr_params, crops.astype(dtype), max_steps,
         active=keep.reshape(-1),
+        step_caps=_geometric_step_caps(eff_w, out_h, max_steps),
     )
     return (
         stats,
@@ -403,12 +419,12 @@ def _fused_pages_compact(
     b = jnp.clip(b, 0.0, hi)
     b = jnp.where(sel_keep[:, None], b, jnp.asarray([0.0, 0.0, 1.0, 1.0]))
 
-    crops, _ = _crop_batch(crop_src, page_of, b, out_h, out_w, pallas_crop)
+    crops, eff_w = _crop_batch(crop_src, page_of, b, out_h, out_w, pallas_crop)
     if crops.ndim == 3:
         crops = jnp.repeat(crops[..., None], 3, axis=-1)
     tokens, _, conf = greedy_decode(
         trocr_model, trocr_params, crops.astype(dtype), max_steps,
-        active=sel_keep,
+        active=sel_keep, step_caps=_geometric_step_caps(eff_w, out_h, max_steps),
     )
     return stats, tokens, conf
 
@@ -591,7 +607,8 @@ def _upload_group(preps, group, page_batch, upload_format: str = "u8",
 def fused_dispatch_many(box_processor, ocr_processor, images,
                         rec_slots: int = 256, page_batch: int = 4,
                         compact_slots: int = 192, prefetch: bool = True,
-                        upload_format: str = "u8", mesh=None):
+                        upload_format: str = "u8", mesh=None,
+                        chain=None):
     """Dispatch fused OCR for many pages, stacking same-bucket runs of up
     to ``page_batch`` pages into single program executions.  Returns one
     handle per page (same shape as ``fused_dispatch`` handles).
@@ -630,7 +647,7 @@ def fused_dispatch_many(box_processor, ocr_processor, images,
         uploads = [
             pool.submit(_upload_group, preps, g, page_batch, upload_format,
                         mesh)
-            if len(g) > 1 else None
+            if (len(g) > 1 or chain is not None) else None
             for g in groups
         ]
         pool.shutdown(wait=False)
@@ -639,7 +656,10 @@ def fused_dispatch_many(box_processor, ocr_processor, images,
 
     handles: List[Any] = [None] * len(images)
     for gi, group in enumerate(groups):
-        if len(group) == 1:
+        if len(group) == 1 and chain is None:
+            # single-page fast path (the chained path runs every group
+            # through the compact program so classification/NER coverage
+            # is uniform)
             k = group[0]
             padded, scale, (h, w) = preps[k]
             handles[k] = _dispatch_prepped(bp, op, padded, scale, (h, w),
@@ -651,12 +671,32 @@ def fused_dispatch_many(box_processor, ocr_processor, images,
             else _upload_group(preps, group, page_batch, upload_format, mesh)
         )
         total_slots = psize * compact_slots
+        metas = [(preps[k][1], preps[k][2]) for k in group]
+        if chain is not None:
+            # classify + NER run IN the same program (ocr/fused_chain.py
+            # — BASELINE configs 3-4: no host hop between OCR and heads)
+            from marie_tpu.ocr.fused_chain import fused_ocr_chain
+
+            classifier, indexer = chain
+            stats, tokens, conf, cls_logits, ner_labels, ner_scores = (
+                fused_ocr_chain(
+                    bp, op, classifier, indexer, batch, clip,
+                    n_real=len(group), total_slots=total_slots,
+                    mesh=mesh_used, packed=packed,
+                )
+            )
+            handles[group[0]] = (
+                "gcc", stats, tokens, conf, (batch, packed), metas,
+                total_slots, (cls_logits, ner_labels, ner_scores),
+            )
+            for k in group[1:]:
+                handles[k] = "_merged"
+            continue
         stats, tokens, conf = fused_ocr_pages(
             bp, op, batch, clip,
             n_real=len(group), total_slots=total_slots,
             mesh=mesh_used, packed=packed,
         )
-        metas = [(preps[k][1], preps[k][2]) for k in group]
         # ONE group handle for the whole stack — per-page device slicing
         # would spend the executions the batch just saved
         handles[group[0]] = (
@@ -669,7 +709,7 @@ def fused_dispatch_many(box_processor, ocr_processor, images,
 
 def handle_page_count(handle) -> int:
     """Pages covered by one dispatch handle."""
-    return len(handle[5]) if handle[0] in ("gc", "g") else 1
+    return len(handle[5]) if handle[0] in ("gc", "gcc", "g") else 1
 
 
 def _ladder_size(n: int, cap: int) -> int:
@@ -749,30 +789,48 @@ def fused_collect_many(
     bp, op = box_processor, ocr_processor
     if not handles:
         return []
-    fetched = jax.device_get([(h[1], h[2], h[3]) for h in handles])
+    fetched = jax.device_get(
+        [
+            (h[1], h[2], h[3]) + ((h[7],) if h[0] == "gcc" else ())
+            for h in handles
+        ]
+    )
 
     out = []
     page_i = 0
-    for handle, (stats_host, tokens_host, conf_host) in zip(handles, fetched):
+    for handle, fetch in zip(handles, fetched):
+        stats_host, tokens_host, conf_host = fetch[:3]
+        chain_host = fetch[3] if len(fetch) > 3 else None
         # member: (stats, tokens, conf, row_base, slot_budget, page_fn,
-        #          scale, hw) — row_base/slot_budget express the row
-        # alignment contract: page-local decoded row r lives at
-        # tokens[row_base + r] and overflows past slot_budget TOTAL rows.
-        if handle[0] == "gc":
+        #          scale, hw, extra) — row_base/slot_budget express the
+        # row alignment contract: page-local decoded row r lives at
+        # tokens[row_base + r] and overflows past slot_budget TOTAL rows;
+        # extra carries chained per-page classification/NER when present.
+        if handle[0] in ("gc", "gcc"):
             # globally-compacted group: ONE token array for all pages,
             # page p's rows start after the kept counts of pages < p
-            _, _, _, _, (pages_dev, packed), metas, total_slots = handle
+            (pages_dev, packed), metas, total_slots = (
+                handle[4], handle[5], handle[6]
+            )
             members = []
             offset = 0
             for s in range(len(metas)):
                 stats_i = {k: stats_host[k][s] for k in stats_host}
+                extra = None
+                if chain_host is not None:
+                    cls_logits, ner_labels, ner_scores = chain_host
+                    extra = {
+                        "cls_logits": cls_logits[s],
+                        "ner_labels": ner_labels[s],
+                        "ner_scores": ner_scores[s],
+                    }
                 members.append(
                     (stats_i, tokens_host, conf_host, offset, total_slots,
                      lambda s=s: _dev_rgb(
                          _unpack4_page(pages_dev[s]) if packed
                          else pages_dev[s]
                      ),
-                     metas[s][0], metas[s][1])
+                     metas[s][0], metas[s][1], extra)
                 )
                 offset += _kept_count(bp, stats_i)
         elif handle[0] == "g":
@@ -787,6 +845,7 @@ def fused_collect_many(
                     lambda s=s: _dev_rgb(pages_dev[s]),
                     metas[s][0],
                     metas[s][1],
+                    None,
                 )
                 for s in range(len(metas))
             ]
@@ -794,10 +853,10 @@ def fused_collect_many(
             _, _, _, _, page_dev, scale, hw, rec_slots = handle
             members = [
                 (stats_host, tokens_host, conf_host, 0, rec_slots,
-                 lambda: _dev_rgb(page_dev), scale, hw)
+                 lambda: _dev_rgb(page_dev), scale, hw, None)
             ]
         for (stats_i, toks_i, conf_i, row_base, budget, page_fn, scale,
-             (h, w)) in members:
+             (h, w), extra) in members:
             xywh, scores, rows = bp.detect_collect(
                 (None, None, scale, (h, w)), stats=stats_i, return_rows=True
             )
@@ -825,7 +884,26 @@ def fused_collect_many(
                 fut = op.recognize_dispatch(page_fn(), tail, scale)
                 for j, wd in zip(overflow, op.recognize_collect(fut)):
                     words[j] = wd
-            out.append((boxes_int, scores_o, lines, line_bboxes, words))
+            if extra is not None:
+                # chained on-device heads: ner_labels[page-local kept row]
+                # aligns by the SAME row contract as the decode tokens
+                ner_l = extra["ner_labels"]
+                ner_s = extra["ner_scores"]
+                for j in range(len(boxes_int)):
+                    r = int(rows[order[j]])
+                    if r < len(ner_l):
+                        words[j]["ner_label_id"] = int(ner_l[r])
+                        words[j]["ner_score"] = float(ner_s[r])
+                logits = np.asarray(extra["cls_logits"], np.float32)
+                probs = np.exp(logits - logits.max())
+                probs /= probs.sum()
+                extra = {
+                    "classification": {
+                        "label_id": int(logits.argmax()),
+                        "score": float(probs.max()),
+                    }
+                }
+            out.append((boxes_int, scores_o, lines, line_bboxes, words, extra))
             page_i += 1
     return out
 

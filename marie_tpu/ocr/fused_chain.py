@@ -32,6 +32,7 @@ from marie_tpu.components.word_tokenizer import _RESERVED
 from marie_tpu.models.trocr import greedy_decode
 from marie_tpu.ocr.fused import (
     _crop_batch,
+    _geometric_step_caps,
     _mesh_replicated_params,
     _pallas_crop_default,
     _unpack4,
@@ -157,12 +158,13 @@ def _fused_pages_chain(
     b = jnp.clip(b, 0.0, hi)
     b = jnp.where(sel_keep[:, None], b, jnp.asarray([0.0, 0.0, 1.0, 1.0]))
 
-    crops, _ = _crop_batch(crop_src, page_of, b, out_h, out_w, pallas_crop)
+    crops, eff_w = _crop_batch(crop_src, page_of, b, out_h, out_w, pallas_crop)
     if crops.ndim == 3:
         crops = jnp.repeat(crops[..., None], 3, axis=-1)
     tokens, _, conf = greedy_decode(
         trocr_model, trocr_params, crops.astype(dtype), max_steps,
         active=sel_keep,
+        step_caps=_geometric_step_caps(eff_w, out_h, max_steps),
     )
 
     # ---- device-side LayoutLM featureization -------------------------

@@ -52,6 +52,8 @@ class PipelineOcrEngine(OcrEngine):
         compact_slots: int = 192,
         upload_format: str = "u8",
         mesh=None,
+        classifier=None,
+        indexer=None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -72,6 +74,13 @@ class PipelineOcrEngine(OcrEngine):
             devs = _jax.local_devices()
             mesh = _Mesh(np.asarray(devs), ("pages",)) if len(devs) > 1 else None
         self.mesh = mesh
+        # both set: run the LayoutLM classification + NER heads INSIDE the
+        # fused program (ocr/fused_chain.py) — a page never leaves the
+        # device between detect, recognize, classify and extract
+        # (reference runs these as separate host stages,
+        # /root/reference/marie/pipe/base_pipeline.py:66)
+        self.classifier = classifier
+        self.indexer = indexer
         # detect+crop+decode in ONE XLA program per page (ocr/fused.py);
         # falls back automatically when the processor pair doesn't qualify.
         # page_fuse_batch stacks same-bucket pages into one execution —
@@ -149,6 +158,12 @@ class PipelineOcrEngine(OcrEngine):
                     compact_slots=getattr(self, "compact_slots", 192),
                     upload_format=getattr(self, "upload_format", "u8"),
                     mesh=getattr(self, "mesh", None),
+                    chain=(
+                        (self.classifier, self.indexer)
+                        if getattr(self, "classifier", None) is not None
+                        and getattr(self, "indexer", None) is not None
+                        else None
+                    ),
                 )
                 pages = []
                 for handle in handles:
@@ -163,7 +178,7 @@ class PipelineOcrEngine(OcrEngine):
                     )
                 results = []
                 for i, (frame, page) in enumerate(zip(frames, pages)):
-                    boxes, scores, lines, line_bboxes, words = page
+                    boxes, scores, lines, line_bboxes, words, extra = page
                     result = assemble_page_result(
                         (frame.shape[0], frame.shape[1]), boxes, lines, words
                     )
@@ -175,6 +190,18 @@ class PipelineOcrEngine(OcrEngine):
                     result["meta"]["lines"] = _tolist(lines)
                     result["meta"]["lines_bboxes"] = _tolist(line_bboxes)
                     result["meta"]["format"] = coordinate_format.name.lower()
+                    if extra is not None and "classification" in extra:
+                        cls = dict(extra["classification"])
+                        labels = getattr(self.classifier, "labels", None)
+                        if labels and cls["label_id"] < len(labels):
+                            cls["label"] = labels[cls["label_id"]]
+                        result["classification"] = cls
+                        ner_labels = getattr(self.indexer, "labels", None)
+                        if ner_labels:
+                            for word in result["words"]:
+                                lid = word.get("ner_label_id")
+                                if lid is not None and lid < len(ner_labels):
+                                    word["ner_label"] = ner_labels[lid]
                     results.append(result)
                 return results
 

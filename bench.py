@@ -400,7 +400,10 @@ def main():
 
     warm = make_pages(N_WARMUP_PAGES, seed=123)
     t0 = time.time()
-    icr.warmup(page_hw=(PAGE_H, PAGE_W))  # pre-compile fused crop+decode
+    # warm ONLY the smallest overflow bucket: each cached executable
+    # pays a multi-second backend load through the relay, and the
+    # compacted fused path makes the larger overflow buckets near-dead
+    icr.warmup(page_hw=(PAGE_H, PAGE_W), batch_sizes=(32,))
     print(f"warmup decode done {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
     engine.extract(warm)
     compile_s = time.time() - t0

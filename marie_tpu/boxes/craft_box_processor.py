@@ -88,12 +88,13 @@ def _detect_core(
         mask, scores = jax.vmap(page_mask)(rgb, region)
         stride = 4
     else:
-        # CC at the native heatmap grid (stride 2): pooling to stride 4 was
-        # measured to merge adjacent words (recall 0.99 -> 0.74) — quality
-        # beats the halved scan length
+        # CC at the native heatmap grid: pooling a stride-2 heatmap to
+        # stride 4 merges adjacent words (recall 0.99 -> 0.74), but a
+        # model TRAINED at stride 4 (s2d stem, CraftConfig.fast_s2)
+        # keeps the shrunk-region separation in its own grid
         mask = (region > low_text) | (affinity > link_threshold)
         scores = region
-        stride = 2
+        stride = model.cfg.out_stride
     # sort-free box stats: top_k reps + masked broadcast-reductions beat
     # the 4-operand full-pixel sort at the production K (<=1024 slots on a
     # 512x384 grid); outputs identical (test_ops_roi_cc.py parity test)

@@ -106,12 +106,17 @@ class TrOcrProcessor(OcrProcessor):
         # device_put once — numpy leaves as jit args re-upload per call
         self.params = jax.device_put(params)
 
-    def warmup(self, page_hw=None) -> None:
+    def warmup(self, page_hw=None, batch_sizes=None) -> None:
         """Pre-compile the decode program for every configured batch size so
         serving never pays a JIT compile mid-request (shape discipline:
         SURVEY.md §7 hard-part #1).  With ``page_hw`` the fused
-        crop+decode program is compiled for that page bucket too."""
-        for bs in self.batch_sizes:
+        crop+decode program is compiled for that page bucket too.
+
+        ``batch_sizes`` restricts warmup to a subset — on relay-attached
+        devices each cached executable still pays a multi-second backend
+        LOAD, so warming rarely-used overflow buckets costs real
+        cold-start time (the cache-hit analysis in ARCHITECTURE.md)."""
+        for bs in batch_sizes or self.batch_sizes:
             if page_hw is not None:
                 page = jnp.zeros((*page_hw, 3), jnp.uint8)
                 boxes = jnp.tile(

@@ -122,6 +122,15 @@ class CraftConfig:
 
     base_channels: int = 32
     num_classes: int = 2  # region + affinity heatmaps
+    # 2 = space-to-depth input stem: stage1 runs at half resolution
+    # (the full-res stage is the MXU-underfilling, memory-bound part of
+    # the forward) and the heatmap comes out at stride 4 instead of 2
+    stem_stride: int = 1
+
+    @property
+    def out_stride(self) -> int:
+        """Heatmap-grid to page-pixel factor."""
+        return 2 * self.stem_stride
 
     @staticmethod
     def base() -> "CraftConfig":
@@ -133,6 +142,14 @@ class CraftConfig:
         Trained checkpoint (train/craft.py -> model_zoo/craft-fast-synth)
         matches base recall on the synthetic distribution."""
         return CraftConfig(base_channels=32)
+
+    @staticmethod
+    def fast_s2() -> "CraftConfig":
+        """fast + space-to-depth stem (model_zoo/craft-s2-synth): the
+        /1-resolution conv stage moves to /2 — ~2x forward time — and the
+        stride-4 heatmap grid also halves every connected-components
+        scan.  Quality vs craft-fast is pinned by check_quality."""
+        return CraftConfig(base_channels=32, stem_stride=2)
 
     @staticmethod
     def tiny() -> "CraftConfig":

@@ -74,7 +74,16 @@ class CRAFT(nn.Module):
     @nn.compact
     def __call__(self, images: Array, train: bool = False) -> Array:
         c = self.cfg.base_channels
-        # VGG16-BN-style backbone (stride-2 stages)
+        if self.cfg.stem_stride == 2:
+            # space-to-depth stem: [B,H,W,C] -> [B,H/2,W/2,4C]; stage1
+            # then runs at /2 — no information loss, 4x fewer positions
+            # for the memory-bound full-res stage (the whole network and
+            # the output grid shift one level: out stride 2 -> 4)
+            b, h, w, ch = images.shape
+            images = images.reshape(b, h // 2, 2, w // 2, 2, ch)
+            images = images.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, h // 2, w // 2, 4 * ch
+            )
         s1 = VGGStage(c, 2, name="stage1")(images, train)  # /1
         x = nn.max_pool(s1, (2, 2), strides=(2, 2))
         s2 = VGGStage(2 * c, 2, name="stage2")(x, train)  # /2

@@ -26,8 +26,9 @@ def render_page_with_targets(
     rng: np.random.Generator,
     page_hw: Tuple[int, int] = (512, 384),
     font_sizes: Tuple[int, ...] = (14, 18, 22, 26),
+    out_stride: int = 2,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """-> (page uint8 [H,W,3], targets uint8 [H/2,W/2,2] in 0..255)."""
+    """-> (page uint8 [H,W,3], targets uint8 [H/s,W/s,2] in 0..255)."""
     from PIL import Image, ImageDraw, ImageFont
 
     h, w = page_hw
@@ -48,8 +49,8 @@ def render_page_with_targets(
 
     img = Image.new("RGB", (w, h), (255, 255, 255))
     draw = ImageDraw.Draw(img)
-    region = np.zeros((h // 2, w // 2), np.float32)
-    affinity = np.zeros((h // 2, w // 2), np.float32)
+    region = np.zeros((h // out_stride, w // out_stride), np.float32)
+    affinity = np.zeros((h // out_stride, w // out_stride), np.float32)
 
     y = int(rng.integers(10, 40))
     while y < h - 40:
@@ -60,7 +61,7 @@ def render_page_with_targets(
             text = str(rng.choice(words))
             draw.text((x, y), text, fill=(0, 0, 0), font=font)
             bx = draw.textbbox((x, y), text, font=font)
-            x0, y0, x1, y1 = (v // 2 for v in bx)  # heatmap stride 2
+            x0, y0, x1, y1 = (v // out_stride for v in bx)  # heatmap grid
             # region: word box shrunk ~20%
             sx, sy = max((x1 - x0) // 10, 1), max((y1 - y0) // 10, 1)
             region[y0 + sy : y1 - sy, x0 + sx : x1 - sx] = 1.0
@@ -100,7 +101,9 @@ def train_craft_device(
         rng = np.random.default_rng(block_seed)
         pages, targets = [], []
         for _ in range(dataset_size):
-            p, t = render_page_with_targets(rng, page_hw)
+            p, t = render_page_with_targets(
+                rng, page_hw, out_stride=config.out_stride
+            )
             pages.append(p)
             targets.append(t)
         return jnp.asarray(np.stack(pages)), jnp.asarray(np.stack(targets))

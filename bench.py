@@ -330,12 +330,25 @@ def main():
     platform = jax.devices()[0].platform
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    # prefer the half-width fast trunk: trained longer it MEASURES BETTER
-    # than base (recall .996 vs .987, IoU .843 vs .839 held-out) at 6.2 vs
-    # 8.2 ms/page fwd
-    craft_ckpt = os.path.join(repo, "model_zoo", "craft-fast-synth")
-    craft_cfg = CraftConfig.fast()
-    if not os.path.isdir(craft_ckpt):
+    # detector preference ladder: s2d multi-font trunk (stride-4 grid,
+    # full-res stage at /2 — round-3) > half-width fast > base; each
+    # fallback only when the better checkpoint is absent.  Override with
+    # MARIE_BENCH_DETECTOR=craft-fast-synth etc. for A/B runs.
+    prefer = os.environ.get("MARIE_BENCH_DETECTOR")
+    ladder = [
+        ("craft-s2-synth", CraftConfig.fast_s2()),
+        ("craft-fast-synth", CraftConfig.fast()),
+        ("craft-synth", CraftConfig.base()),
+    ]
+    if prefer:
+        ladder = [l for l in ladder if l[0] == prefer] + ladder
+    craft_ckpt, craft_cfg = None, None
+    for name, cfg in ladder:
+        path = os.path.join(repo, "model_zoo", name)
+        if os.path.isdir(path):
+            craft_ckpt, craft_cfg = path, cfg
+            break
+    if craft_ckpt is None:
         craft_ckpt = os.path.join(repo, "model_zoo", "craft-synth")
         craft_cfg = CraftConfig.base()
     if os.path.isdir(craft_ckpt):
@@ -355,9 +368,11 @@ def main():
             bucket_spec=BucketSpec(shapes=((PAGE_H, PAGE_W),)),
             param_dtype="bfloat16",
         )
+        variant = "base" if craft_cfg.base_channels != 32 else (
+            "s2" if craft_cfg.stem_stride == 2 else "fast"
+        )
         detector_desc = (
-            f"craft-{'fast' if craft_cfg.base_channels == 32 else 'base'} "
-            "TRAINED heatmap + on-device CC"
+            f"craft-{variant} TRAINED heatmap + on-device CC"
         )
     else:
         box = BoxProcessorCraft(

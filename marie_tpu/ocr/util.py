@@ -30,9 +30,11 @@ def _craft_box_processor():
 
     from marie_tpu.models.configs import CraftConfig
 
-    # prefer the half-width fast trunk — trained longer it measures BETTER
-    # than base (recall .996 vs .987 held-out) at 25% less fwd time
-    for name, cfg in (("craft-fast-synth", CraftConfig.fast()),
+    # preference ladder: s2d multi-font trunk (stride-4 grid, round-3:
+    # multi-font targets fixed the serif box framing that cost 12.9%
+    # page CER) > half-width fast > base
+    for name, cfg in (("craft-s2-synth", CraftConfig.fast_s2()),
+                      ("craft-fast-synth", CraftConfig.fast()),
                       ("craft-synth", CraftConfig.base())):
         ckpt = _zoo_checkpoint(name)
         if ckpt:

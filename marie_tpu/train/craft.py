@@ -37,14 +37,25 @@ def render_page_with_targets(
         "provider service balance statement account number date reference "
         "name address phone code group plan 2024 1500 375.20 11/02/2023"
     ).split()
-    try:
-        fonts = [
-            ImageFont.truetype(
-                "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", s
-            )
-            for s in font_sizes
-        ]
-    except OSError:
+    # FOUR font families: round-3 diagnosis (scripts/diagnose_serif.py)
+    # showed serif-page CER 12.9% came ENTIRELY from detector box framing
+    # (det median box height 13px vs truth 15px — clipped ascenders;
+    # ground-truth boxes through the same crop+decode give CER 0.0000)
+    # because detection had only ever seen DejaVu Sans
+    font_files = (
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+    )
+    fonts = []
+    for path in font_files:
+        for s in font_sizes:
+            try:
+                fonts.append(ImageFont.truetype(path, s))
+            except OSError:
+                pass
+    if not fonts:
         fonts = [ImageFont.load_default()]
 
     img = Image.new("RGB", (w, h), (255, 255, 255))
@@ -61,17 +72,25 @@ def render_page_with_targets(
             text = str(rng.choice(words))
             draw.text((x, y), text, fill=(0, 0, 0), font=font)
             bx = draw.textbbox((x, y), text, font=font)
-            x0, y0, x1, y1 = (v // out_stride for v in bx)  # heatmap grid
-            # region: word box shrunk ~20%
-            sx, sy = max((x1 - x0) // 10, 1), max((y1 - y0) // 10, 1)
-            region[y0 + sy : y1 - sy, x0 + sx : x1 - sx] = 1.0
+            # region: word box shrunk ~10% per side IN PAGE PIXELS before
+            # quantizing to the heatmap grid — a grid-cell shrink floor
+            # would eat 4px/side at stride 4 (27% of a 15px word; measured
+            # boxes 10px vs truth 15px, CER 0.61)
+            px0, py0, px1, py1 = bx
+            sxp = max((px1 - px0) // 10, 2)
+            syp = max((py1 - py0) // 10, 2)
+            x0 = (px0 + sxp) // out_stride
+            y0 = (py0 + syp) // out_stride
+            x1 = max((px1 - sxp) // out_stride, x0 + 1)
+            y1 = max((py1 - syp) // out_stride, y0 + 1)
+            region[y0:y1, x0:x1] = 1.0
             # affinity: bridge to the previous word on the line
             if prev_box is not None:
-                px1 = prev_box[2]
-                ay0 = max(y0 + sy, prev_box[1])
-                ay1 = min(y1 - sy, prev_box[3])
-                if ay1 > ay0 and x0 > px1:
-                    affinity[ay0:ay1, px1:x0] = 1.0
+                qx1 = prev_box[2]
+                ay0 = max(y0, prev_box[1])
+                ay1 = min(y1, prev_box[3])
+                if ay1 > ay0 and x0 > qx1:
+                    affinity[ay0:ay1, qx1:x0] = 1.0
             prev_box = (x0, y0, x1, y1)
             x = bx[2] + int(rng.integers(10, 40))
         y += int(rng.integers(26, 44))

@@ -32,10 +32,17 @@ def _craft_box_processor():
 
     # preference ladder: s2d multi-font trunk (stride-4 grid, round-3:
     # multi-font targets fixed the serif box framing that cost 12.9%
-    # page CER) > half-width fast > base
-    for name, cfg in (("craft-s2-synth", CraftConfig.fast_s2()),
-                      ("craft-fast-synth", CraftConfig.fast()),
-                      ("craft-synth", CraftConfig.base())):
+    # page CER) > half-width fast > base.  MARIE_DETECTOR pins a specific
+    # checkpoint (A/B evals, ops rollback).
+    import os as _os
+
+    ladder = [("craft-s2-synth", CraftConfig.fast_s2()),
+              ("craft-fast-synth", CraftConfig.fast()),
+              ("craft-synth", CraftConfig.base())]
+    prefer = _os.environ.get("MARIE_DETECTOR")
+    if prefer:
+        ladder = [l for l in ladder if l[0] == prefer] + ladder
+    for name, cfg in ladder:
         ckpt = _zoo_checkpoint(name)
         if ckpt:
             from marie_tpu.registry.checkpoints import load_params

@@ -124,3 +124,33 @@ async def test_multiprocess_like_contention(tmp_path):
                 claimed.append(got.id)
     assert len(claimed) == 10
     assert len(set(claimed)) == 10
+
+
+async def test_concurrent_fetch_no_double_claim(sched):
+    """Two workers racing fetch_next must never claim the same job (the
+    atomic conditional-UPDATE analog of pg-boss FOR UPDATE SKIP LOCKED,
+    reference marie/scheduler/plans.py:188)."""
+    import threading
+
+    n_jobs = 30
+    for i in range(n_jobs):
+        await sched.submit_job(WorkInfo(name="race", data={"i": i}))
+
+    claims: list = []
+    lock = threading.Lock()
+
+    def worker():
+        while True:
+            got = sched.fetch_next("race")
+            if got is None:
+                return
+            with lock:
+                claims.append(got.id)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert len(claims) == n_jobs, f"claimed {len(claims)}/{n_jobs}"
+    assert len(set(claims)) == n_jobs, "a job was double-claimed"

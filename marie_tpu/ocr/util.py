@@ -81,9 +81,13 @@ def get_known_ocr_engines(
     * ``default`` — CRAFT + TrOCR greedy (loads the in-repo synthetic-trained
                     checkpoint when present)
     * ``best``    — CRAFT detection + voting ensemble (TrOCR beam-5 + CRNN)
+    * ``chained`` — default + LayoutLM classification/NER heads in the SAME
+                    compiled program (ocr/fused_chain.py; BASELINE configs
+                    3-4) — falls back to ``default`` behaviour when the
+                    chain checkpoints are absent
     """
     engines: Dict[str, OcrEngine] = {}
-    names = [engine] if engine else ["mock", "default", "best"]
+    names = [engine] if engine else ["mock", "default", "best", "chained"]
 
     for name in names:
         if name == "mock":
@@ -95,6 +99,21 @@ def get_known_ocr_engines(
 
             engines["default"] = PipelineOcrEngine(
                 _craft_box_processor(), _trocr_processor(beam_size=1)
+            )
+        elif name == "chained":
+            from marie_tpu.components.document_classifier import (
+                LayoutDocumentClassifier,
+            )
+            from marie_tpu.components.document_indexer import (
+                LayoutDocumentIndexer,
+            )
+            from marie_tpu.ocr.ocr_engine import PipelineOcrEngine
+
+            engines["chained"] = PipelineOcrEngine(
+                _craft_box_processor(),
+                _trocr_processor(beam_size=1),
+                classifier=LayoutDocumentClassifier.from_zoo_chain(),
+                indexer=LayoutDocumentIndexer.from_zoo_chain(),
             )
         elif name == "best":
             from marie_tpu.ocr.voting_ocr_engine import VotingOcrEngine

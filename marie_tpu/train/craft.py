@@ -84,14 +84,21 @@ def render_page_with_targets(
             x1 = max((px1 - sxp) // out_stride, x0 + 1)
             y1 = max((py1 - syp) // out_stride, y0 + 1)
             region[y0:y1, x0:x1] = 1.0
-            # affinity: bridge to the previous word on the line
+            # affinity: bridge ONLY the inter-word gap (between UNSHRUNK
+            # edges) — the shrink margins stay empty on both sides, so
+            # the CC mask (region|affinity) keeps a below-threshold moat
+            # between a word's region and the line's affinity band.
+            # Bridging shrunk-edge to shrunk-edge merges the whole line
+            # into ONE component (measured: 22 boxes for 133 words).
+            ux0 = px0 // out_stride  # unshrunk grid left edge
+            ux1 = -(-px1 // out_stride)  # unshrunk grid right edge (ceil)
             if prev_box is not None:
-                qx1 = prev_box[2]
-                ay0 = max(y0, prev_box[1])
-                ay1 = min(y1, prev_box[3])
-                if ay1 > ay0 and x0 > qx1:
-                    affinity[ay0:ay1, qx1:x0] = 1.0
-            prev_box = (x0, y0, x1, y1)
+                q_ux1 = prev_box[2]
+                ay0 = max(y0, prev_box[0])
+                ay1 = min(y1, prev_box[1])
+                if ay1 > ay0 and ux0 > q_ux1:
+                    affinity[ay0:ay1, q_ux1:ux0] = 1.0
+            prev_box = (y0, y1, ux1)
             x = bx[2] + int(rng.integers(10, 40))
         y += int(rng.integers(26, 44))
 

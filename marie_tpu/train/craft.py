@@ -162,8 +162,19 @@ def train_craft_device(
     def run_block(params, batch_stats, opt_state, key, pages_ref, targets_ref):
         def one_step(carry, step_key):
             params, batch_stats, opt_state = carry
-            idx = jax.random.randint(step_key, (batch_size,), 0, dataset_size)
+            k_idx, k_sigma, k_noise = jax.random.split(step_key, 3)
+            idx = jax.random.randint(k_idx, (batch_size,), 0, dataset_size)
             images = pages_ref[idx].astype(jnp.float32) / 255.0
+            # gaussian-noise augmentation (sigma 0..0.08 ~ 0..20/255):
+            # scanned documents are noisy, and a clean-pages-only detector
+            # measured recall 0.0 on the noise OOD distribution
+            sigma = jax.random.uniform(
+                k_sigma, (batch_size, 1, 1, 1), minval=0.0, maxval=0.08
+            )
+            images = jnp.clip(
+                images + sigma * jax.random.normal(k_noise, images.shape),
+                0.0, 1.0,
+            )
             targets = targets_ref[idx].astype(jnp.float32) / 255.0
 
             def loss_fn(p):

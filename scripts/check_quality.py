@@ -282,8 +282,6 @@ def _eval_textfusenet(n_pages: int, seed: int):
     }
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
 
 
 def _golden(truths):
@@ -438,7 +436,7 @@ def _eval_boundary(n_pages: int, seed: int, greedy_engine):
     """Boundary regressor: held-out corner MAE / quad IoU + the OCR
     CER recovered by fit_to_page on skewed scans (VERDICT r2 #4)."""
     from marie_tpu.components.document_registration.boundary import (
-        BoundaryProcessor,
+        DocumentBoundaryRegistration,
     )
     from marie_tpu.check import compare_results
     from marie_tpu.models.boundary import BoundaryNet
@@ -457,7 +455,7 @@ def _eval_boundary(n_pages: int, seed: int, greedy_engine):
 
         rng = np.random.default_rng(seed + 9)
         pages, truths = make_pages(min(n_pages, 2), seed=seed + 7, font="sans")
-        proc = BoundaryProcessor()
+        proc = DocumentBoundaryRegistration()
         cer_skewed = []
         cer_aligned = []
         golden = _golden(truths)
@@ -580,3 +578,7 @@ def _eval_template_matching(seed: int):
         rows[f"{name}_recall"] = round(tp / max(tp + fn, 1), 3)
         rows[f"{name}_precision"] = round(tp / max(tp + fp, 1), 3)
     return rows
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -801,6 +801,14 @@ def fused_collect_many(
     for handle, fetch in zip(handles, fetched):
         stats_host, tokens_host, conf_host = fetch[:3]
         chain_host = fetch[3] if len(fetch) > 3 else None
+        # decode the WHOLE handle's token matrix in one vectorised pass
+        # (models/tokenizer.py decode_batch) — the per-word python decode
+        # loop was 3-5 ms/page of collect time on this box's single core
+        toks_np = np.asarray(tokens_host)
+        flat_texts = op.tokenizer.decode_batch(
+            toks_np.reshape(-1, toks_np.shape[-1])
+        )
+        slot_stride = toks_np.shape[-2] if toks_np.ndim == 3 else 0
         # member: (stats, tokens, conf, row_base, slot_budget, page_fn,
         #          scale, hw, extra) — row_base/slot_budget express the
         # row alignment contract: page-local decoded row r lives at
@@ -825,7 +833,7 @@ def fused_collect_many(
                         "ner_scores": ner_scores[s],
                     }
                 members.append(
-                    (stats_i, tokens_host, conf_host, offset, total_slots,
+                    (stats_i, flat_texts, conf_host, offset, total_slots,
                      lambda s=s: _dev_rgb(
                          _unpack4_page(pages_dev[s]) if packed
                          else pages_dev[s]
@@ -838,7 +846,7 @@ def fused_collect_many(
             members = [
                 (
                     {k: stats_host[k][s] for k in stats_host},
-                    tokens_host[s],
+                    flat_texts[s * slot_stride:(s + 1) * slot_stride],
                     conf_host[s],
                     0,
                     rec_slots,
@@ -852,10 +860,10 @@ def fused_collect_many(
         else:
             _, _, _, _, page_dev, scale, hw, rec_slots = handle
             members = [
-                (stats_host, tokens_host, conf_host, 0, rec_slots,
+                (stats_host, flat_texts, conf_host, 0, rec_slots,
                  lambda: _dev_rgb(page_dev), scale, hw, None)
             ]
-        for (stats_i, toks_i, conf_i, row_base, budget, page_fn, scale,
+        for (stats_i, texts_i, conf_i, row_base, budget, page_fn, scale,
              (h, w), extra) in members:
             xywh, scores, rows = bp.detect_collect(
                 (None, None, scale, (h, w)), stats=stats_i, return_rows=True
@@ -870,7 +878,7 @@ def fused_collect_many(
                 if row < budget:
                     words.append(
                         {
-                            "text": op.tokenizer.decode(toks_i[row]),
+                            "text": texts_i[row],
                             "confidence": float(conf_i[row]),
                         }
                     )

@@ -563,6 +563,12 @@ def _plan_groups(preps, page_batch: int) -> List[List[int]]:
     return groups
 
 
+#: per-call (stack_s, pack_s, put_s, mbytes) rows, appended only when
+#: MARIE_TRACE_UPLOADS is set — lets perf probes split host prep from
+#: wire time without monkeypatching
+UPLOAD_TRACE: List[Tuple[float, float, float, float]] = []
+
+
 def _upload_group(preps, group, page_batch, upload_format: str = "u8",
                   mesh=None):
     """Host prep + device upload for one group (runs on the uploader
@@ -570,11 +576,17 @@ def _upload_group(preps, group, page_batch, upload_format: str = "u8",
     pack to 4 bits/pixel (native loop — halves the link bytes again),
     device_put (sharded over ``mesh`` when given and divisible).
     Returns (batch_dev, clip_dev, psize, packed, mesh_used)."""
+    import os
+    import time as _time
+
+    trace = bool(os.environ.get("MARIE_TRACE_UPLOADS"))
+    t0 = _time.time() if trace else 0.0
     psize = _ladder_size(len(group), page_batch)
     rows = group + [group[-1]] * (psize - len(group))
     stack = np.stack([preps[k][0] for k in rows])
     if _is_grayscale(stack):
         stack = stack[..., 0]  # upload 1/3 the bytes
+    t1 = _time.time() if trace else 0.0
     packed = False
     if (
         upload_format == "u4"
@@ -585,6 +597,7 @@ def _upload_group(preps, group, page_batch, upload_format: str = "u8",
 
         stack = pack4(stack)
         packed = True
+    t2 = _time.time() if trace else 0.0
     clip_np = np.asarray(
         [[preps[k][2][1] * preps[k][1], preps[k][2][0] * preps[k][1]]
          for k in rows],
@@ -601,17 +614,20 @@ def _upload_group(preps, group, page_batch, upload_format: str = "u8",
             )
     batch = jax.device_put(stack, sharding) if sharding else jax.device_put(stack)
     clip = jax.device_put(clip_np, sharding) if sharding else jax.device_put(clip_np)
+    if trace:
+        UPLOAD_TRACE.append(
+            (t1 - t0, t2 - t1, _time.time() - t2, stack.nbytes / 1e6)
+        )
     return batch, clip, psize, packed, (mesh if sharding else None)
 
 
-def fused_dispatch_many(box_processor, ocr_processor, images,
-                        rec_slots: int = 256, page_batch: int = 4,
-                        compact_slots: int = 192, prefetch: bool = True,
-                        upload_format: str = "u8", mesh=None,
-                        chain=None):
-    """Dispatch fused OCR for many pages, stacking same-bucket runs of up
-    to ``page_batch`` pages into single program executions.  Returns one
-    handle per page (same shape as ``fused_dispatch`` handles).
+def fused_dispatch_stream(box_processor, ocr_processor, images,
+                          rec_slots: int = 256, page_batch: int = 4,
+                          compact_slots: int = 192, max_in_flight: int = 4,
+                          upload_format: str = "u8", mesh=None,
+                          chain=None):
+    """Dispatch fused OCR for many pages, YIELDING one handle per
+    upload group as soon as its program is in flight.
 
     Groups of >= 2 pages run the globally-compacted program
     (:func:`_fused_pages_compact`) with ``psize * compact_slots`` total
@@ -619,14 +635,23 @@ def fused_dispatch_many(box_processor, ocr_processor, images,
     borrow budget from pages under it; a batch that overflows the global
     budget finishes through the per-page overflow path on collect.
 
-    With ``prefetch`` (default) the host prep + device_put of group i+1
-    runs on a background uploader thread while group i's program
-    executes — through a bandwidth-limited device link the upload is the
-    dominant per-page cost (measured 19-35 ms/page vs ~19 ms/page fused
-    compute on the axon relay) and overlapping it brings the wall back
-    to max(upload, compute) instead of the sum (the reference streams
-    with prefetch-limited concurrency the same way,
-    ``/root/reference/marie/serve/stream/__init__.py:229``)."""
+    Host prep + device_put + dispatch all run on ONE background worker
+    thread (uploads stay ordered and saturate the link); the caller
+    collects each yielded handle while later groups upload — a 3-stage
+    software pipeline (upload | device compute | host collect) in which
+    the collect stage genuinely overlaps the upload stage.  The earlier
+    design dispatched every group before the first collect, so the
+    host-side collect Python (~16 ms/page on this box) ran strictly
+    AFTER the full upload phase (timeline-probed: 2.0 s of uploads, then
+    1.0 s of collects, zero overlap).  The reference streams with
+    prefetch-limited concurrency the same way
+    (``/root/reference/marie/serve/stream/__init__.py:229``).
+
+    ``max_in_flight`` bounds dispatched-but-uncollected groups so a long
+    page list cannot pile unbounded result buffers on the device."""
+    import queue as _queue
+    import threading
+
     bp, op = box_processor, ocr_processor
     # 2-D (grayscale) frames stay 2-D through prep — 1/3 the host copy +
     # upload bytes with no channel-equality scan; the device programs
@@ -635,76 +660,90 @@ def fused_dispatch_many(box_processor, ocr_processor, images,
         bp.prep_page(im if im.ndim == 2 else _np_rgb(im)) for im in images
     ]
     groups = _plan_groups(preps, page_batch)
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(max_in_flight, 1))
 
-    uploads: List[Any]
-    if prefetch and len(groups) > 1:
-        from concurrent.futures import ThreadPoolExecutor
+    def _work():
+        try:
+            for group in groups:
+                if len(group) == 1 and chain is None:
+                    # single-page fast path (the chained path runs every
+                    # group through the compact program so
+                    # classification/NER coverage is uniform)
+                    k = group[0]
+                    padded, scale, (h, w) = preps[k]
+                    q.put(("ok", _dispatch_prepped(
+                        bp, op, padded, scale, (h, w), rec_slots)))
+                    continue
+                batch, clip, psize, packed, mesh_used = _upload_group(
+                    preps, group, page_batch, upload_format, mesh
+                )
+                total_slots = psize * compact_slots
+                metas = [(preps[k][1], preps[k][2]) for k in group]
+                if chain is not None:
+                    # classify + NER run IN the same program
+                    # (ocr/fused_chain.py — BASELINE configs 3-4: no host
+                    # hop between OCR and heads)
+                    from marie_tpu.ocr.fused_chain import fused_ocr_chain
 
-        # ONE uploader thread: uploads stay ordered and saturate the link
-        # without competing with each other; dispatches happen on the
-        # caller thread as each upload lands
-        pool = ThreadPoolExecutor(max_workers=1)
-        uploads = [
-            pool.submit(_upload_group, preps, g, page_batch, upload_format,
-                        mesh)
-            if (len(g) > 1 or chain is not None) else None
-            for g in groups
-        ]
-        pool.shutdown(wait=False)
-    else:
-        uploads = [None] * len(groups)
-
-    handles: List[Any] = [None] * len(images)
-    for gi, group in enumerate(groups):
-        if len(group) == 1 and chain is None:
-            # single-page fast path (the chained path runs every group
-            # through the compact program so classification/NER coverage
-            # is uniform)
-            k = group[0]
-            padded, scale, (h, w) = preps[k]
-            handles[k] = _dispatch_prepped(bp, op, padded, scale, (h, w),
-                                           rec_slots)
-            continue
-        fut = uploads[gi]
-        batch, clip, psize, packed, mesh_used = (
-            fut.result() if fut is not None
-            else _upload_group(preps, group, page_batch, upload_format, mesh)
-        )
-        total_slots = psize * compact_slots
-        metas = [(preps[k][1], preps[k][2]) for k in group]
-        if chain is not None:
-            # classify + NER run IN the same program (ocr/fused_chain.py
-            # — BASELINE configs 3-4: no host hop between OCR and heads)
-            from marie_tpu.ocr.fused_chain import fused_ocr_chain
-
-            classifier, indexer = chain
-            stats, tokens, conf, cls_logits, ner_labels, ner_scores = (
-                fused_ocr_chain(
-                    bp, op, classifier, indexer, batch, clip,
+                    classifier, indexer = chain
+                    stats, tokens, conf, cls_logits, ner_labels, ner_scores = (
+                        fused_ocr_chain(
+                            bp, op, classifier, indexer, batch, clip,
+                            n_real=len(group), total_slots=total_slots,
+                            mesh=mesh_used, packed=packed,
+                        )
+                    )
+                    q.put(("ok", (
+                        "gcc", stats, tokens, conf, (batch, packed), metas,
+                        total_slots, (cls_logits, ner_labels, ner_scores),
+                    )))
+                    continue
+                stats, tokens, conf = fused_ocr_pages(
+                    bp, op, batch, clip,
                     n_real=len(group), total_slots=total_slots,
                     mesh=mesh_used, packed=packed,
                 )
-            )
-            handles[group[0]] = (
-                "gcc", stats, tokens, conf, (batch, packed), metas,
-                total_slots, (cls_logits, ner_labels, ner_scores),
-            )
-            for k in group[1:]:
-                handles[k] = "_merged"
-            continue
-        stats, tokens, conf = fused_ocr_pages(
-            bp, op, batch, clip,
-            n_real=len(group), total_slots=total_slots,
-            mesh=mesh_used, packed=packed,
-        )
-        # ONE group handle for the whole stack — per-page device slicing
-        # would spend the executions the batch just saved
-        handles[group[0]] = (
-            "gc", stats, tokens, conf, (batch, packed), metas, total_slots
-        )
-        for k in group[1:]:
-            handles[k] = "_merged"
-    return [h for h in handles if h != "_merged"]
+                # ONE group handle for the whole stack — per-page device
+                # slicing would spend the executions the batch just saved
+                q.put(("ok", (
+                    "gc", stats, tokens, conf, (batch, packed), metas,
+                    total_slots,
+                )))
+        except BaseException as exc:  # noqa: BLE001 — relay to consumer
+            q.put(("err", exc))
+            return
+        q.put(("end", None))
+
+    threading.Thread(target=_work, daemon=True, name="fused-upload").start()
+    while True:
+        kind, val = q.get()
+        if kind == "end":
+            return
+        if kind == "err":
+            raise val
+        yield val
+
+
+def fused_dispatch_many(box_processor, ocr_processor, images,
+                        rec_slots: int = 256, page_batch: int = 4,
+                        compact_slots: int = 192, prefetch: bool = True,
+                        upload_format: str = "u8", mesh=None,
+                        chain=None):
+    """List form of :func:`fused_dispatch_stream` — drains the stream and
+    returns one handle per upload group.  Callers that hold every handle
+    before collecting (the sharded dryrun, region extraction) keep this
+    API; the serving engine iterates the stream so collects overlap
+    uploads.  ``prefetch`` is accepted for back-compat (the worker-thread
+    stream always prefetches; with one group there is nothing to
+    overlap)."""
+    del prefetch  # the stream's worker thread is the prefetcher
+    return list(fused_dispatch_stream(
+        box_processor, ocr_processor, images,
+        rec_slots=rec_slots, page_batch=page_batch,
+        compact_slots=compact_slots,
+        max_in_flight=max(len(images), 1),
+        upload_format=upload_format, mesh=mesh, chain=chain,
+    ))
 
 
 def handle_page_count(handle) -> int:

@@ -135,7 +135,7 @@ class PipelineOcrEngine(OcrEngine):
         if fused and getattr(self, "single_program", True):
             from marie_tpu.ocr.fused import (
                 fused_collect_many,
-                fused_dispatch_many,
+                fused_dispatch_stream,
                 supports_fused_page,
             )
 
@@ -144,12 +144,14 @@ class PipelineOcrEngine(OcrEngine):
 
                 # ONE program per page (or per page-batch group): detect +
                 # box select + crop + decode in a single dispatch.  The
-                # dispatcher prefetches uploads on a background thread;
-                # collection is PER GROUP so the host postprocessing of
-                # group i (organize_boxes + token decode, ~3-6 ms/page of
-                # Python) overlaps the device executing groups i+1.. —
-                # a 3-stage software pipeline: upload | compute | collect.
-                handles = fused_dispatch_many(
+                # stream yields each group handle as its program goes in
+                # flight, so the host postprocessing of group i
+                # (organize_boxes + token decode, ~16 ms/page of Python)
+                # overlaps BOTH the device executing groups i+1.. and the
+                # uploader thread shipping them — a 3-stage software
+                # pipeline: upload | compute | collect.
+                pages = []
+                for handle in fused_dispatch_stream(
                     self.box_processor,
                     self.ocr_processor,
                     frames,
@@ -164,9 +166,7 @@ class PipelineOcrEngine(OcrEngine):
                         and getattr(self, "indexer", None) is not None
                         else None
                     ),
-                )
-                pages = []
-                for handle in handles:
+                ):
                     n = handle_page_count(handle)
                     pages.extend(
                         fused_collect_many(

@@ -288,8 +288,19 @@ def _bench_full_pipeline(engine, pages):
 
     work = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
+        # overlay cleanup is part of the default serving flow (the
+        # reference's `segment` stage) — config 5 measures it too
+        overlay = None
+        try:
+            from marie_tpu.overlay import OverlayProcessor
+
+            cand = OverlayProcessor()
+            overlay = cand if cand.trained else None
+        except Exception:  # noqa: BLE001
+            overlay = None
         pipe = ExtractPipeline(
-            ocr_engine=engine, classifiers=[], indexers=[], work_dir=work
+            ocr_engine=engine, classifiers=[], indexers=[], work_dir=work,
+            overlay_processor=overlay,
         )
         times = []
         meta = {}
@@ -429,11 +440,12 @@ def main():
     compile_s = time.time() - t0
     print(f"warmup all done {compile_s:.0f}s", file=sys.stderr, flush=True)
 
-    # two timed passes, best wins (both reported): the TPU here sits behind
-    # a shared relay whose latency spikes dominate run-to-run noise
+    # three timed passes, best wins (all reported): the TPU here sits
+    # behind a shared relay whose latency spikes dominate run-to-run noise
+    # (identical cached programs measured 24.6-45.5 pages/s across hours)
     pages, truths = make_pages(N_BENCH_PAGES, seed=7, with_truth=True)
     pass_times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         results = engine.extract(pages)
         pass_times.append(time.time() - t0)

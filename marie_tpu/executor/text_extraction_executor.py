@@ -50,7 +50,22 @@ class TextExtractionExecutor(BaseExecutor):
             from marie_tpu.pipe.extract_pipeline import ExtractPipeline
 
             engine = get_known_ocr_engines(engine=ocr_engine)[ocr_engine]
-            pipeline = ExtractPipeline(ocr_engine=engine, work_dir=work_dir)
+            # overlay cleanup is a standard stage of the reference's
+            # extract flow (marie/pipe/components.py:110) — wire the
+            # trained GAN when the zoo checkpoint exists; the pipeline's
+            # page_cleaner feature flag (default on) gates it per request
+            overlay = None
+            try:
+                from marie_tpu.overlay import OverlayProcessor
+
+                cand = OverlayProcessor()
+                overlay = cand if cand.trained else None
+            except Exception:  # noqa: BLE001 — cleanup is optional
+                overlay = None
+            pipeline = ExtractPipeline(
+                ocr_engine=engine, work_dir=work_dir,
+                overlay_processor=overlay,
+            )
         self.pipeline = pipeline
 
     @requests(on="/document/extract")

@@ -22,6 +22,12 @@ class ViTConfig:
     channels: int = 3
     use_cls_token: bool = True
     dropout: float = 0.0
+    # dense-head output stride (DiT detector): the patch grid (stride 16)
+    # is conv-upsampled to this stride.  2 keeps inter-word gaps >=1 cell
+    # when a full 1024x768 page is served downscaled into the 512x384
+    # bucket (stride-4 head at half-res = stride 8 in page pixels — word
+    # gaps quantized to <1 cell and every line merged into one component)
+    head_stride: int = 4
 
     @property
     def seq_len(self) -> int:
@@ -36,6 +42,7 @@ class ViTConfig:
         return ViTConfig(
             image_size=(512, 384), patch_size=16, hidden_dim=256,
             num_layers=6, num_heads=4, mlp_dim=1024, use_cls_token=False,
+            head_stride=2,
         )
 
 

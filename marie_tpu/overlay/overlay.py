@@ -82,15 +82,20 @@ class OverlayProcessor(JAMLCompatible):
     def segment_frame(
         self, key: str, frame: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Returns (real, mask, clean) at the original page size."""
+        """Returns (real, mask, clean) at the original page size.
+
+        Accepts 2-D grayscale frames (the serving engine's preferred
+        layout) — the generator runs on a channel-stacked copy and the
+        cleaned page returns in the caller's layout."""
+        gray_in = frame.ndim == 2
         h, w = frame.shape[:2]
         (_, _), scale = self.buckets.fit_with_scale(h, w)
-        work = frame
+        work = np.stack([frame] * 3, axis=-1) if gray_in else frame
         if scale < 1.0:
             import cv2
 
             work = cv2.resize(
-                frame, (int(w * scale), int(h * scale)),
+                work, (int(w * scale), int(h * scale)),
                 interpolation=cv2.INTER_AREA,
             )
         # pad only to the generator's stride (4) — bucket-sized white
@@ -113,6 +118,8 @@ class OverlayProcessor(JAMLCompatible):
 
             mask = cv2.resize(mask, (w, h), interpolation=cv2.INTER_NEAREST)
             blended = cv2.resize(blended, (w, h), interpolation=cv2.INTER_LINEAR)
+        if gray_in:
+            blended = blended.mean(axis=-1)
         return frame, (mask * 255).astype(np.uint8), blended.astype(np.uint8)
 
     # interface parity with the reference's segment method naming

@@ -103,7 +103,12 @@ class ExtractPipeline(BasePipeline):
 
         classifier_enabled = flag("page_classifier", True)
         indexer_enabled = flag("page_indexer", True)
-        cleaner_enabled = flag("page_cleaner", False)
+        # overlay cleanup runs by default, matching the reference's
+        # standard `segment` stage (marie/pipe/components.py:110); the
+        # GAN's blending is mask-gated so clean pages pass unchanged
+        # (oracle: dirty-page CER 0.0173 -> 0.0102 with cleanup,
+        # clean-page CER 0.0000 either way — scripts/check_quality.py)
+        cleaner_enabled = flag("page_cleaner", True)
         boundary_enabled = flag("page_boundary", False)
 
         metadata: Dict[str, Any] = {

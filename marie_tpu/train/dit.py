@@ -5,8 +5,8 @@ The reference's DEFAULT detector is DiT + Mask R-CNN
 TPU re-design (``marie_tpu/boxes/dit_box_processor.py``) keeps the ViT
 backbone but replaces the proposal head with a dense region/affinity
 heatmap, so it trains on exactly the same free supervision as CRAFT —
-rendered word boxes.  Targets render at heatmap stride 2 and max-pool to
-the DiT head's stride 4 on device.
+rendered word boxes.  Targets render directly at the head grid
+(``cfg.head_stride``).
 """
 
 import time
@@ -35,23 +35,47 @@ def train_dit_device(
     seed: int = 0,
     checkpoint_path: Optional[str] = None,
     font_sizes: Tuple[int, ...] = (7, 9, 11, 13, 18, 22),
+    full_page_font_sizes: Tuple[int, ...] = (14, 18, 20, 24, 28),
 ):
     logger = MarieLogger("train-dit")
     config = config or ViTConfig.dit_synth()
     model = DiTDetector(config)
     page_hw: Tuple[int, int] = tuple(config.image_size)
 
-    # font_sizes default includes SMALL sizes: the serving processor
-    # downscales full pages (1024x768 at ~20px text) to the model bucket
-    # (512x384 -> ~10px text); a model trained only on 14-26px text at
-    # the bucket size measured recall 0.149 on real downscaled pages
+    # HALF the dataset is serving-matched: the serving processor hands the
+    # model full pages (1024x768, ~20px text) downscaled to the model
+    # bucket with cv2.INTER_AREA (boxes/dit_box_processor.py:detect_words)
+    # — anti-aliased ~10px glyphs that natively-rendered small PIL fonts
+    # do NOT imitate (native-small-font training measured recall 0.084 on
+    # downscaled pages; native-large-font-only measured 0.149).  The other
+    # half keeps native small-size renders for pages served at 1:1 scale.
+    #
+    # Targets render DIRECTLY at the head grid (cfg.head_stride of the
+    # input; 2x that for the 2x-rendered half) — an earlier version
+    # rendered at stride 2 and max-pooled down, which fattened the region
+    # and affinity bands enough to close the shrink moat between them and
+    # merged every LINE into one component (measured recall 0.0, 17
+    # boxes for 134 words ~= the line count).
+    head_stride = config.head_stride
+
     def render_block(block_seed):
+        import cv2
+
         rng = np.random.default_rng(block_seed)
+        h, w = page_hw
         pages, targets = [], []
-        for _ in range(dataset_size):
-            p, t = render_page_with_targets(
-                rng, page_hw, font_sizes=font_sizes
-            )
+        for i in range(dataset_size):
+            if i % 2 == 0:
+                p2, t = render_page_with_targets(
+                    rng, (h * 2, w * 2), font_sizes=full_page_font_sizes,
+                    out_stride=head_stride * 2,
+                )
+                p = cv2.resize(p2, (w, h), interpolation=cv2.INTER_AREA)
+            else:
+                p, t = render_page_with_targets(
+                    rng, page_hw, font_sizes=font_sizes,
+                    out_stride=head_stride,
+                )
             pages.append(p)
             targets.append(t)
         return jnp.asarray(np.stack(pages)), jnp.asarray(np.stack(targets))
@@ -77,12 +101,8 @@ def train_dit_device(
             params, opt_state = carry
             idx = jax.random.randint(step_key, (batch_size,), 0, dataset_size)
             images = pages_ref[idx].astype(jnp.float32) / 255.0
-            # stride-2 render targets -> stride-4 head targets (max pool
-            # keeps thin word masks alive better than averaging)
-            t2 = targets_ref[idx].astype(jnp.float32) / 255.0
-            targets = jax.lax.reduce_window(
-                t2, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            )
+            # targets already at the head grid (see render_block)
+            targets = targets_ref[idx].astype(jnp.float32) / 255.0
 
             def loss_fn(p):
                 out = model.apply(p, images)

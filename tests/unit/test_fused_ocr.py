@@ -136,3 +136,33 @@ def test_blank_page_in_group(processors):
     out = fused.extract([blank, _page(9)])
     assert out[0]["words"] == []
     assert len(out[1]["words"]) > 0
+
+
+def test_dispatch_stream_order_and_bounding(processors):
+    """fused_dispatch_stream yields group handles in page order and
+    respects the max_in_flight bound (worker blocks, consumer drains)."""
+    from marie_tpu.ocr.fused import fused_dispatch_stream, handle_page_count
+
+    bp, op = processors
+    pages = [_page(s) for s in range(5)]
+    handles = list(fused_dispatch_stream(
+        bp, op, pages, page_batch=2, compact_slots=8, max_in_flight=1,
+    ))
+    # 5 pages at page_batch=2 -> groups of 2, 2, 1
+    assert [handle_page_count(h) for h in handles] == [2, 2, 1]
+
+
+def test_dispatch_stream_propagates_worker_errors(processors, monkeypatch):
+    """An exception on the upload/dispatch worker thread surfaces to the
+    consuming thread instead of hanging the stream."""
+    import marie_tpu.ocr.fused as fused_mod
+
+    bp, op = processors
+
+    def boom(*a, **k):
+        raise RuntimeError("upload failed")
+
+    monkeypatch.setattr(fused_mod, "_upload_group", boom)
+    pages = [_page(s) for s in range(2)]
+    with pytest.raises(RuntimeError, match="upload failed"):
+        list(fused_mod.fused_dispatch_stream(bp, op, pages, page_batch=2))

@@ -276,6 +276,65 @@ def _bench_chain(box, icr, upload_format, pages):
     }
 
 
+def _bench_single_page(engine, pages):
+    """BASELINE config 1: single-page OCR latency (the reference's
+    examples/batch_document_ocr.py one-page case).  Exercises the
+    single-page fused program (`_fused_page`) rather than the batched
+    compact program."""
+    engine.extract(pages[:1])  # compile/load the single-page program
+    times = []
+    for k in range(3):
+        t0 = time.time()
+        engine.extract([pages[k % len(pages)]])
+        times.append(time.time() - t0)
+    return {
+        "single_page": {
+            "p50_page_latency_ms": round(sorted(times)[1] * 1000, 1),
+            "best_ms": round(min(times) * 1000, 1),
+            "pass_times_s": [round(t, 3) for t in times],
+        }
+    }
+
+
+def _bench_classify_split(engine, pages):
+    """BASELINE config 3: LayoutLM page classification + document
+    splitting over a multi-page bundle (reference
+    ClassificationPipeline, marie/pipe/classification_pipeline.py:28)."""
+    from marie_tpu.components.document_classifier import (
+        LayoutDocumentClassifier,
+    )
+    from marie_tpu.components.document_splitter import LayoutDocumentSplitter
+    from marie_tpu.pipe.classification_pipeline import ClassificationPipeline
+
+    from marie_tpu.registry.zoo import zoo_checkpoint
+
+    cls = LayoutDocumentClassifier.from_zoo()
+    if cls is None or zoo_checkpoint("layout-splitter-synth") is None:
+        return {}
+    splitter = LayoutDocumentSplitter()
+    pipe = ClassificationPipeline(
+        ocr_engine=engine, classifiers=[cls], splitter=splitter
+    )
+    bundle = pages[:16]
+    times = []
+    meta = {}
+    for k in range(2):  # first pass absorbs one-time compiles/loads
+        t0 = time.time()
+        meta = pipe.execute(
+            ref_id=f"bundle{k}", ref_type="bench_bundle", frames=bundle
+        )
+        times.append(time.time() - t0)
+    dt = min(times)
+    return {
+        "classify_split": {
+            "pages_per_sec": round(len(bundle) / dt, 2),
+            "p50_page_latency_ms": round(dt / len(bundle) * 1000, 1),
+            "documents": len(meta.get("documents", [])),
+            "pass_times_s": [round(t, 2) for t in times],
+        }
+    }
+
+
 def _bench_full_pipeline(engine, pages):
     """BASELINE config 5: the full ExtractPipeline (boundary/overlay
     hooks + OCR + render text/pdf/blobs/adlib artifacts + asset packing)
@@ -495,9 +554,17 @@ def main():
     # pipeline with renderers ---
     configs = {}
     try:
+        configs.update(_bench_single_page(engine, pages))
+    except Exception as ex:  # noqa: BLE001
+        print(f"single-page bench failed: {ex!r}", file=sys.stderr)
+    try:
         configs.update(_bench_chain(box, icr, upload_format, pages))
     except Exception as ex:  # noqa: BLE001
         print(f"chain bench failed: {ex!r}", file=sys.stderr)
+    try:
+        configs.update(_bench_classify_split(engine, pages))
+    except Exception as ex:  # noqa: BLE001
+        print(f"classify-split bench failed: {ex!r}", file=sys.stderr)
     try:
         configs.update(_bench_full_pipeline(engine, pages[:16]))
     except Exception as ex:  # noqa: BLE001

@@ -541,8 +541,34 @@ def _eval_template_matching(seed: int):
         f2 = ImageFont.truetype(FONTS["serif"], 22)
     except OSError:
         return None
+    import contextlib
+
+    import jax
+
+    # the template correlation lowers to a VALID conv with the whole
+    # template feature grid as kernel footprint — the remote TPU compile
+    # helper for this environment OOMs/stalls on it (observed SIGKILL and
+    # a 40+ min hang), so this eval pins the in-process CPU backend
+    # (shapes are tiny; the matcher is latency-insensitive here)
+    try:
+        cpu_ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        cpu_ctx = contextlib.nullcontext()
     rng = np.random.default_rng(seed + 31)
     rows = {}
+    with cpu_ctx:
+        _run_template_trials(rng, f1, f2, rows)
+    return rows
+
+
+def _run_template_trials(rng, f1, f2, rows):
+    from PIL import Image, ImageDraw
+
+    from marie_tpu.components.template_matching import (
+        DIMTemplateMatcher,
+        VQNNFTemplateMatcher,
+    )
+
     for name, matcher in (
         ("dim", DIMTemplateMatcher()),
         ("vqnnf", VQNNFTemplateMatcher()),
@@ -577,7 +603,6 @@ def _eval_template_matching(seed: int):
             fn += int(not hit)
         rows[f"{name}_recall"] = round(tp / max(tp + fn, 1), 3)
         rows[f"{name}_precision"] = round(tp / max(tp + fp, 1), 3)
-    return rows
 
 
 if __name__ == "__main__":

@@ -134,10 +134,7 @@ class ExtractPipeline(BasePipeline):
         clean_frames = frames
         if cleaner_enabled and self.overlay_processor is not None:
             with TimeContext("overlay-cleanup", self.logger):
-                clean_frames = [
-                    self.overlay_processor.segment_frame(f"{ref_id}_{i}", f)[2]
-                    for i, f in enumerate(frames)
-                ]
+                clean_frames = self.overlay_processor.segment_batch(frames)
 
         with TimeContext("ocr", self.logger):
             ocr_results = self.ocr_engine.extract(

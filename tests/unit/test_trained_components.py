@@ -44,6 +44,35 @@ def test_overlay_processor_removes_form_lines():
 
 
 @pytest.mark.skipif(
+    zoo_checkpoint("pix2pix-synth") is None, reason="overlay ckpt not trained"
+)
+def test_overlay_segment_batch_matches_per_frame():
+    """segment_batch (the pipeline's batched dispatch) must agree with the
+    per-frame segment_frame path to within device channel-mean rounding,
+    including the mixed-shape fallback."""
+    from marie_tpu.overlay import OverlayProcessor
+    from marie_tpu.train.overlay import render_overlay_pair
+
+    rng = np.random.default_rng(7)
+    frames = [
+        render_overlay_pair(rng, (256, 192))[1] for _ in range(3)
+    ]
+    proc = OverlayProcessor()
+    ref = [proc.segment_frame(f"t{i}", f)[2] for i, f in enumerate(frames)]
+    out = proc.segment_batch(frames, chunk=2)
+    assert len(out) == len(frames)
+    for r, o in zip(ref, out):
+        assert r.shape == o.shape
+        assert np.abs(r.astype(int) - o.astype(int)).max() <= 1
+    # mixed shapes fall back to the per-frame path (bit-identical)
+    mixed = [frames[0], frames[1][:128, :96]]
+    mref = [proc.segment_frame(f"m{i}", f)[2] for i, f in enumerate(mixed)]
+    mout = proc.segment_batch(mixed)
+    for r, o in zip(mref, mout):
+        assert np.array_equal(r, o)
+
+
+@pytest.mark.skipif(
     zoo_checkpoint("boundary-synth") is None, reason="boundary ckpt not trained"
 )
 def test_boundary_registration_fit_to_page():

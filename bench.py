@@ -459,21 +459,32 @@ def main():
         )
         detector_desc = "craft-base fwd + on-device CC (ink boxes)"
     # use the in-repo synthetic-trained checkpoint when present — turns the
-    # CER/IoU columns into real quality numbers instead of random-weight noise
-    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "model_zoo", "trocr-fast-synth")
+    # CER/IoU columns into real quality numbers instead of random-weight
+    # noise.  Ladder mirrors ocr/util._trocr_processor: fast_v2 (20-token
+    # full-height patches) when trained, else fast; MARIE_RECOGNIZER pins.
+    zoo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "model_zoo")
+    rec_ladder = [("trocr-fast2-synth", TrOCRConfig.fast_v2, "trocr-fast2"),
+                  ("trocr-fast-synth", TrOCRConfig.fast, "trocr-fast")]
+    rec_prefer = os.environ.get("MARIE_RECOGNIZER")
+    if rec_prefer:
+        rec_ladder = [l for l in rec_ladder if l[0] == rec_prefer] + rec_ladder
     params = None
     trained = False
-    if os.path.isdir(ckpt):
-        try:
-            from marie_tpu.registry.checkpoints import load_params
+    rec_cfg, rec_name = TrOCRConfig.fast(), "trocr-fast"
+    for name, cfg_fn, desc in rec_ladder:
+        ckpt = os.path.join(zoo, name)
+        if os.path.isdir(ckpt):
+            try:
+                from marie_tpu.registry.checkpoints import load_params
 
-            params = load_params(ckpt)
-            trained = True
-        except Exception:  # noqa: BLE001 — fall back to random weights
-            params = None
+                params = load_params(ckpt)
+                trained = True
+                rec_cfg, rec_name = cfg_fn(), desc
+                break
+            except Exception:  # noqa: BLE001 — fall back to random weights
+                params = None
     icr = TrOcrProcessor(
-        config=TrOCRConfig.fast(), params=params, beam_size=1,
+        config=rec_cfg, params=params, beam_size=1,
         param_dtype="bfloat16", batch_sizes=(32, 128, 256),
     )
     # u4: 4-bit packed grayscale upload (native packer) — halves the
@@ -606,9 +617,9 @@ def main():
             "p50_page_latency_ms": round(dt / N_BENCH_PAGES * 1000, 1),
             "compile_s": round(compile_s, 1),
             "recognizer": (
-                "trocr-fast greedy bf16 (synthetic-trained ckpt)"
+                f"{rec_name} greedy bf16 (synthetic-trained ckpt)"
                 if trained
-                else "trocr-fast greedy bf16 (random init)"
+                else f"{rec_name} greedy bf16 (random init)"
             ),
             "detector": detector_desc,
             "detection_recall": quality["detection"]["recall"],

@@ -14,7 +14,11 @@ from typing import Optional, Tuple
 @dataclasses.dataclass(frozen=True)
 class ViTConfig:
     image_size: Tuple[int, int] = (384, 384)  # (H, W)
-    patch_size: int = 16
+    # int = square patches; (ph, pw) tuple = rectangular (e.g. full-height
+    # word-crop patches: each token covers a vertical glyph slice, which
+    # cuts token count — and with it encoder FLOPs and the decoder's
+    # per-step cross-attention K/V traffic — without touching pixels seen)
+    patch_size: int | Tuple[int, int] = 16
     hidden_dim: int = 768
     num_layers: int = 12
     num_heads: int = 12
@@ -30,9 +34,15 @@ class ViTConfig:
     head_stride: int = 4
 
     @property
+    def patch_hw(self) -> Tuple[int, int]:
+        p = self.patch_size
+        return (p, p) if isinstance(p, int) else p
+
+    @property
     def seq_len(self) -> int:
         h, w = self.image_size
-        n = (h // self.patch_size) * (w // self.patch_size)
+        ph, pw = self.patch_hw
+        n = (h // ph) * (w // pw)
         return n + (1 if self.use_cls_token else 0)
 
     @staticmethod
@@ -97,6 +107,21 @@ class TrOCRConfig:
                 mlp_dim=1536,
                 max_len=32,
             ),
+        )
+
+    @staticmethod
+    def fast_v2() -> "TrOCRConfig":
+        """fast with FULL-HEIGHT patches (48×16): 20 tokens per crop
+        instead of 60.  Each token is a vertical glyph slice (~2/3 of a
+        glyph at the h//2 nominal glyph width) — the CRNN-style column
+        factorization.  3× fewer tokens cuts encoder token-FLOPs ~3× AND
+        the decoder's per-step cross-attention K/V reads ~3× — the two
+        dominant terms of the fused program's crop+decode stage (on-chip
+        probe r3: enc+prefill 5.2 ms/page of 9.2 total at 60 tokens)."""
+        base = TrOCRConfig.fast()
+        return TrOCRConfig(
+            encoder=dataclasses.replace(base.encoder, patch_size=(48, 16)),
+            decoder=base.decoder,
         )
 
     @staticmethod

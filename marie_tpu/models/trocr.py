@@ -108,18 +108,22 @@ class TrOCRModel(nn.Module):
         return self.decode_full(tokens, cross)
 
 
-def _init_self_caches(cfg: DecoderConfig, batch: int, dtype=jnp.float32):
+def _init_self_caches(
+    cfg: DecoderConfig, batch: int, dtype=jnp.float32, length: int | None = None
+):
     dh = cfg.hidden_dim // cfg.num_heads
     return [
-        SelfAttention.init_cache(batch, cfg.num_heads, cfg.max_len, dh, dtype)
+        SelfAttention.init_cache(
+            batch, cfg.num_heads, length or cfg.max_len, dh, dtype
+        )
         for _ in range(cfg.num_layers)
     ]
 
 
-@partial(jax.jit, static_argnames=("model", "max_steps"))
+@partial(jax.jit, static_argnames=("model", "max_steps", "unroll"))
 def greedy_decode(model: TrOCRModel, params, images: Array,
                   max_steps: int | None = None, active: Array | None = None,
-                  step_caps: Array | None = None):
+                  step_caps: Array | None = None, unroll: int = 1):
     """Batched greedy decode, one compiled program.
 
     ``max_steps`` (<= decoder.max_len) bounds the decode — word crops have
@@ -148,21 +152,28 @@ def greedy_decode(model: TrOCRModel, params, images: Array,
     c = model.cfg.decoder
     b = images.shape[0]
     n_steps = min(max_steps or c.max_len, c.max_len)
+    # ``unroll`` inner steps per while iteration: amortizes the loop's
+    # per-iteration overhead; finished rows write pads so overshooting by
+    # <unroll steps is output-identical.  Buffers round up to a multiple.
+    n_steps_r = (n_steps + unroll - 1) // unroll * unroll
     enc = model.apply(params, images, method=TrOCRModel.encode)
     cross = model.apply(params, enc, method=TrOCRModel.prefill)
-    caches = _init_self_caches(c, b, enc.dtype)
+    # self caches sized to the actual step budget (not the architectural
+    # max_len) — the cache K/V is re-READ every step, so a 32-slot cache
+    # under a 16-step budget doubles that HBM traffic for nothing
+    caches = _init_self_caches(c, b, enc.dtype, length=n_steps_r)
 
     bos = jnp.full((b,), c.bos_id, jnp.int32)
     done0 = (
         jnp.zeros((b,), bool) if active is None else ~active.astype(bool)
     )
-    toks0 = jnp.full((b, n_steps), c.pad_id, jnp.int32)
+    toks0 = jnp.full((b, n_steps_r), c.pad_id, jnp.int32)
 
     def cond(state):
         pos, _token, _caches, done, _logp, _steps, _toks = state
-        return (pos < n_steps) & ~jnp.all(done)
+        return (pos < n_steps_r) & ~jnp.all(done)
 
-    def body(state):
+    def one_step(state):
         pos, token, caches, done, logp_sum, steps, toks = state
         logits, caches = model.apply(
             params, token, pos, cross, None, caches,
@@ -171,15 +182,24 @@ def greedy_decode(model: TrOCRModel, params, images: Array,
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         step_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
-        nxt = jnp.where(done, c.pad_id, nxt)
-        logp_sum = logp_sum + jnp.where(done, 0.0, step_logp)
-        steps = steps + (~done).astype(jnp.int32)  # counts the EOS step
+        # rounded-up positions past n_steps (n_steps % unroll != 0) are
+        # no-ops — without the gate they'd perturb logp_sum/steps of rows
+        # still active at the boundary
+        skip = done | (pos >= n_steps)
+        nxt = jnp.where(skip, c.pad_id, nxt)
+        logp_sum = logp_sum + jnp.where(skip, 0.0, step_logp)
+        steps = steps + (~skip).astype(jnp.int32)  # counts the EOS step
         out_token = jnp.where(done | (nxt == c.eos_id), c.pad_id, nxt)
         toks = jax.lax.dynamic_update_slice(toks, out_token[:, None], (0, pos))
         done = done | (nxt == c.eos_id)
         if step_caps is not None:
             done = done | (pos + 1 >= step_caps)
         return pos + 1, nxt, caches, done, logp_sum, steps, toks
+
+    def body(state):
+        for _ in range(unroll):
+            state = one_step(state)
+        return state
 
     state = (
         jnp.int32(0), bos, caches, done0,
@@ -188,6 +208,7 @@ def greedy_decode(model: TrOCRModel, params, images: Array,
     _, _, _, done, logp_sum, steps, tokens = jax.lax.while_loop(
         cond, body, state
     )
+    tokens = tokens[:, :n_steps]
     emitted = (tokens != c.pad_id).sum(axis=1)
     conf = jnp.exp(logp_sum / jnp.maximum(steps, 1))
     return tokens, emitted.astype(jnp.int32), conf.astype(jnp.float32)

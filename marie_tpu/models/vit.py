@@ -6,7 +6,7 @@ Capability parity with the reference's DeiT/BEiT encoders
 sequence lengths so XLA tiles patches straight onto the MXU.
 """
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -18,16 +18,18 @@ Array = jnp.ndarray
 
 
 class PatchEmbed(nn.Module):
-    patch_size: int
+    patch_size: int | Tuple[int, int]  # int = square, tuple = (ph, pw)
     hidden_dim: int
 
     @nn.compact
     def __call__(self, images: Array) -> Array:
-        """[B, H, W, C] -> [B, H/p * W/p, D] via a strided conv."""
+        """[B, H, W, C] -> [B, H/ph * W/pw, D] via a strided conv."""
+        p = self.patch_size
+        phw = (p, p) if isinstance(p, int) else tuple(p)
         x = nn.Conv(
             self.hidden_dim,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
+            kernel_size=phw,
+            strides=phw,
             padding="VALID",
             name="proj",
         )(images)
@@ -75,6 +77,7 @@ class ViTEncoder(nn.Module):
         c = self.cfg
         if c.use_cls_token:
             x = x[:, 1:]
-        h = c.image_size[0] // c.patch_size
-        w = c.image_size[1] // c.patch_size
+        ph, pw = c.patch_hw
+        h = c.image_size[0] // ph
+        w = c.image_size[1] // pw
         return x.reshape(x.shape[0], h, w, x.shape[-1])

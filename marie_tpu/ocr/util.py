@@ -11,14 +11,26 @@ def _trocr_processor(beam_size: int = 1):
     from marie_tpu.document.trocr_ocr_processor import TrOcrProcessor
     from marie_tpu.models.configs import TrOCRConfig
 
-    params = None
-    ckpt = _zoo_checkpoint("trocr-fast-synth")
-    if ckpt:
-        from marie_tpu.registry.checkpoints import load_params
+    import os as _os
 
-        params = load_params(ckpt)
+    # preference ladder: full-height-patch fast_v2 (20 enc tokens — 3x
+    # less encoder+cross-KV cost, see ARCHITECTURE "crop+decode anatomy")
+    # > fast.  MARIE_RECOGNIZER pins a specific checkpoint.
+    ladder = [("trocr-fast2-synth", TrOCRConfig.fast_v2),
+              ("trocr-fast-synth", TrOCRConfig.fast)]
+    prefer = _os.environ.get("MARIE_RECOGNIZER")
+    if prefer:
+        ladder = [l for l in ladder if l[0] == prefer] + ladder
+    params, config = None, TrOCRConfig.fast()
+    for name, cfg_fn in ladder:
+        ckpt = _zoo_checkpoint(name)
+        if ckpt:
+            from marie_tpu.registry.checkpoints import load_params
+
+            params, config = load_params(ckpt), cfg_fn()
+            break
     return TrOcrProcessor(
-        config=TrOCRConfig.fast(), params=params, beam_size=beam_size,
+        config=config, params=params, beam_size=beam_size,
         param_dtype="bfloat16",
     )
 

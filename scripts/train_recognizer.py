@@ -16,7 +16,7 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", type=str, default=None)
-    ap.add_argument("--preset", type=str, default="fast", choices=["fast", "tiny"])
+    ap.add_argument("--preset", type=str, default="fast", choices=["fast", "fast2", "tiny"])
     args = ap.parse_args()
 
     from marie_tpu.models.configs import TrOCRConfig
@@ -24,7 +24,8 @@ def main() -> int:
     from marie_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    config = TrOCRConfig.fast() if args.preset == "fast" else TrOCRConfig.tiny()
+    config = {"fast": TrOCRConfig.fast, "fast2": TrOCRConfig.fast_v2,
+              "tiny": TrOCRConfig.tiny}[args.preset]()
     _, _, cer = train_recognizer_device(
         config=config,
         steps=args.steps,

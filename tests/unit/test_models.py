@@ -33,6 +33,39 @@ def test_trocr_teacher_forced_shape(trocr):
     assert logits.shape == (2, 4, model.cfg.decoder.vocab_size)
 
 
+def test_rectangular_patches_and_unroll():
+    """fast_v2-style full-height patches: token count drops to W/pw and
+    greedy decode is bit-identical across while-loop unroll factors."""
+    import dataclasses
+
+    from marie_tpu.models.trocr import TrOCRModel, greedy_decode
+
+    base = TrOCRConfig.tiny()
+    cfg = TrOCRConfig(
+        encoder=dataclasses.replace(
+            base.encoder, image_size=(32, 64), patch_size=(32, 8)
+        ),
+        decoder=base.decoder,
+    )
+    assert cfg.encoder.seq_len == 8  # 64/8 columns, one row
+    model = TrOCRModel(cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (3, 32, 64, 3)) * 0.1
+    params = model.init(jax.random.PRNGKey(0), imgs, jnp.zeros((3, 4), jnp.int32))
+    enc = model.apply(params, imgs, method=TrOCRModel.encode)
+    assert enc.shape == (3, 8, cfg.encoder.hidden_dim)
+    caps = jnp.asarray([3, 7, 5], jnp.int32)
+    ref = greedy_decode(model, params, imgs, 7, step_caps=caps, unroll=1)
+    for u in (2, 3):
+        out = greedy_decode(model, params, imgs, 7, step_caps=caps, unroll=u)
+        assert np.array_equal(np.asarray(ref[0]), np.asarray(out[0]))  # tokens
+        assert np.array_equal(np.asarray(ref[1]), np.asarray(out[1]))  # lengths
+        # confidences: different unrolled programs fuse the logp
+        # accumulation differently — equal to float rounding only
+        np.testing.assert_allclose(
+            np.asarray(ref[2]), np.asarray(out[2]), rtol=1e-5
+        )
+
+
 def test_greedy_matches_incremental_vs_full(trocr):
     """The cached decode-step path must produce the same logits as the
     full-sequence (flash-attention) path — this validates the KV cache."""

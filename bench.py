@@ -405,13 +405,14 @@ def main():
     platform = jax.devices()[0].platform
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    # detector preference ladder: s2d multi-font trunk (stride-4 grid,
-    # full-res stage at /2 — round-3) > half-width fast > base; each
-    # fallback only when the better checkpoint is absent.  Override with
+    # detector preference ladder: s2d-stem + subpixel-head trunk
+    # (stride-2 output off a half-res conv stack, ~4x less fwd FLOPs)
+    # > half-width fast > base; each fallback only when the better
+    # checkpoint is absent.  Override with
     # MARIE_BENCH_DETECTOR=craft-fast-synth etc. for A/B runs.
     prefer = os.environ.get("MARIE_BENCH_DETECTOR")
     ladder = [
-        ("craft-s2-synth", CraftConfig.fast_s2()),
+        ("craft-s2d2-synth", CraftConfig.fast_s2d2()),
         ("craft-fast-synth", CraftConfig.fast()),
         ("craft-synth", CraftConfig.base()),
     ]
@@ -444,7 +445,8 @@ def main():
             param_dtype="bfloat16",
         )
         variant = "base" if craft_cfg.base_channels != 32 else (
-            "s2" if craft_cfg.stem_stride == 2 else "fast"
+            ("s2d2" if craft_cfg.head_d2s else "s2")
+            if craft_cfg.stem_stride == 2 else "fast"
         )
         detector_desc = (
             f"craft-{variant} TRAINED heatmap + on-device CC"

@@ -101,5 +101,16 @@ class CRAFT(nn.Module):
         # head: conv stack to 2-channel heatmap at /2 (CRAFT conv_cls)
         h = ConvBNRelu(c, name="head1")(u, train)
         h = ConvBNRelu(c // 2 or 1, name="head2")(h, train)
-        out = nn.Conv(self.cfg.num_classes, (1, 1), name="head_out")(h)
+        nc = self.cfg.num_classes
+        if self.cfg.head_d2s:
+            # sub-pixel head: 2x2 phase maps, depth-to-space one level
+            # finer (keeps stride-2 box framing over an s2d-stem trunk)
+            out = nn.Conv(nc * 4, (1, 1), name="head_out")(h)
+            b, hh, ww, _ = out.shape
+            out = out.reshape(b, hh, ww, 2, 2, nc)
+            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, 2 * hh, 2 * ww, nc
+            )
+        else:
+            out = nn.Conv(nc, (1, 1), name="head_out")(h)
         return nn.sigmoid(out)

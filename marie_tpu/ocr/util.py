@@ -42,13 +42,13 @@ def _craft_box_processor():
 
     from marie_tpu.models.configs import CraftConfig
 
-    # preference ladder: s2d multi-font trunk (stride-4 grid, round-3:
-    # multi-font targets fixed the serif box framing that cost 12.9%
-    # page CER) > half-width fast > base.  MARIE_DETECTOR pins a specific
-    # checkpoint (A/B evals, ops rollback).
+    # preference ladder: s2d-stem + subpixel-head trunk (stride-2 output
+    # off a half-res conv stack, ~4x less fwd FLOPs) > half-width fast >
+    # base.  MARIE_DETECTOR pins a specific checkpoint (A/B evals, ops
+    # rollback).
     import os as _os
 
-    ladder = [("craft-s2-synth", CraftConfig.fast_s2()),
+    ladder = [("craft-s2d2-synth", CraftConfig.fast_s2d2()),
               ("craft-fast-synth", CraftConfig.fast()),
               ("craft-synth", CraftConfig.base())]
     prefer = _os.environ.get("MARIE_DETECTOR")

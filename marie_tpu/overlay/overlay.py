@@ -98,7 +98,12 @@ class OverlayProcessor(JAMLCompatible):
         config: Optional[Pix2PixConfig] = None,
         variables=None,
         bucket_spec: Optional[BucketSpec] = None,
-        compute_dtype=jnp.float32,
+        # bf16 batch compute: halves the generator's matmul/conv time on
+        # TPU; blended uint8 output measured bit-identical to f32 on the
+        # synthetic eval (the 0.15 mask threshold sits far from bf16's
+        # resolution at the diff magnitudes the GAN produces), and the
+        # quality oracle's overlay CER-delta row gates it on real runs
+        compute_dtype=jnp.bfloat16,
         **kwargs,
     ):
         self.work_dir = work_dir

@@ -57,7 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     # check / export / help
     check = sub.add_parser("check", help="environment + device diagnostics")
     export = sub.add_parser("export", help="export flow configs")
-    export.add_argument("--uses", type=str, required=True)
-    export.add_argument("--kind", type=str, default="graph", choices=["graph", "yaml"])
+    export.add_argument("--uses", type=str, default=None)
+    export.add_argument(
+        "--kind", type=str, default="graph",
+        choices=["graph", "yaml", "kubernetes", "docker-compose", "schema"],
+    )
+    export.add_argument("--namespace", type=str, default="marie")
 
     return parser

@@ -138,11 +138,25 @@ def _check(args) -> int:
 
 
 def _export(args) -> int:
+    if args.kind == "schema":
+        # full YAML JSON-schema, no flow needed (reference marie/schemas)
+        from marie_tpu.schemas import get_full_schema
+
+        print(json.dumps(get_full_schema(), indent=2))
+        return 0
     from marie_tpu.orchestrate.flow import Flow
 
     flow = Flow.load_config(args.uses)
     if args.kind == "graph":
         print(json.dumps(flow.build(), indent=2))
+    elif args.kind == "kubernetes":
+        from marie_tpu.orchestrate.export import to_kubernetes_yaml
+
+        print(to_kubernetes_yaml(flow, namespace=args.namespace))
+    elif args.kind == "docker-compose":
+        from marie_tpu.orchestrate.export import to_docker_compose_yaml
+
+        print(to_docker_compose_yaml(flow))
     else:
         from marie_tpu.jaml import JAML
 

@@ -102,3 +102,32 @@ def test_flow_export_kubernetes_and_compose():
     assert "ocr" in compose["services"]
     assert "gateway" in compose["services"]
     assert compose["services"]["ocr"]["deploy"]["replicas"] == 2
+
+
+def test_full_schema_export():
+    """CLI `export --kind schema` analog of reference marie/schemas."""
+    from marie_tpu.schemas import get_full_schema
+
+    schema = get_full_schema()
+    assert schema["$schema"] == "http://json-schema.org/draft-07/schema#"
+    defs = schema["definitions"]
+    assert set(defs) == {"Marie::Flow", "Marie::Deployment", "Marie::Executor"}
+    flow = defs["Marie::Flow"]
+    assert flow["properties"]["jtype"]["const"] == "Flow"
+    # constructor kwargs are introspected into `with`
+    assert "port" in flow["properties"]["with"]["properties"]
+    # flow-level executors list refs the Deployment definition
+    items = flow["properties"]["executors"]["items"]
+    assert items == {"$ref": "#/definitions/Marie::Deployment"}
+    # the whole thing must be JSON-serializable (CLI prints it)
+    json.dumps(schema)
+
+
+def test_export_parser_kinds():
+    p = build_parser()
+    args = p.parse_args(["export", "--kind", "schema"])
+    assert args.kind == "schema" and args.uses is None
+    args = p.parse_args(
+        ["export", "--uses", "f.yml", "--kind", "kubernetes", "--namespace", "prod"]
+    )
+    assert args.kind == "kubernetes" and args.namespace == "prod"

@@ -20,6 +20,15 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
     """Child-process entrypoint (reference run.py:74 run())."""
     import asyncio
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # honour the parent's platform choice even where a sitecustomize
+        # pre-imports jax with an accelerator plugin before env vars are
+        # consulted (the CPU-test path must never touch the accelerator:
+        # a busy chip turns executor model-load into a startup timeout)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from marie_tpu.serve.runtimes.asyncio_runtime import AsyncNewLoopRuntime
 
     if kwargs.get("auth_keys"):

@@ -103,6 +103,44 @@ def test_boundary_registration_fit_to_page():
     assert abs(box[0] - 30) < 25 and abs(box[1] - 25) < 25
 
 
+def test_boundary_edge_refinement_snaps_to_silhouette():
+    """The mask-extreme-point refinement recovers sub-pixel corners on a
+    high-contrast scan even when the CNN prior is tens of px off (the
+    OOD scale>0.88 regime that made fit_to_page HURT CER in round 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from marie_tpu.components.document_registration.boundary import (
+        refine_quad_corners,
+    )
+    from marie_tpu.models.boundary import composite_scan
+
+    doc = _render_page((192, 256))
+    quad = jnp.asarray(
+        [[18.0, 12.0], [240.0, 20.0], [232.0, 180.0], [10.0, 172.0]]
+    )
+    noise = jax.random.uniform(
+        jax.random.PRNGKey(1), (192, 256), minval=-10, maxval=10
+    )
+    scan = np.asarray(
+        composite_scan(jnp.asarray(doc), quad, (192, 256), 40.0, noise)
+    )
+    true_q = np.asarray(quad)
+    bad_prior = true_q + np.asarray(
+        [[25.0, -18.0], [-30.0, 22.0], [28.0, 15.0], [-20.0, -25.0]]
+    )
+    refined = refine_quad_corners(scan, bad_prior.astype(np.float32))
+    assert np.abs(refined - true_q).max() < 3.0
+    # corners further than max_shift from the prior are left untouched
+    far_prior = true_q + 300.0
+    kept = refine_quad_corners(scan, far_prior.astype(np.float32))
+    np.testing.assert_allclose(kept, far_prior)
+    # degenerate input (no bright region) falls back to the prior
+    dark = np.full((64, 64, 3), 30, np.uint8)
+    p = np.asarray([[5.0, 5.0], [60.0, 5.0], [60.0, 60.0], [5.0, 60.0]])
+    np.testing.assert_allclose(refine_quad_corners(dark, p), p)
+
+
 @pytest.mark.skipif(
     zoo_checkpoint("layout-splitter-synth") is None, reason="splitter ckpt not trained"
 )

@@ -19,6 +19,7 @@ value / 50 (the BASELINE.json target of ≥50 pages/sec/chip on v5e).
 import json
 import logging
 import os
+import subprocess
 import sys
 import time
 
@@ -402,6 +403,36 @@ def main():
     from marie_tpu.ocr.ocr_engine import PipelineOcrEngine
     from marie_tpu.preprocess import BucketSpec
 
+    # Backend init goes through the relay and can HANG (not raise) during
+    # a transient outage; a bench run stuck here records a zero for the
+    # whole round.  Probe the relay in a subprocess with a hard timeout
+    # and wait the outage out (bounded) before initializing in-process.
+    deadline = time.time() + float(os.environ.get("MARIE_BENCH_INIT_WAIT", 900))
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120,
+                check=True,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            break
+        except Exception as ex:  # noqa: BLE001 — hang or init failure
+            if time.time() > deadline:
+                print(
+                    f"backend probe still failing at deadline ({ex!r}); "
+                    "attempting in-process init anyway",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                break
+            print(
+                f"backend probe failed ({ex!r}); retrying in 30 s",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(30)
     platform = jax.devices()[0].platform
 
     repo = os.path.dirname(os.path.abspath(__file__))

@@ -48,6 +48,7 @@ class SyntheticWordDataset:
         seed: int = 0,
         font_sizes: Tuple[int, ...] = (18, 24, 30),
         noise: float = 0.03,
+        rotate_deg: float = 0.0,
     ):
         self.cfg = config
         self.tokenizer = tokenizer or CharTokenizer()
@@ -56,6 +57,10 @@ class SyntheticWordDataset:
         self.max_len = config.decoder.max_len
         self.font_sizes = font_sizes
         self.noise = noise
+        # baseline-tilt augmentation: serving crops off a ±2° rotated page
+        # carry the tilt INSIDE the crop (the detector box stays axis-
+        # aligned) — the round-3 fast2 stack's one OOD regression
+        self.rotate_deg = rotate_deg
         self._fonts = self._load_fonts()
 
     _FONT_FILES = (
@@ -109,6 +114,20 @@ class SyntheticWordDataset:
         x0, y0 = 20, 20
         draw.text((x0, y0), text, fill=(0, 0, 0), font=font)
         bbox = draw.textbbox((x0, y0), text, font=font)
+        if self.rotate_deg > 0:
+            angle = float(self.rng.uniform(-self.rotate_deg, self.rotate_deg))
+            cx, cy = (bbox[0] + bbox[2]) / 2.0, (bbox[1] + bbox[3]) / 2.0
+            canvas = canvas.rotate(
+                angle, resample=Image.BILINEAR, center=(cx, cy),
+                fillcolor=(255, 255, 255),
+            )
+            # re-derive the tight box from ink: the detector boxes a
+            # rotated word by its axis-aligned ink extent
+            arr0 = np.asarray(canvas.convert("L"))
+            ys, xs = np.nonzero(arr0 < 160)
+            if len(ys):
+                bbox = (int(xs.min()), int(ys.min()),
+                        int(xs.max()) + 1, int(ys.max()) + 1)
         # random asymmetric margins like real detector boxes (the ink-grid
         # detector rounds outward by up to ~4px per side)
         ml, mt, mr, mb = (int(self.rng.integers(0, 7)) for _ in range(4))
@@ -180,6 +199,7 @@ def train_recognizer_device(
     learning_rate: float = 3e-4,
     steps_per_dispatch: int = 50,
     noise: float = 0.03,
+    rotate_deg: float = 0.0,
     seed: int = 0,
     checkpoint_path: Optional[str] = None,
     eval_samples: int = 128,
@@ -197,7 +217,9 @@ def train_recognizer_device(
     tokenizer = CharTokenizer()
     assert config.decoder.vocab_size >= tokenizer.vocab_size
     model = TrOCRModel(config)
-    dataset = SyntheticWordDataset(config, tokenizer, seed=seed, noise=0.0)
+    dataset = SyntheticWordDataset(
+        config, tokenizer, seed=seed, noise=0.0, rotate_deg=rotate_deg
+    )
 
     logger.info(f"rendering {dataset_size} synthetic crops...")
     t0 = time.time()
@@ -258,7 +280,10 @@ def train_recognizer_device(
         return params, opt_state, losses.mean()
 
     def render_block(block_seed):
-        ds = SyntheticWordDataset(config, tokenizer, seed=block_seed, noise=0.0)
+        ds = SyntheticWordDataset(
+            config, tokenizer, seed=block_seed, noise=0.0,
+            rotate_deg=rotate_deg,
+        )
         imgs_l, toks_l = [], []
         for start in range(0, dataset_size, 512):
             n = min(512, dataset_size - start)

@@ -17,6 +17,9 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--preset", type=str, default="fast", choices=["fast", "fast2", "tiny"])
+    ap.add_argument("--rotate-deg", type=float, default=0.0,
+                    help="baseline-tilt augmentation range (serving crops "
+                         "off a rotated page carry the tilt)")
     args = ap.parse_args()
 
     from marie_tpu.models.configs import TrOCRConfig
@@ -31,6 +34,7 @@ def main() -> int:
         steps=args.steps,
         batch_size=args.batch_size,
         learning_rate=args.lr,
+        rotate_deg=args.rotate_deg,
         checkpoint_path=args.out,
     )
     print(f"FINAL_CER={cer:.4f}")

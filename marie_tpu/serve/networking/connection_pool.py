@@ -155,6 +155,21 @@ class GrpcConnectionPool:
                     req = resp
                     continue
                 return resp
+            except asyncio.CancelledError:
+                # grpc.aio corner case: a call whose channel dies right
+                # after creation surfaces as CancelledError even though
+                # nobody cancelled US (grpc/aio/_call.py "locally
+                # cancelled").  Re-raise only for genuine external
+                # cancellation; otherwise treat as a failed attempt.
+                cur = asyncio.current_task()
+                if cur is not None and cur.cancelling():
+                    raise
+                last_error = EstablishGrpcConnectionError(
+                    f"rpc locally cancelled for {deployment}@{replica.address}"
+                )
+                await replica.reset()
+                await asyncio.sleep(min(0.05 * (2**attempt), 1.0))
+                continue
             except grpc.aio.AioRpcError as ex:
                 last_error = ex
                 if ex.code() in RETRYABLE_CODES:

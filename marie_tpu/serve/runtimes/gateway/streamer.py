@@ -54,6 +54,18 @@ class GatewayStreamer:
             request, self.connection_pool, self.timeout
         )
 
+    async def _process_guarded(self, request: DataRequest) -> DataRequest:
+        """Per-request error containment: a transport/DAG failure becomes
+        an error-status response instead of aborting the whole stream
+        (reference handle_request semantics — sibling in-flight requests
+        of a bidi stream must not die with it)."""
+        try:
+            return await self.process_single_data(request)
+        except Exception as ex:  # noqa: BLE001 — degrade per-request
+            self.logger.error(f"request failed in DAG stream: {ex!r}")
+            request.add_exception(ex)
+            return request
+
     async def stream(
         self, request_iterator: AsyncIterator[DataRequest]
     ) -> AsyncIterator[DataRequest]:
@@ -67,7 +79,7 @@ class GatewayStreamer:
             nonlocal n_pending
             async for req in request_iterator:
                 n_pending += 1
-                task = asyncio.create_task(self.process_single_data(req))
+                task = asyncio.create_task(self._process_guarded(req))
                 task.add_done_callback(lambda t: queue.put_nowait(t))
             done_feeding.set()
 

@@ -120,3 +120,36 @@ def test_pod_process_death_detected():
         assert not dep.is_ready()
     finally:
         dep.close()
+
+
+def test_stream_degrades_per_request_on_transport_failure():
+    """A dead deployment fails each in-flight request with an error-status
+    response; the bidi stream itself survives (reference RequestStreamer
+    semantics — one request's transport failure must not abort siblings)."""
+    import asyncio
+
+    from marie_tpu.serve.runtimes.gateway.streamer import GatewayStreamer
+    from marie_tpu.types.request import DataRequest
+
+    async def run():
+        streamer = GatewayStreamer(
+            graph_representation={"start-gateway": ["ghost"], "ghost": []},
+            executor_addresses={"ghost": ["127.0.0.1:1"]},  # nothing listens
+            timeout=2.0,
+        )
+
+        async def reqs():
+            for i in range(3):
+                yield DataRequest.from_docs(
+                    DocumentArray([Document(text=str(i))]), endpoint="/"
+                )
+
+        out = []
+        async for resp in streamer.stream(reqs()):
+            out.append(resp)
+        await streamer.close()
+        return out
+
+    responses = asyncio.run(run())
+    assert len(responses) == 3
+    assert all(r.is_error() for r in responses)

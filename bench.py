@@ -559,19 +559,33 @@ def main():
     t_start = time.time()
     pass_times = []
     results = None
+    failed_passes = 0
+    last_pass_error = None
     while True:
         for _ in range(3):
             t0 = time.time()
-            res = engine.extract(pages)
+            try:
+                res = engine.extract(pages)
+            except Exception as ex:  # noqa: BLE001 — relay glitch mid-pass
+                failed_passes += 1
+                last_pass_error = ex
+                print(f"pass failed: {ex!r}", file=sys.stderr, flush=True)
+                time.sleep(10)
+                continue
             el = time.time() - t0
             if results is None or el <= min(pass_times):
                 results = res
             pass_times.append(el)
-        if N_BENCH_PAGES / min(pass_times) >= target_rate:
+        if pass_times and N_BENCH_PAGES / min(pass_times) >= target_rate:
             break
         if time.time() - t_start > pass_budget_s or len(pass_times) >= 15:
             break
         time.sleep(20)  # let the relay window shift before resampling
+    if not pass_times:
+        raise RuntimeError(
+            f"every timed pass failed ({failed_passes}); last: "
+            f"{last_pass_error!r}"
+        )
     dt = min(pass_times)
 
     # quality vs ground truth (detection recall/IoU always; CER meaningful

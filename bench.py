@@ -694,6 +694,7 @@ def main():
             "detection_mean_iou": quality["detection"]["mean_iou"],
             "recognition_cer": quality["recognition"]["cer"],
             "pass_times_s": [round(t, 2) for t in pass_times],
+            "failed_passes": failed_passes,
             "mfu": mfu,
             "speed_of_light_pages_per_sec": sol_pages_per_sec,
             "compile_cache": {

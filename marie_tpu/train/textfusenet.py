@@ -48,14 +48,23 @@ def render_page_tfn(
         "provider service balance statement account number date reference "
         "name address phone code group plan 2024 1500 375.20 11/02/2023"
     ).split()
-    try:
-        fonts = [
-            ImageFont.truetype(
-                "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", s
-            )
-            for s in font_sizes
-        ]
-    except OSError:
+    # multi-font: single-font detector training was the measured cause of
+    # the serif-page CER cliff in the CRAFT path (train/craft.py) — the
+    # same fix applies here
+    font_files = (
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+    )
+    fonts = []
+    for path in font_files:
+        for s in font_sizes:
+            try:
+                fonts.append(ImageFont.truetype(path, s))
+            except OSError:
+                pass
+    if not fonts:
         fonts = [ImageFont.load_default()]
 
     img = Image.new("RGB", (w, h), (255, 255, 255))

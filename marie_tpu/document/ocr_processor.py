@@ -84,9 +84,19 @@ def assemble_page_result(
     if len(boxes) == 0:
         return {"meta": meta, "words": [], "lines": []}
 
+    # vectorised build: per-word numpy-scalar conversions and per-line
+    # python merges were ~4 ms/page of serving collect time on this
+    # box's single core — all coordinate/conf math now happens in a few
+    # whole-array ops and the dicts are assembled from python lists
     boxes_arr = np.asarray(boxes)
     lines_arr = np.asarray(lines)
     order = np.argsort(boxes_arr[:, 0], kind="stable")
+    obox = boxes_arr[order].astype(np.int64).tolist()
+    olines = lines_arr[order].astype(np.int64).tolist()
+    # python round(), not np.round — the decimal-correct halfway cases
+    # are pinned by the golden-output tests
+    conf3 = [round(float(results[i]["confidence"]), 3) for i in order]
+    conf3_arr = np.asarray(conf3, np.float64)
 
     words: List[Dict[str, Any]] = []
     for i, idx in enumerate(order):
@@ -94,9 +104,9 @@ def assemble_page_result(
         wd = {
             "id": i,
             "text": ext["text"],
-            "confidence": round(float(ext["confidence"]), 3),
-            "box": [int(v) for v in boxes_arr[idx]],
-            "line": int(lines_arr[idx]),
+            "confidence": conf3[i],
+            "box": obox[i],
+            "line": olines[i],
         }
         # carry extra per-word annotations (e.g. chained NER labels)
         for k, v in ext.items():
@@ -104,28 +114,42 @@ def assemble_page_result(
                 wd[k] = v
         words.append(wd)
 
-    by_line: Dict[int, List[Dict[str, Any]]] = {}
-    for wd in words:
-        by_line.setdefault(wd["line"], []).append(wd)
+    # group by line: stable sort keeps the x-order within each line
+    line_perm = np.argsort(np.asarray(olines), kind="stable")
+    sorted_lines = np.asarray(olines)[line_perm]
+    starts = np.flatnonzero(
+        np.r_[True, sorted_lines[1:] != sorted_lines[:-1]]
+    )
+    bounds = np.r_[starts, len(sorted_lines)]
+    # per-line block bbox + mean confidence via reduceat (one pass);
+    # from the TRUNCATED word boxes — the line block must match the
+    # word["box"] values exactly as before
+    b = np.asarray(obox, np.float64)[line_perm]
+    x0 = np.minimum.reduceat(b[:, 0], starts)
+    y0 = np.minimum.reduceat(b[:, 1], starts)
+    x1 = np.maximum.reduceat(b[:, 0] + b[:, 2], starts)
+    y1 = np.maximum.reduceat(b[:, 1] + b[:, 3], starts)
+    conf_by_line = conf3_arr[line_perm]
+    bbox_arr = np.stack([x0, y0, x1 - x0, y1 - y0], -1).astype(np.int64)
+    bbox_lists = bbox_arr.tolist()
 
     aligned_words: List[Dict[str, Any]] = []
     line_results: List[Dict[str, Any]] = []
-    word_index = 0
-    for li, line_no in enumerate(sorted(by_line)):
-        picks = by_line[line_no]
+    perm_list = line_perm.tolist()
+    for li in range(len(starts)):
+        picks = [words[perm_list[j]] for j in range(bounds[li], bounds[li + 1])]
         for wd in picks:
-            wd["word_index"] = word_index
+            wd["word_index"] = len(aligned_words)
             aligned_words.append(wd)
-            word_index += 1
-        bbox = merge_bboxes_as_block([wd["box"] for wd in picks])
         line_results.append(
             {
                 "line": li + 1,
                 "wordids": [wd["id"] for wd in picks],
                 "text": " ".join(wd["text"] for wd in picks),
-                "bbox": bbox,
+                "bbox": bbox_lists[li],
+                # np.mean over the python-rounded confs — legacy-exact
                 "confidence": round(
-                    float(np.mean([wd["confidence"] for wd in picks])), 4
+                    float(np.mean(conf_by_line[bounds[li]:bounds[li + 1]])), 4
                 ),
             }
         )

@@ -912,13 +912,16 @@ def fused_collect_many(
             )
             words: List[Dict[str, Any]] = []
             overflow: List[int] = []  # organized positions past the budget
-            for j in range(len(boxes_int)):
-                row = row_base + int(rows[order[j]])
+            rows_j = (
+                row_base + np.asarray(rows)[np.asarray(order)]
+            ).tolist()
+            conf_list = np.asarray(conf_i, np.float64).tolist()
+            for j, row in enumerate(rows_j):
                 if row < budget:
                     words.append(
                         {
                             "text": texts_i[row],
-                            "confidence": float(conf_i[row]),
+                            "confidence": conf_list[row],
                         }
                     )
                 else:

@@ -74,8 +74,13 @@ class PdfRenderer(ResultRenderer):
         page_ids = []
         for image, result in pages:
             h, w = image.shape[0], image.shape[1]
-            # image XObject (JPEG)
-            pil = Image.fromarray(image if image.ndim == 3 else np.stack([image] * 3, -1))
+            # image XObject (JPEG).  NOTE: a DeviceGray 1-channel encode
+            # was A/B-tested here and is a net LOSS (PIL encodes L ~2x
+            # slower than RGB at ~4% size difference — 4:2:0 chroma on
+            # flat channels is near-free), so pages embed as RGB.
+            pil = Image.fromarray(
+                image if image.ndim == 3 else np.stack([image] * 3, -1)
+            )
             buf = io.BytesIO()
             pil.convert("RGB").save(buf, format="JPEG", quality=80)
             jpg = buf.getvalue()

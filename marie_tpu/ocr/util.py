@@ -138,3 +138,39 @@ def get_known_ocr_engines(
                 ],
             )
     return engines
+
+
+def meta_to_text(meta_or_path, text_output_path: str = None) -> str:
+    """OCR result metadata (list of page results, or a path to their
+    JSON) -> plain text via the TextRenderer (reference
+    ``marie/ocr/util.py:44`` ``meta_to_text`` — frames are synthesised
+    from each page's ``meta.imageSize`` so only the JSON is needed)."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    import numpy as _np
+
+    from marie_tpu.renderer import TextRenderer
+
+    if isinstance(meta_or_path, (str, _os.PathLike)):
+        with open(meta_or_path) as f:
+            results = _json.load(f)
+    else:
+        results = meta_or_path
+    if isinstance(results, dict):
+        results = [results]
+
+    frames = [
+        _np.zeros(
+            (r["meta"]["imageSize"]["height"], r["meta"]["imageSize"]["width"], 3),
+            dtype=_np.uint8,
+        )
+        for r in results
+    ]
+    if text_output_path is None:
+        fd, text_output_path = _tempfile.mkstemp(suffix=".txt")
+        _os.close(fd)
+    TextRenderer().render(frames, results, output_filename=text_output_path)
+    with open(text_output_path) as f:
+        return f.read()

@@ -104,3 +104,36 @@ def test_xyxy_converted(tmp_path):
     blob = tree.getroot().findall("blob")[0]
     assert blob.get("w") == "60"
     assert res["meta"]["format"] == "xywh"
+
+
+def test_meta_to_text_from_json(tmp_path):
+    """meta_to_text renders saved result JSON without frames (reference
+    marie/ocr/util.py:44 — frames synthesised from meta.imageSize)."""
+    import json
+
+    from marie_tpu.ocr.util import meta_to_text
+
+    res = [
+        {
+            "meta": {"imageSize": {"width": 300, "height": 80}},
+            "words": [
+                {"id": 0, "text": "net", "confidence": 0.9,
+                 "box": [5, 5, 40, 14], "line": 1, "word_index": 0},
+                {"id": 1, "text": "30", "confidence": 0.9,
+                 "box": [60, 5, 30, 14], "line": 1, "word_index": 1},
+            ],
+            "lines": [
+                {"line": 1, "wordids": [0, 1], "text": "net 30",
+                 "bbox": [5, 5, 85, 14], "confidence": 0.9}
+            ],
+        }
+    ]
+    # dict form
+    txt = meta_to_text(res)
+    assert "net" in txt and "30" in txt
+    # path form + explicit output file
+    src = tmp_path / "r.json"
+    src.write_text(json.dumps(res))
+    out = tmp_path / "r.txt"
+    txt2 = meta_to_text(str(src), text_output_path=str(out))
+    assert out.read_text() == txt2 and "net" in txt2

@@ -3,13 +3,17 @@
 ground-truth pages on the TPU and print a quality table with
 IN-DISTRIBUTION and OUT-OF-DISTRIBUTION columns (VERDICT r1 #7).
 
-Distributions:
-  in_dist      — DejaVu Sans, clean (the training font)
-  ood_serif    — DejaVu Serif (held-out font)
-  ood_mono     — DejaVu Sans Mono (held-out font)
-  ood_noise    — training font + gaussian noise
-  ood_jpeg     — training font + JPEG q=35 compression
-  ood_rotate   — training font + ±2° rotation
+Distributions (training covers the four DejaVu families Sans /
+Sans-Bold / Serif / Mono since the round-3 multi-font retrain, so the
+serif/mono rows are TRAINED-font rows now; serif_bold is the genuinely
+held-out face — never rendered in any trainer):
+  in_dist        — DejaVu Sans, clean (trained font)
+  dist_serif     — DejaVu Serif (trained font since round 3)
+  dist_mono      — DejaVu Sans Mono (trained font since round 3)
+  ood_serif_bold — DejaVu Serif Bold (HELD-OUT font)
+  ood_noise      — trained font + gaussian noise
+  ood_jpeg       — trained font + JPEG q=35 compression
+  ood_rotate     — trained font + ±2° rotation
 
 Decoders: greedy (default engine), beam-5, voting ensemble ('best').
 
@@ -31,6 +35,8 @@ FONTS = {
     "sans": "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
     "serif": "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
     "mono": "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+    # never appears in any training renderer — the held-out face
+    "serif_bold": "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
 }
 WORDS = (
     "invoice total amount 2024 payment due net terms claim policy member "
@@ -104,8 +110,9 @@ def make_pages(n, seed=0, font="sans", perturb=None):
 
 DISTRIBUTIONS = {
     "in_dist": dict(font="sans", perturb=None),
-    "ood_serif": dict(font="serif", perturb=None),
-    "ood_mono": dict(font="mono", perturb=None),
+    "dist_serif": dict(font="serif", perturb=None),
+    "dist_mono": dict(font="mono", perturb=None),
+    "ood_serif_bold": dict(font="serif_bold", perturb=None),
     "ood_noise": dict(font="sans", perturb="noise"),
     "ood_jpeg": dict(font="sans", perturb="jpeg"),
     "ood_rotate": dict(font="sans", perturb="rotate"),

@@ -43,6 +43,15 @@ class WorkInfo(BaseModel):
     started_on: Optional[float] = None
     completed_on: Optional[float] = None
     policy: str = ExistingWorkPolicy.ALLOW_DUPLICATE
+    # terminal-failure routing: re-enqueue the payload on this queue when
+    # the retry budget is exhausted or the job expires (pg-boss
+    # dead_letter — reference marie/scheduler/fixtures.py:56,89)
+    dead_letter: Optional[str] = None
+    # retention: terminal jobs stay queryable until this unix ts before
+    # the archiver moves them (pg-boss keep_until — fixtures.py:103)
+    keep_until: float = 0.0
+    # handler result / terminal error payload (pg-boss output column)
+    output: Optional[Any] = None
 
     def to_row(self) -> Dict[str, Any]:
         d = self.model_dump()

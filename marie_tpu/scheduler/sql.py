@@ -7,7 +7,9 @@ atomic fetch-next (the ``FOR UPDATE SKIP LOCKED`` plan of
 ``plans.py:188`` becomes an atomic conditional UPDATE — same contract:
 no two pollers get the same job), retry with backoff, adaptive poll
 interval (1.25s → 16s, ``psql.py:39-40``), monitor/sync maintenance
-loops, archive.
+loops, archive, plus the pg-boss job-table extras the reference schema
+carries (``fixtures.py:56,89,103``): ``dead_letter`` terminal-failure
+routing, ``keep_until`` retention, and a persisted ``output`` payload.
 
 Backend is sqlite3 (WAL) because psycopg2 is absent in this
 environment; every statement is standard SQL and the class takes a
@@ -45,7 +47,10 @@ CREATE TABLE IF NOT EXISTS job (
   data TEXT,
   created_on REAL,
   started_on REAL,
-  completed_on REAL
+  completed_on REAL,
+  dead_letter TEXT,
+  keep_until REAL DEFAULT 0,
+  output TEXT
 );
 CREATE INDEX IF NOT EXISTS job_fetch_idx ON job (name, state, priority DESC, created_on);
 CREATE TABLE IF NOT EXISTS job_history (
@@ -121,7 +126,8 @@ class SqlJobScheduler(JobScheduler):
         conn.execute(
             "INSERT INTO job (id,name,priority,state,retry_limit,retry_count,"
             "retry_delay,retry_backoff,start_after,expire_in_seconds,data,"
-            "created_on) VALUES (?,?,?,?,?,?,?,?,?,?,?,?)",
+            "created_on,dead_letter,keep_until) "
+            "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?)",
             (
                 work_info.id,
                 work_info.name,
@@ -135,6 +141,8 @@ class SqlJobScheduler(JobScheduler):
                 work_info.expire_in_seconds,
                 json.dumps(work_info.data),
                 work_info.created_on,
+                work_info.dead_letter,
+                work_info.keep_until,
             ),
         )
         self._history(conn, work_info.id, WorkState.CREATED.value)
@@ -188,20 +196,30 @@ class SqlJobScheduler(JobScheduler):
             created_on=row["created_on"],
             started_on=started_on or row["started_on"],
             completed_on=row["completed_on"],
+            dead_letter=row["dead_letter"],
+            keep_until=row["keep_until"] or 0.0,
+            output=json.loads(row["output"]) if row["output"] else None,
         )
 
     # ------------------------------------------------------------------
-    def complete_job(self, job_id: str) -> None:
+    def complete_job(self, job_id: str, output: Any = None) -> None:
         conn = self._conn()
         with conn:
             conn.execute(
-                "UPDATE job SET state='completed', completed_on=? WHERE id=?",
-                (time.time(), job_id),
+                "UPDATE job SET state='completed', completed_on=?, output=? "
+                "WHERE id=?",
+                (
+                    time.time(),
+                    json.dumps(output) if output is not None else None,
+                    job_id,
+                ),
             )
             self._history(conn, job_id, WorkState.COMPLETED.value)
 
     def fail_job(self, job_id: str, error: str = "") -> None:
-        """Fail → retry when budget remains, else terminal failed."""
+        """Fail → retry when budget remains, else terminal failed (the
+        payload re-enqueues on the job's dead-letter queue when one is
+        configured — pg-boss semantics, reference fixtures.py:56)."""
         conn = self._conn()
         with conn:
             row = conn.execute(
@@ -223,10 +241,50 @@ class SqlJobScheduler(JobScheduler):
                 self._history(conn, job_id, WorkState.RETRY.value, error)
             else:
                 conn.execute(
-                    "UPDATE job SET state='failed', completed_on=? WHERE id=?",
-                    (time.time(), job_id),
+                    "UPDATE job SET state='failed', completed_on=?, output=? "
+                    "WHERE id=?",
+                    (time.time(), json.dumps({"error": error}), job_id),
                 )
                 self._history(conn, job_id, WorkState.FAILED.value, error)
+                self._dead_letter(conn, job_id, error)
+
+    def _dead_letter(self, conn, job_id: str, error: str) -> None:
+        """Re-enqueue a terminal job's payload on its dead-letter queue
+        with a fresh id and retry budget."""
+        import uuid
+
+        row = conn.execute(
+            "SELECT * FROM job WHERE id=?", (job_id,)
+        ).fetchone()
+        if row is None or not row["dead_letter"]:
+            return
+        dlq_id = uuid.uuid4().hex
+        conn.execute(
+            "INSERT INTO job (id,name,priority,state,retry_limit,retry_count,"
+            "retry_delay,retry_backoff,start_after,expire_in_seconds,data,"
+            "created_on,dead_letter,keep_until) "
+            "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,NULL,?)",
+            (
+                dlq_id,
+                row["dead_letter"],
+                row["priority"],
+                WorkState.CREATED.value,
+                row["retry_limit"],
+                0,
+                row["retry_delay"],
+                row["retry_backoff"],
+                0,
+                row["expire_in_seconds"],
+                row["data"],
+                time.time(),
+                row["keep_until"],
+            ),
+        )
+        self._history(
+            conn, dlq_id, WorkState.CREATED.value,
+            f"dead-lettered from {job_id}: {error}",
+        )
+        self._poll_interval = POLL_MIN
 
     async def cancel_job(self, job_id: str) -> bool:
         conn = self._conn()
@@ -309,7 +367,10 @@ class SqlJobScheduler(JobScheduler):
                 return
             ok = await self.job_handler(work)
             if ok:
-                self.complete_job(work.id)
+                # non-boolean truthy results persist as the job's output
+                self.complete_job(
+                    work.id, output=None if ok is True else ok
+                )
             else:
                 self.fail_job(work.id, "handler returned falsy")
         except Exception as ex:  # noqa: BLE001
@@ -335,12 +396,14 @@ class SqlJobScheduler(JobScheduler):
                             (now, r["id"]),
                         )
                         self._history(conn, r["id"], WorkState.EXPIRED.value)
-                    # archive terminal jobs older than an hour
+                        self._dead_letter(conn, r["id"], "expired")
+                    # archive terminal jobs older than an hour, once past
+                    # their keep_until retention mark (pg-boss keep_until)
                     old = conn.execute(
                         "SELECT * FROM job WHERE state IN "
                         "('completed','failed','cancelled','expired') "
-                        "AND completed_on < ?",
-                        (now - 3600,),
+                        "AND completed_on < ? AND keep_until < ?",
+                        (now - 3600, now),
                     ).fetchall()
                     for r in old:
                         conn.execute(

@@ -154,3 +154,95 @@ async def test_concurrent_fetch_no_double_claim(sched):
         t.join(timeout=30)
     assert len(claims) == n_jobs, f"claimed {len(claims)}/{n_jobs}"
     assert len(set(claims)) == n_jobs, "a job was double-claimed"
+
+
+async def test_dead_letter_on_terminal_failure(sched):
+    """Exhausted retry budget re-enqueues the payload on the DLQ with a
+    fresh id/budget (pg-boss dead_letter — reference fixtures.py:56)."""
+    job_id = await sched.submit_job(
+        WorkInfo(
+            name="q", data={"k": "v"}, retry_limit=0, dead_letter="q-dlq"
+        )
+    )
+    sched.fetch_next("q")
+    sched.fail_job(job_id, "boom")
+    assert (await sched.get_job(job_id)).state == WorkState.FAILED
+    dlq = sched.fetch_next("q-dlq")
+    assert dlq is not None
+    assert dlq.id != job_id
+    assert dlq.data == {"k": "v"}
+    assert dlq.retry_count == 0
+    # the dead-letter copy must NOT chain to another DLQ (no loops)
+    assert dlq.dead_letter is None
+    detail = sched.job_history(dlq.id)[0]["detail"]
+    assert job_id in detail and "boom" in detail
+
+
+async def test_dead_letter_on_expiry(sched):
+    """Expired active jobs dead-letter too (monitor-loop path)."""
+    job_id = await sched.submit_job(
+        WorkInfo(name="q", expire_in_seconds=0.01, dead_letter="q-dlq")
+    )
+    sched.fetch_next("q")
+    await asyncio.sleep(0.05)
+    # run one monitor sweep inline
+    conn = sched._conn()
+    now = time.time()
+    with conn:
+        rows = conn.execute(
+            "SELECT id FROM job WHERE state='active' AND "
+            "expire_in_seconds>0 AND started_on+expire_in_seconds<?",
+            (now,),
+        ).fetchall()
+        for r in rows:
+            conn.execute(
+                "UPDATE job SET state='expired', completed_on=? WHERE id=?",
+                (now, r["id"]),
+            )
+            sched._dead_letter(conn, r["id"], "expired")
+    assert (await sched.get_job(job_id)).state == WorkState.EXPIRED
+    assert sched.fetch_next("q-dlq") is not None
+
+
+async def test_output_persisted(sched):
+    """Handler results and terminal errors persist in the output column
+    (pg-boss output — reference fixtures.py:88)."""
+    job_id = await sched.submit_job(WorkInfo(name="q"))
+    sched.fetch_next("q")
+    sched.complete_job(job_id, output={"pages": 3})
+    assert (await sched.get_job(job_id)).output == {"pages": 3}
+
+    fail_id = await sched.submit_job(WorkInfo(name="q", retry_limit=0))
+    sched.fetch_next("q")
+    sched.fail_job(fail_id, "exploded")
+    assert (await sched.get_job(fail_id)).output == {"error": "exploded"}
+
+
+async def test_keep_until_blocks_archive(sched):
+    """Terminal jobs stay queryable until keep_until passes, even once
+    older than the archive age threshold."""
+    keep_id = await sched.submit_job(
+        WorkInfo(name="q", keep_until=time.time() + 3600)
+    )
+    gone_id = await sched.submit_job(WorkInfo(name="q"))
+    for _ in range(2):
+        got = sched.fetch_next("q")
+        sched.complete_job(got.id)
+    conn = sched._conn()
+    with conn:  # backdate both past the 1h archive threshold
+        conn.execute("UPDATE job SET completed_on=?", (time.time() - 7200,))
+        now = time.time()
+        old = conn.execute(
+            "SELECT * FROM job WHERE state IN "
+            "('completed','failed','cancelled','expired') "
+            "AND completed_on < ? AND keep_until < ?",
+            (now - 3600, now),
+        ).fetchall()
+        for r in old:
+            conn.execute(
+                "INSERT OR REPLACE INTO archive VALUES (?,?,?,?,?)",
+                (r["id"], r["name"], r["state"], r["data"], now),
+            )
+            conn.execute("DELETE FROM job WHERE id=?", (r["id"],))
+    assert await sched.get_job(keep_id) is not None
+    assert await sched.get_job(gone_id) is None

@@ -160,7 +160,18 @@ def main() -> int:
         "CER-delta, boundary incl. OCR recovery, splitter, template "
         "matching) — reproduces every quality claim in ARCHITECTURE.md",
     )
+    ap.add_argument(
+        "--only", default="",
+        help="comma list restricting what runs (engines,textfusenet,dit,"
+        "overlay,boundary,splitter,template_matching) — used by the "
+        "checkpoint promotion gate (scripts/promote_checkpoint.py) to "
+        "re-measure one model cheaply",
+    )
     args = ap.parse_args()
+    only = set(filter(None, args.only.split(",")))
+
+    def _wanted(section: str, default: bool) -> bool:
+        return section in only if only else default
 
     from marie_tpu.utils.jax_cache import enable_persistent_cache
 
@@ -188,7 +199,7 @@ def main() -> int:
         )
     print(f"stack: {stack}", file=sys.stderr, flush=True)
     table = {}
-    for dist in filter(None, args.dists.split(",")):
+    for dist in filter(None, args.dists.split(",")) if _wanted("engines", True) else ():
         spec = DISTRIBUTIONS[dist]
         pages, truths = make_pages(args.pages, seed=args.seed, **spec)
         golden = [
@@ -213,8 +224,10 @@ def main() -> int:
             print(f"{dist}/{name}: {table[f'{dist}/{name}']}", file=sys.stderr, flush=True)
 
     # detector-only quality for the alternative trained detectors
-    detector_evals = [("textfusenet", _eval_textfusenet)]
-    if args.all_models:
+    detector_evals = []
+    if _wanted("textfusenet", True):
+        detector_evals.append(("textfusenet", _eval_textfusenet))
+    if _wanted("dit", args.all_models):
         detector_evals.append(("dit", _eval_dit))
     for det_name, evaluator in detector_evals:
         try:
@@ -225,14 +238,19 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — optional checkpoint
             print(f"detector/{det_name} skipped: {ex!r}", file=sys.stderr)
 
-    if args.all_models:
-        greedy = engines.get("greedy")
+    greedy = engines.get("greedy")
+    model_evals = [
+        (name, evaluator)
         for name, evaluator in (
             ("overlay", lambda: _eval_overlay(args.pages, args.seed, greedy)),
             ("boundary", lambda: _eval_boundary(args.pages, args.seed, greedy)),
             ("splitter", lambda: _eval_splitter(args.seed)),
             ("template_matching", lambda: _eval_template_matching(args.seed)),
-        ):
+        )
+        if _wanted(name, args.all_models)
+    ]
+    if model_evals:
+        for name, evaluator in model_evals:
             try:
                 row = evaluator()
                 if row:

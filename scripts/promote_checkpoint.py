@@ -1,0 +1,220 @@
+"""Checkpoint promotion gate — eval a staged retrain against the live
+zoo checkpoint and promote it only if the quality oracle improves.
+
+This is the tpu-native analog of the reference's model-registry
+versioning flow (``/root/reference/marie/registry/model_registry.py`` —
+checkpoints move through named zoo slots, never silently replaced):
+a trainer writes to a ``*-stage`` directory, and this gate swaps it into
+the serving slot only after re-measuring quality on the same held-out
+oracle that produced the numbers in ARCHITECTURE.md.
+
+    python scripts/promote_checkpoint.py --kind recognizer \
+        --stage model_zoo/trocr-fast2r-stage --target trocr-fast2-synth
+
+Protocol (safe under unattended operation — every failure path restores
+the original checkpoint):
+  1. eval CURRENT  (oracle subprocess, --only <section>)
+  2. swap: target -> <target>-demoted, stage -> target
+  3. eval CANDIDATE
+  4. promote (keep swap, demoted -> <target>-prev) iff the kind's score
+     improves and no guardrail regresses; else swap back and park the
+     stage dir as <stage>-rejected.
+
+Exit codes: 0 promoted, 3 rejected (rolled back), 4 eval failure
+(rolled back), 2 usage error.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ZOO = os.path.join(REPO, "model_zoo")
+ORACLE = os.path.join(REPO, "scripts", "check_quality.py")
+
+# per-kind: which oracle section re-measures it, and how to score a run
+KINDS = {
+    "recognizer": {"only": "engines", "decoders": "greedy"},
+    "detector": {"only": "engines", "decoders": "greedy"},
+    "boundary": {"only": "boundary", "decoders": "greedy"},
+    "textfusenet": {"only": "textfusenet", "decoders": "greedy"},
+}
+
+
+def run_oracle(kind: str, pages: int, seed: int, timeout_s: int):
+    spec = KINDS[kind]
+    cmd = [
+        sys.executable, ORACLE,
+        "--pages", str(pages), "--seed", str(seed),
+        "--decoders", spec["decoders"], "--only", spec["only"],
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"oracle rc={proc.returncode}: {proc.stderr[-2000:]}"
+        )
+    # the JSON table is the last stdout block (stderr carries progress)
+    payload = json.loads(proc.stdout[proc.stdout.index("{"):])
+    return payload["quality"]
+
+
+def score(kind: str, table: dict):
+    """Scalar fitness + guardrail values; higher score = better."""
+    if kind in ("recognizer", "detector"):
+        rows = {
+            k.split("/")[0]: v["cer"]
+            for k, v in table.items()
+            if k.endswith("/greedy")
+        }
+        if not rows:
+            raise RuntimeError("no engine rows in oracle output")
+        mean_cer = sum(rows.values()) / len(rows)
+        if kind == "detector":
+            recalls = [
+                v["detection_recall"]
+                for k, v in table.items()
+                if k.endswith("/greedy")
+            ]
+            ious = [
+                v["detection_iou"]
+                for k, v in table.items()
+                if k.endswith("/greedy")
+            ]
+            return (
+                -mean_cer
+                + 0.2 * sum(recalls) / len(recalls)
+                + 0.05 * sum(ious) / len(ious),
+                rows,
+            )
+        return -mean_cer, rows
+    if kind == "boundary":
+        row = table.get("model/boundary")
+        if not row:
+            raise RuntimeError("no model/boundary row in oracle output")
+        s = row.get("mean_quad_iou", 0.0) - row.get("corner_mae_px", 0.0) / 200.0
+        if "cer_after_fit_to_page" in row:
+            s -= 5.0 * row["cer_after_fit_to_page"]
+        return s, row
+    if kind == "textfusenet":
+        row = table.get("detector/textfusenet")
+        if not row:
+            raise RuntimeError("no detector/textfusenet row in oracle output")
+        return (
+            row["detection_recall"]
+            + 0.5 * row["detection_precision"]
+            + 0.5 * row["detection_iou"],
+            row,
+        )
+    raise ValueError(kind)
+
+
+def guard_ok(kind: str, cur_detail, cand_detail, max_regress: float):
+    """No single oracle row may regress beyond max_regress."""
+    if kind in ("recognizer", "detector"):
+        return all(
+            cand_detail.get(d, 1.0) <= cer + max_regress
+            for d, cer in cur_detail.items()
+        ), {
+            d: round(cand_detail.get(d, 1.0) - cer, 4)
+            for d, cer in cur_detail.items()
+            if cand_detail.get(d, 1.0) > cer + max_regress
+        }
+    return True, {}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kind", required=True, choices=sorted(KINDS))
+    ap.add_argument("--stage", required=True, help="staged checkpoint dir")
+    ap.add_argument("--target", required=True, help="zoo slot name")
+    ap.add_argument("--pages", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--min-gain", type=float, default=1e-4)
+    ap.add_argument(
+        "--max-regress", type=float, default=0.005,
+        help="max per-distribution CER regression tolerated",
+    )
+    ap.add_argument("--eval-timeout", type=int, default=2400)
+    args = ap.parse_args()
+
+    stage = os.path.abspath(args.stage)
+    target = os.path.join(ZOO, args.target)
+    demoted = target + "-demoted"
+    if not os.path.isdir(stage):
+        print(f"stage dir missing: {stage}", file=sys.stderr)
+        return 2
+    if not os.path.isdir(target):
+        # empty slot: adopt the stage checkpoint outright
+        shutil.move(stage, target)
+        print(json.dumps({"decision": "adopted-empty-slot", "target": target}))
+        return 0
+    if os.path.exists(demoted):
+        print(f"stale demoted dir exists: {demoted}", file=sys.stderr)
+        return 2
+
+    cur_score, cur_detail = None, None
+    try:
+        cur, cand = None, None
+        cur = run_oracle(args.kind, args.pages, args.seed, args.eval_timeout)
+        cur_score, cur_detail = score(args.kind, cur)
+        print(
+            f"current  score={cur_score:.5f} {cur_detail}",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as ex:  # noqa: BLE001
+        print(f"current-eval failed, nothing touched: {ex}", file=sys.stderr)
+        return 4
+
+    # swap in the candidate
+    shutil.move(target, demoted)
+    shutil.move(stage, target)
+    try:
+        cand = run_oracle(args.kind, args.pages, args.seed, args.eval_timeout)
+        cand_score, cand_detail = score(args.kind, cand)
+        print(
+            f"candidate score={cand_score:.5f} {cand_detail}",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as ex:  # noqa: BLE001
+        shutil.move(target, stage)
+        shutil.move(demoted, target)
+        print(f"candidate-eval failed, rolled back: {ex}", file=sys.stderr)
+        return 4
+
+    ok, regressions = guard_ok(
+        args.kind, cur_detail, cand_detail, args.max_regress
+    )
+    verdict = {
+        "kind": args.kind,
+        "target": args.target,
+        "current_score": round(cur_score, 5),
+        "candidate_score": round(cand_score, 5),
+        "current": cur_detail,
+        "candidate": cand_detail,
+    }
+    if cand_score > cur_score + args.min_gain and ok:
+        prev = target + "-prev"
+        if os.path.exists(prev):
+            shutil.rmtree(prev)
+        shutil.move(demoted, prev)
+        verdict["decision"] = "promoted"
+        print(json.dumps(verdict, indent=1))
+        return 0
+    rejected = stage + "-rejected"
+    if os.path.exists(rejected):
+        shutil.rmtree(rejected)
+    shutil.move(target, rejected)
+    shutil.move(demoted, target)
+    verdict["decision"] = "rejected"
+    verdict["regressions"] = regressions
+    print(json.dumps(verdict, indent=1))
+    return 3
+
+
+if __name__ == "__main__":
+    sys.exit(main())

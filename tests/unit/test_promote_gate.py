@@ -1,0 +1,158 @@
+"""Decision logic of the checkpoint promotion gate
+(scripts/promote_checkpoint.py) — scoring and guardrails are pure
+functions; the swap/rollback protocol is exercised with stub oracles."""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location(
+        "promote_checkpoint",
+        os.path.join(REPO, "scripts", "promote_checkpoint.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def gate():
+    return _load()
+
+
+def test_recognizer_score_is_negative_mean_cer(gate):
+    table = {
+        "in_dist/greedy": {"cer": 0.0, "detection_recall": 1, "detection_iou": 0.8},
+        "ood_rotate/greedy": {"cer": 0.02, "detection_recall": 1, "detection_iou": 0.8},
+        "ood_rotate/beam5": {"cer": 0.5, "detection_recall": 1, "detection_iou": 0.8},
+    }
+    s, detail = gate.score("recognizer", table)
+    assert s == pytest.approx(-0.01)
+    assert detail == {"in_dist": 0.0, "ood_rotate": 0.02}  # greedy rows only
+
+
+def test_guard_rejects_per_dist_regression(gate):
+    cur = {"in_dist": 0.0, "ood_rotate": 0.02}
+    cand = {"in_dist": 0.011, "ood_rotate": 0.0}  # mean improves, in_dist regresses
+    ok, regress = gate.guard_ok("recognizer", cur, cand, max_regress=0.005)
+    assert not ok
+    assert "in_dist" in regress
+    ok2, _ = gate.guard_ok("recognizer", cur, cand, max_regress=0.02)
+    assert ok2
+
+
+def test_boundary_score_prefers_iou_and_recovery(gate):
+    better = {"model/boundary": {
+        "mean_quad_iou": 0.95, "corner_mae_px": 1.0, "cer_after_fit_to_page": 0.01,
+    }}
+    worse = {"model/boundary": {
+        "mean_quad_iou": 0.93, "corner_mae_px": 4.0, "cer_after_fit_to_page": 0.05,
+    }}
+    sb, _ = gate.score("boundary", better)
+    sw, _ = gate.score("boundary", worse)
+    assert sb > sw
+
+
+def test_textfusenet_score(gate):
+    row = {"detector/textfusenet": {
+        "detection_recall": 0.9, "detection_precision": 0.8, "detection_iou": 0.8,
+    }}
+    s, _ = gate.score("textfusenet", row)
+    assert s == pytest.approx(0.9 + 0.4 + 0.4)
+
+
+def test_swap_protocol_rolls_back_on_reject(gate, tmp_path, monkeypatch):
+    """End-to-end gate run with a stubbed oracle: the candidate is worse,
+    so the original checkpoint must be restored and the stage parked."""
+    zoo = tmp_path / "model_zoo"
+    zoo.mkdir()
+    (zoo / "m-synth").mkdir()
+    (zoo / "m-synth" / "w").write_text("CURRENT")
+    stage = zoo / "m-stage"
+    stage.mkdir()
+    (stage / "w").write_text("CANDIDATE")
+
+    monkeypatch.setattr(gate, "ZOO", str(zoo))
+    calls = []
+
+    def fake_oracle(kind, pages, seed, timeout_s):
+        live = (zoo / "m-synth" / "w").read_text()
+        calls.append(live)
+        cer = 0.0 if live == "CURRENT" else 0.5
+        return {"in_dist/greedy": {"cer": cer}}
+
+    monkeypatch.setattr(gate, "run_oracle", fake_oracle)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["promote_checkpoint.py", "--kind", "recognizer",
+         "--stage", str(stage), "--target", "m-synth"],
+    )
+    rc = gate.main()
+    assert rc == 3  # rejected
+    assert calls == ["CURRENT", "CANDIDATE"]  # swap really happened
+    assert (zoo / "m-synth" / "w").read_text() == "CURRENT"  # rolled back
+    assert (tmp_path / "model_zoo" / "m-stage-rejected" / "w").read_text() == "CANDIDATE"
+    assert not (zoo / "m-synth-demoted").exists()
+
+
+def test_swap_protocol_promotes_on_improvement(gate, tmp_path, monkeypatch):
+    zoo = tmp_path / "model_zoo"
+    zoo.mkdir()
+    (zoo / "m-synth").mkdir()
+    (zoo / "m-synth" / "w").write_text("CURRENT")
+    stage = zoo / "m-stage"
+    stage.mkdir()
+    (stage / "w").write_text("CANDIDATE")
+
+    monkeypatch.setattr(gate, "ZOO", str(zoo))
+
+    def fake_oracle(kind, pages, seed, timeout_s):
+        live = (zoo / "m-synth" / "w").read_text()
+        return {"in_dist/greedy": {"cer": 0.3 if live == "CURRENT" else 0.0}}
+
+    monkeypatch.setattr(gate, "run_oracle", fake_oracle)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["promote_checkpoint.py", "--kind", "recognizer",
+         "--stage", str(stage), "--target", "m-synth"],
+    )
+    rc = gate.main()
+    assert rc == 0
+    assert (zoo / "m-synth" / "w").read_text() == "CANDIDATE"
+    assert (zoo / "m-synth-prev" / "w").read_text() == "CURRENT"
+
+
+def test_candidate_eval_failure_rolls_back(gate, tmp_path, monkeypatch):
+    zoo = tmp_path / "model_zoo"
+    zoo.mkdir()
+    (zoo / "m-synth").mkdir()
+    (zoo / "m-synth" / "w").write_text("CURRENT")
+    stage = zoo / "m-stage"
+    stage.mkdir()
+    (stage / "w").write_text("CANDIDATE")
+
+    monkeypatch.setattr(gate, "ZOO", str(zoo))
+    state = {"n": 0}
+
+    def fake_oracle(kind, pages, seed, timeout_s):
+        state["n"] += 1
+        if state["n"] == 2:
+            raise RuntimeError("relay glitch")
+        return {"in_dist/greedy": {"cer": 0.1}}
+
+    monkeypatch.setattr(gate, "run_oracle", fake_oracle)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["promote_checkpoint.py", "--kind", "recognizer",
+         "--stage", str(stage), "--target", "m-synth"],
+    )
+    rc = gate.main()
+    assert rc == 4
+    assert (zoo / "m-synth" / "w").read_text() == "CURRENT"
+    assert (stage / "w").read_text() == "CANDIDATE"  # stage restored in place

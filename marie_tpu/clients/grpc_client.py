@@ -190,6 +190,36 @@ class GRPCClient:
             async for resp in call:
                 yield resp
 
+    async def astream_doc(
+        self,
+        on: str,
+        doc: Document,
+        parameters: Optional[Dict[str, Any]] = None,
+        timeout: Optional[float] = None,
+    ):
+        """One document in → a stream of documents out, yielded as the
+        server produces them (``JinaSingleDocumentRequestRPC/stream_doc``
+        — generator executor endpoints; reference client stream_doc,
+        marie/clients/base/grpc.py)."""
+        import json as _json
+
+        from marie_tpu.proto import marie_pb2
+
+        sreq = marie_pb2.SingleDocumentRequestProto()
+        sreq.header.exec_endpoint = on
+        sreq.parameters = _json.dumps(parameters or {}).encode()
+        sreq.document = doc.to_json().encode()
+        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+            stub = ch.unary_stream(
+                "/jina.JinaSingleDocumentRequestRPC/stream_doc",
+                request_serializer=lambda m: m.SerializeToString(),
+                response_deserializer=(
+                    marie_pb2.SingleDocumentRequestProto.FromString
+                ),
+            )
+            async for resp in stub(sreq, timeout=timeout, metadata=self._metadata):
+                yield Document.from_json(resp.document.decode())
+
     async def aprofiling(self, timeout: Optional[float] = None) -> Dict[str, Any]:
         """Round-trip latency breakdown (reference ProfileMixin.profiling):
         total client latency + per-executor time from the response routes."""

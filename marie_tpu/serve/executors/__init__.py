@@ -106,6 +106,56 @@ class BaseExecutor(JAMLCompatible):
         # stays responsive while JAX computes
         return await loop.run_in_executor(None, lambda: fn(**call_kwargs))
 
+    def is_generator_endpoint(self, exec_endpoint: str) -> bool:
+        """True when the bound endpoint is a (async) generator function —
+        its documents stream out one at a time through ``stream_doc``
+        (reference ``__is_generator__``, request_handling.py:1052)."""
+        fn = self.endpoint_for(exec_endpoint)
+        target = getattr(fn, "__func__", fn)
+        return bool(getattr(target, "__is_generator__", False)) or (
+            inspect.isasyncgenfunction(target)
+            or inspect.isgeneratorfunction(target)
+        )
+
+    async def __acall_stream__(self, exec_endpoint: str, docs, parameters):
+        """Dispatch to a generator endpoint, yielding items as the
+        endpoint produces them (no buffering — the incremental contract
+        of the reference's stream_doc)."""
+        fn = self.endpoint_for(exec_endpoint)
+        if fn is None:
+            raise ValueError(
+                f"{type(self).__name__} has no endpoint {exec_endpoint!r} "
+                f"(knows {sorted(self.requests)})"
+            )
+        sig = inspect.signature(fn)
+        call_kwargs: Dict[str, Any] = {}
+        if "docs" in sig.parameters:
+            call_kwargs["docs"] = docs
+        if "parameters" in sig.parameters:
+            call_kwargs["parameters"] = parameters
+        target = getattr(fn, "__func__", fn)
+        if inspect.isasyncgenfunction(target):
+            async for item in fn(**call_kwargs):
+                yield item
+            return
+        if inspect.isgeneratorfunction(target):
+            gen = fn(**call_kwargs)
+            loop = asyncio.get_running_loop()
+            sentinel = object()
+            while True:
+                # advance the sync generator off-loop so blocking JAX
+                # work between yields doesn't stall the server
+                item = await loop.run_in_executor(
+                    None, lambda: next(gen, sentinel)
+                )
+                if item is sentinel:
+                    return
+                yield item
+            return
+        raise ValueError(
+            f"endpoint {exec_endpoint!r} is not a generator endpoint"
+        )
+
     # ------------------------------------------------------------------
     # snapshot / restore hooks (reference :1445, :1452)
     def snapshot(self, snapshot_file: str) -> None:

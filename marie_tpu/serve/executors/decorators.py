@@ -31,6 +31,14 @@ def requests(
             endpoints = [endpoints]
         existing = getattr(f, "__marie_endpoints__", [])
         f.__marie_endpoints__ = list(existing) + list(endpoints)
+        # generator endpoints stream documents one at a time through
+        # stream_doc (reference decorators.py sets __is_generator__;
+        # worker stream path checks it at request_handling.py:1052)
+        import inspect as _inspect
+
+        f.__is_generator__ = _inspect.isgeneratorfunction(
+            f
+        ) or _inspect.isasyncgenfunction(f)
         return f
 
     if func is not None and callable(func):

@@ -191,6 +191,64 @@ class GrpcConnectionPool:
             details=f"exhausted {self.retries} retries for {deployment}",
         )
 
+    async def stream_single_doc(
+        self,
+        request,
+        deployment: str,
+        timeout: Optional[float] = None,
+    ):
+        """Proxy one ``stream_doc`` call to a replica, yielding response
+        protos as the worker produces them.  Connect-phase failures
+        fail over to another replica; once the first document has been
+        yielded the stream is committed (re-running a generator endpoint
+        could duplicate side effects)."""
+        rl = self._deployments.get(deployment)
+        if rl is None or not rl.replicas:
+            raise EstablishGrpcConnectionError(
+                f"no connections for deployment {deployment!r}"
+            )
+        from marie_tpu.proto import marie_pb2
+
+        last_error: Optional[BaseException] = None
+        for attempt in range(max(self.retries, 1)):
+            replica = rl.pick()
+            replica.in_flight += 1
+            started = False
+            try:
+                channel = replica.get_channel()
+                stub = channel.unary_stream(
+                    "/jina.JinaSingleDocumentRequestRPC/stream_doc",
+                    request_serializer=lambda m: m.SerializeToString(),
+                    response_deserializer=(
+                        marie_pb2.SingleDocumentRequestProto.FromString
+                    ),
+                )
+                async for item in stub(request, timeout=timeout):
+                    started = True
+                    yield item
+                return
+            except grpc.aio.AioRpcError as ex:
+                last_error = ex
+                if started or ex.code() not in RETRYABLE_CODES:
+                    raise InternalNetworkError(
+                        ex,
+                        request_id=request.header.request_id,
+                        details=ex.details(),
+                    )
+                self.logger.warning(
+                    f"stream_doc to {deployment}@{replica.address} failed "
+                    f"with {ex.code().name}; retry {attempt + 1}/{self.retries}"
+                )
+                await replica.reset()
+                await asyncio.sleep(min(0.05 * (2**attempt), 1.0))
+            finally:
+                replica.in_flight -= 1
+        raise InternalNetworkError(
+            last_error,
+            request_id=request.header.request_id,
+            details=f"exhausted {self.retries} retries for {deployment}",
+        )
+
     async def send_discover_endpoint(
         self, deployment: str, timeout: Optional[float] = 5.0
     ) -> dict:

@@ -54,6 +54,49 @@ class GatewayRequestHandler:
         return resp
 
     # ------------------------------------------------------------------
+    async def process_single_doc_stream(self, req: DataRequest):
+        """Proxy doc streaming through the gateway: one document in, a
+        stream of documents out, yielded as the worker's generator
+        endpoint produces them (reference gateway stream_doc proxying).
+        Routing: ``target_executor`` when set, else the flow's sole
+        deployment — multi-hop DAGs cannot stream a partial document."""
+        import json
+
+        from marie_tpu.proto import marie_pb2
+        from marie_tpu.types.docs import Document
+
+        deployments = self.streamer.connection_pool.deployments()
+        target = req.target_executor or None
+        if target is None and len(deployments) != 1:
+            # multi-hop DAG without an explicit target: no single worker
+            # owns the stream — process through the full DAG and yield
+            # the result docs (non-incremental, same contract as before)
+            resp = await self.process_data([req])
+            for d in resp.docs:
+                yield d
+            return
+        if target is None:
+            target = deployments[0]
+        elif target not in deployments:
+            raise ValueError(
+                f"unknown target_executor {target!r} (flow has {deployments})"
+            )
+
+        single = marie_pb2.SingleDocumentRequestProto()
+        if req.request_id:
+            single.header.request_id = req.request_id
+        single.header.exec_endpoint = req.exec_endpoint
+        single.parameters = json.dumps(req.parameters or {}).encode()
+        docs = req.docs
+        single.document = (
+            docs[0].to_json().encode() if len(docs) else b"{}"
+        )
+        async for item in self.streamer.connection_pool.stream_single_doc(
+            single, target, timeout=self.streamer.timeout
+        ):
+            yield Document.from_json(item.document.decode())
+
+    # ------------------------------------------------------------------
     async def start_discovery(
         self, discovery_address: str, prefix: str = "gateway/"
     ) -> None:

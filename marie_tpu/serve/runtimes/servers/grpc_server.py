@@ -177,6 +177,20 @@ class GRPCServer:
                 req.docs = DocumentArray(
                     [Document.from_json(single.document.decode())]
                 )
+            handler_stream = getattr(
+                self.req_handler, "process_single_doc_stream", None
+            )
+            if handler_stream is not None:
+                # generator endpoints stream docs AS they are produced
+                # (reference request_handling.py:1027 — one doc in,
+                # several out, incrementally)
+                async for doc in handler_stream(req):
+                    out = marie_pb2.SingleDocumentRequestProto()
+                    out.header.CopyFrom(req.proto.header)
+                    out.parameters = single.parameters
+                    out.document = doc.to_json().encode()
+                    yield out.SerializeToString()
+                return
             resp = await _traced_process(req, context)
             for doc in resp.docs:
                 out = marie_pb2.SingleDocumentRequestProto()

@@ -119,6 +119,49 @@ class HTTPServer:
             code = 500 if resp.is_error() else 200
             return web.json_response(payload, status=code)
 
+        async def post_stream(request):
+            """NDJSON streaming of one-doc-in/N-docs-out requests: each
+            produced document flushes as its own line the moment the
+            (generator) endpoint yields it — the HTTP face of the gRPC
+            ``stream_doc`` contract (reference generator endpoints,
+            request_handling.py:1027)."""
+            handler_stream = getattr(
+                self.req_handler, "process_single_doc_stream", None
+            )
+            if handler_stream is None:
+                return web.json_response(
+                    {"error": "streaming unsupported by this runtime"},
+                    status=501,
+                )
+            try:
+                body = await request.json()
+            except json.JSONDecodeError:
+                return web.json_response(
+                    {"error": "invalid JSON body"}, status=400
+                )
+            endpoint = body.get("execEndpoint", body.get("exec_endpoint", "/"))
+            docs_raw = body.get("data", [])
+            req = DataRequest.from_docs(
+                DocumentArray.from_dict(docs_raw) if docs_raw else DocumentArray(),
+                endpoint=endpoint,
+                parameters=body.get("parameters") or {},
+            )
+            resp = web.StreamResponse(
+                headers={"Content-Type": "application/x-ndjson"}
+            )
+            await resp.prepare(request)
+            try:
+                async for doc in handler_stream(req):
+                    await resp.write(
+                        (json.dumps(doc.to_dict()) + "\n").encode()
+                    )
+            except Exception as ex:  # noqa: BLE001 — stream the error line
+                await resp.write(
+                    (json.dumps({"error": repr(ex)}) + "\n").encode()
+                )
+            await resp.write_eof()
+            return resp
+
         async def endpoints(request):
             return web.json_response(self.req_handler.endpoints())
 
@@ -138,6 +181,7 @@ class HTTPServer:
         app.router.add_get("/endpoints", endpoints)
         app.router.add_get("/metrics", metrics)
         app.router.add_post("/post", post)
+        app.router.add_post("/post_stream", post_stream)
         for route in self._extra_routes:
             app.router.add_route(route["method"], route["path"], route["handler"])
 

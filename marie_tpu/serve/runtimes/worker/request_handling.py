@@ -229,6 +229,14 @@ class WorkerRequestHandler:
                 self.reduce_docs(requests) if len(requests) > 1 else req.docs
             )
             endpoint = req.exec_endpoint
+            if self._executor.is_generator_endpoint(endpoint):
+                # mirror the reference's "endpoint must be generator"
+                # asymmetry (request_handling.py:1052): generator
+                # endpoints only serve through the streaming RPCs
+                raise ValueError(
+                    f"endpoint {endpoint!r} is a generator endpoint — "
+                    "call it via stream_doc / POST /post_stream"
+                )
 
             if endpoint in self._batch_queues:
                 result = await self._batch_queues[endpoint].push(
@@ -271,6 +279,26 @@ class WorkerRequestHandler:
             return req
         finally:
             MDC.remove("request_id")
+
+    async def process_single_doc_stream(self, req: DataRequest):
+        """Stream one document in → N documents out, yielding each doc AS
+        the endpoint produces it (reference stream_doc generator contract,
+        ``request_handling.py:1027-1052``).  Non-generator endpoints fall
+        back to full processing and then yield the result docs."""
+        endpoint = req.exec_endpoint
+        if self._executor.is_generator_endpoint(endpoint):
+            async for item in self._executor.__acall_stream__(
+                endpoint, req.docs, req.parameters
+            ):
+                if isinstance(item, DocumentArray):
+                    for d in item:
+                        yield d
+                else:
+                    yield item
+            return
+        resp = await self.process_data([req])
+        for d in resp.docs:
+            yield d
 
     async def _record_job(
         self, job_id: Optional[str], state: str, error: Optional[str] = None

@@ -18,8 +18,12 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 os.environ.setdefault("MARIE_LOG_LEVEL", "WARNING")
-# spawned pod subprocesses inherit this and pick CPU at their own jax import
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# spawned pod subprocesses inherit this and pick CPU at their own jax
+# import.  HARD set (not setdefault): the session shell may export
+# JAX_PLATFORMS=axon, and a pod inheriting the accelerator platform
+# hangs executor startup whenever the relay is unreachable — the test
+# suite is CPU-by-design (SURVEY §4) regardless of ambient env.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 

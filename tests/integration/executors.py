@@ -97,3 +97,25 @@ class SlowCountingExecutor(BaseExecutor):
             d.tags["max_inflight"] = self._max_inflight
         self._inflight -= 1
         return docs
+
+
+class TokenStreamExecutor(BaseExecutor):
+    """Generator endpoints: documents stream out one at a time as they
+    are produced (reference __is_generator__ stream_doc contract)."""
+
+    @requests(on="/stream")
+    async def stream_tokens(self, docs: DocumentArray, **kwargs):
+        import asyncio
+
+        text = docs[0].text or ""
+        for i, tok in enumerate(text.split()):
+            await asyncio.sleep(0.05)
+            yield Document(id=f"tok{i}", text=tok)
+
+    @requests(on="/sync-stream")
+    def sync_stream(self, docs: DocumentArray, **kwargs):
+        import time as _time
+
+        for i in range(3):
+            _time.sleep(0.05)
+            yield Document(id=f"s{i}", text=f"part{i}")

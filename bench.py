@@ -496,7 +496,8 @@ def main():
     # noise.  Ladder mirrors ocr/util._trocr_processor: fast_v2 (20-token
     # full-height patches) when trained, else fast; MARIE_RECOGNIZER pins.
     zoo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "model_zoo")
-    rec_ladder = [("trocr-fast2-synth", TrOCRConfig.fast_v2, "trocr-fast2"),
+    rec_ladder = [("trocr-fast3-synth", TrOCRConfig.fast_v3, "trocr-fast3"),
+                  ("trocr-fast2-synth", TrOCRConfig.fast_v2, "trocr-fast2"),
                   ("trocr-fast-synth", TrOCRConfig.fast, "trocr-fast")]
     rec_prefer = os.environ.get("MARIE_RECOGNIZER")
     if rec_prefer:

@@ -68,6 +68,10 @@ class DecoderConfig:
     bos_id: int = 0
     eos_id: int = 1
     pad_id: int = 2
+    # grouped/multi-query CROSS-attention K/V heads (None = num_heads).
+    # Every decode step re-reads the whole prefilled cross-KV from HBM,
+    # so G=1 cuts that traffic num_heads× (decode's bandwidth floor)
+    cross_kv_heads: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +126,18 @@ class TrOCRConfig:
         return TrOCRConfig(
             encoder=dataclasses.replace(base.encoder, patch_size=(48, 16)),
             decoder=base.decoder,
+        )
+
+    @staticmethod
+    def fast_v3() -> "TrOCRConfig":
+        """fast_v2 + multi-query cross-attention (1 shared K/V head):
+        the prefilled cross-KV shrinks 6× (num_heads), cutting the
+        decode loop's dominant HBM traffic (round-3 probe: ~944 MB/step
+        at 60 enc tokens; fast_v2 took it to ~315, MQA to ~52)."""
+        base = TrOCRConfig.fast_v2()
+        return TrOCRConfig(
+            encoder=base.encoder,
+            decoder=dataclasses.replace(base.decoder, cross_kv_heads=1),
         )
 
     @staticmethod

@@ -37,14 +37,31 @@ def _merge_heads(x: Array) -> Array:
 
 
 def _masked_attention(q: Array, k: Array, v: Array, mask: Optional[Array]) -> Array:
-    """Plain attention for short query lengths (decode steps). q [B,H,Lq,Dh]."""
+    """Plain attention for short query lengths (decode steps). q [B,H,Lq,Dh].
+
+    Supports grouped/multi-query K/V: when k/v carry G < H heads
+    (H % G == 0), each group of H/G query heads shares one K/V head —
+    the stored (and HBM-read) K/V shrinks by H/G, the dominant
+    per-decode-step traffic for cross-attention (see
+    DecoderConfig.cross_kv_heads)."""
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, q.dtype))
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    h, g = q.shape[1], k.shape[1]
+    if g == h:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        if mask is not None:
+            logits = jnp.where(mask, logits, _NEG_INF)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    b, _, lq, _ = q.shape
+    qg = q.reshape(b, g, h // g, lq, dh)
+    logits = jnp.einsum("bgmqd,bgkd->bgmqk", qg * scale, k)
     if mask is not None:
-        logits = jnp.where(mask, logits, _NEG_INF)
+        # mask comes in as [B,1|H,Lq,Lk]-broadcastable; add the group dim
+        logits = jnp.where(mask[:, :, None], logits, _NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = jnp.einsum("bgmqk,bgkd->bgmqd", probs, v)
+    return out.reshape(b, h, lq, dh)
 
 
 class KVProjection(nn.Module):
@@ -158,17 +175,27 @@ class EncoderLayer(nn.Module):
 
 
 class DecoderLayer(nn.Module):
-    """Pre-LN decoder layer: causal self-attn → cross-attn → MLP."""
+    """Pre-LN decoder layer: causal self-attn → cross-attn → MLP.
+
+    ``cross_kv_heads < num_heads`` stores grouped/multi-query cross K/V
+    (MQA at 1): every decode step re-reads the whole prefilled cross-KV
+    from HBM, so shrinking it by H/G directly cuts the decode stage's
+    bandwidth floor (round-3 probe: cross-KV reads dominate decode)."""
 
     num_heads: int
     model_dim: int
     mlp_dim: int
+    cross_kv_heads: Optional[int] = None
 
     def setup(self):
         self.ln1 = nn.LayerNorm()
         self.self_attn = SelfAttention(self.num_heads, self.model_dim)
         self.ln2 = nn.LayerNorm()
-        self.cross_kv = KVProjection(self.num_heads, self.model_dim)
+        g = self.cross_kv_heads or self.num_heads
+        # grouped K/V keep the per-head width (model_dim // num_heads);
+        # KVProjection(num_heads=g, model_dim=g*dh) yields [B,g,L,dh]
+        dh = self.model_dim // self.num_heads
+        self.cross_kv = KVProjection(g, g * dh)
         self.cross_attn = CrossAttention(self.num_heads, self.model_dim)
         self.ln3 = nn.LayerNorm()
         self.mlp = MlpBlock(self.mlp_dim)

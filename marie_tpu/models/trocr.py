@@ -36,7 +36,10 @@ class TrOCRDecoder(nn.Module):
             (1, c.max_len, c.hidden_dim),
         )
         self.layers = [
-            DecoderLayer(c.num_heads, c.hidden_dim, c.mlp_dim, name=f"layer_{i}")
+            DecoderLayer(
+                c.num_heads, c.hidden_dim, c.mlp_dim,
+                cross_kv_heads=c.cross_kv_heads, name=f"layer_{i}",
+            )
             for i in range(c.num_layers)
         ]
         self.ln_f = nn.LayerNorm()

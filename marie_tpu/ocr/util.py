@@ -16,7 +16,8 @@ def _trocr_processor(beam_size: int = 1):
     # preference ladder: full-height-patch fast_v2 (20 enc tokens — 3x
     # less encoder+cross-KV cost, see ARCHITECTURE "crop+decode anatomy")
     # > fast.  MARIE_RECOGNIZER pins a specific checkpoint.
-    ladder = [("trocr-fast2-synth", TrOCRConfig.fast_v2),
+    ladder = [("trocr-fast3-synth", TrOCRConfig.fast_v3),
+              ("trocr-fast2-synth", TrOCRConfig.fast_v2),
               ("trocr-fast-synth", TrOCRConfig.fast)]
     prefer = _os.environ.get("MARIE_RECOGNIZER")
     if prefer:

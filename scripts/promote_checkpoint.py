@@ -140,6 +140,11 @@ def main() -> int:
         help="max per-distribution CER regression tolerated",
     )
     ap.add_argument("--eval-timeout", type=int, default=2400)
+    ap.add_argument(
+        "--require-eval", action="store_true",
+        help="for a NEW (empty) zoo slot: still A/B the resolution "
+        "ladder with vs without the candidate instead of adopting it",
+    )
     args = ap.parse_args()
 
     stage = os.path.abspath(args.stage)
@@ -149,10 +154,54 @@ def main() -> int:
         print(f"stage dir missing: {stage}", file=sys.stderr)
         return 2
     if not os.path.isdir(target):
-        # empty slot: adopt the stage checkpoint outright
+        if not args.require_eval:
+            # empty slot: adopt the stage checkpoint outright
+            shutil.move(stage, target)
+            print(json.dumps(
+                {"decision": "adopted-empty-slot", "target": target}
+            ))
+            return 0
+        # --require-eval: A/B the LADDER with and without the new slot
+        # (a new preset must beat the stack it would displace)
+        try:
+            cur = run_oracle(args.kind, args.pages, args.seed, args.eval_timeout)
+            cur_score, cur_detail = score(args.kind, cur)
+            print(f"ladder-without score={cur_score:.5f} {cur_detail}",
+                  file=sys.stderr, flush=True)
+        except Exception as ex:  # noqa: BLE001
+            print(f"current-eval failed, nothing touched: {ex}", file=sys.stderr)
+            return 4
         shutil.move(stage, target)
-        print(json.dumps({"decision": "adopted-empty-slot", "target": target}))
-        return 0
+        try:
+            cand = run_oracle(args.kind, args.pages, args.seed, args.eval_timeout)
+            cand_score, cand_detail = score(args.kind, cand)
+            print(f"ladder-with    score={cand_score:.5f} {cand_detail}",
+                  file=sys.stderr, flush=True)
+        except Exception as ex:  # noqa: BLE001
+            shutil.move(target, stage)
+            print(f"candidate-eval failed, rolled back: {ex}", file=sys.stderr)
+            return 4
+        ok, regressions = guard_ok(
+            args.kind, cur_detail, cand_detail, args.max_regress
+        )
+        verdict = {
+            "kind": args.kind, "target": args.target, "new_slot": True,
+            "current_score": round(cur_score, 5),
+            "candidate_score": round(cand_score, 5),
+            "current": cur_detail, "candidate": cand_detail,
+        }
+        if cand_score > cur_score + args.min_gain and ok:
+            verdict["decision"] = "promoted"
+            print(json.dumps(verdict, indent=1))
+            return 0
+        rejected = stage + "-rejected"
+        if os.path.exists(rejected):
+            shutil.rmtree(rejected)
+        shutil.move(target, rejected)
+        verdict["decision"] = "rejected"
+        verdict["regressions"] = regressions
+        print(json.dumps(verdict, indent=1))
+        return 3
     if os.path.exists(demoted):
         print(f"stale demoted dir exists: {demoted}", file=sys.stderr)
         return 2

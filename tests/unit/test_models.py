@@ -225,3 +225,69 @@ def test_char_tokenizer_roundtrip():
     ctc = CTCCharTokenizer()
     assert ctc.decode(ctc.encode("abc")) == "abc"
     assert ctc.blank_id == 0
+
+
+def test_grouped_cross_attention_matches_replicated_full():
+    """GQA/MQA math: attention with G shared K/V heads must equal
+    full-head attention over the G heads replicated H/G times."""
+    from marie_tpu.models.layers import _masked_attention
+
+    rng = jax.random.PRNGKey(7)
+    b, h, g, lq, lk, dh = 2, 6, 2, 3, 5, 8
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (b, h, lq, dh))
+    k = jax.random.normal(kk, (b, g, lk, dh))
+    v = jax.random.normal(kv, (b, g, lk, dh))
+    mask = (jnp.arange(lk) < 4)[None, None, None, :]
+
+    grouped = _masked_attention(q, k, v, mask)
+    k_full = jnp.repeat(k, h // g, axis=1)
+    v_full = jnp.repeat(v, h // g, axis=1)
+    full = _masked_attention(q, k_full, v_full, mask)
+    np.testing.assert_allclose(
+        np.asarray(grouped), np.asarray(full), atol=1e-5
+    )
+
+
+def test_mqa_cross_kv_cache_parity_and_decode():
+    """fast_v3 shape (cross_kv_heads=1): the prefilled cross-KV carries
+    ONE head, step-path logits still match the full path, and greedy
+    decode runs end-to-end."""
+    import dataclasses
+
+    from marie_tpu.models.trocr import (
+        TrOCRModel, _init_self_caches, greedy_decode,
+    )
+
+    base = TrOCRConfig.tiny()
+    cfg = TrOCRConfig(
+        encoder=base.encoder,
+        decoder=dataclasses.replace(base.decoder, cross_kv_heads=1),
+    )
+    model = TrOCRModel(cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 64, 3)) * 0.5
+    toks = jnp.array([[0, 10, 20, 30]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), imgs, toks)
+
+    enc = model.apply(params, imgs, method=TrOCRModel.encode)
+    cross = model.apply(params, enc, method=TrOCRModel.prefill)
+    # the bandwidth claim: stored cross-KV has exactly one head
+    assert cross[0][0].shape[1] == 1
+
+    full_logits = model.apply(params, toks, cross, method=TrOCRModel.decode_full)
+    caches = _init_self_caches(cfg.decoder, 1)
+    step_logits = []
+    for pos in range(4):
+        lg, caches = model.apply(
+            params, toks[:, pos], jnp.asarray(pos), cross, None, caches,
+            method=TrOCRModel.decode_step,
+        )
+        step_logits.append(lg)
+    np.testing.assert_allclose(
+        np.asarray(full_logits),
+        np.asarray(jnp.stack(step_logits, axis=1)),
+        atol=1e-4,
+    )
+
+    toks_out, lens, confs = greedy_decode(model, params, imgs, 6)
+    assert toks_out.shape[0] == 1 and lens.shape == (1,)

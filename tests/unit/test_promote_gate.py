@@ -156,3 +156,43 @@ def test_candidate_eval_failure_rolls_back(gate, tmp_path, monkeypatch):
     assert rc == 4
     assert (zoo / "m-synth" / "w").read_text() == "CURRENT"
     assert (stage / "w").read_text() == "CANDIDATE"  # stage restored in place
+
+
+def test_new_slot_require_eval_ab(gate, tmp_path, monkeypatch):
+    """--require-eval on an empty slot A/Bs the ladder with vs without
+    the new checkpoint and rejects a regression."""
+    zoo = tmp_path / "model_zoo"
+    zoo.mkdir()
+    stage = zoo / "new-stage"
+    stage.mkdir()
+    (stage / "w").write_text("NEW")
+
+    monkeypatch.setattr(gate, "ZOO", str(zoo))
+
+    def fake_oracle(kind, pages, seed, timeout_s):
+        present = (zoo / "new-synth").exists()
+        return {"in_dist/greedy": {"cer": 0.4 if present else 0.1}}
+
+    monkeypatch.setattr(gate, "run_oracle", fake_oracle)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["promote_checkpoint.py", "--kind", "recognizer",
+         "--stage", str(stage), "--target", "new-synth", "--require-eval"],
+    )
+    rc = gate.main()
+    assert rc == 3
+    assert not (zoo / "new-synth").exists()  # slot stays empty
+    assert (zoo / "new-stage-rejected" / "w").read_text() == "NEW"
+
+    # improvement case: slot adopted
+    stage.mkdir()
+    (stage / "w").write_text("NEW")
+
+    def fake_oracle2(kind, pages, seed, timeout_s):
+        present = (zoo / "new-synth").exists()
+        return {"in_dist/greedy": {"cer": 0.01 if present else 0.1}}
+
+    monkeypatch.setattr(gate, "run_oracle", fake_oracle2)
+    rc = gate.main()
+    assert rc == 0
+    assert (zoo / "new-synth" / "w").read_text() == "NEW"

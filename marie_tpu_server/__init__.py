@@ -251,46 +251,82 @@ async def _run_control_plane(
             }
         )
 
-    async def document_extract(request):
-        """REST OCR endpoint (reference rest_extension.py:144 —
-        ``/api/document/extract`` forwarding into the flow)."""
-        import base64 as b64
+    def make_document_forwarder(flow_endpoint: str):
+        """REST façade forwarding into a flow endpoint (reference
+        rest_extension.py:144 + the per-capability mserve routers
+        ``marie_server/executors/{extract,ner,classifier,overlay}``)."""
 
-        import numpy as np
+        async def forwarder(request):
+            import base64 as b64
 
-        body = await request.json()
-        doc = Document(tags={})
-        if body.get("data"):
-            raw = b64.b64decode(body["data"])
-            from marie_tpu.utils.docs import frames_from_bytes
+            body = await request.json()
+            doc = Document(tags={})
+            if body.get("data"):
+                raw = b64.b64decode(body["data"])
+                from marie_tpu.utils.docs import frames_from_bytes
 
-            frames = frames_from_bytes(raw)
-            doc.tensor = frames[0]
-        elif body.get("uri"):
-            doc.uri = body["uri"]
-        else:
-            return web.json_response(
-                {"error": "request needs 'data' (base64) or 'uri'"}, status=400
-            )
-        params = {
-            "mode": body.get("mode", "sparse"),
-            "output_format": body.get("output_format", "xywh"),
-            "features": body.get("features", {}),
-        }
-        if body.get("regions"):
-            params["regions"] = body["regions"]
-        try:
-            resp = await client.apost(
-                on="/document/extract", inputs=DocumentArray([doc]),
-                parameters=params, return_responses=True,
-            )
-        except Exception as ex:  # noqa: BLE001
-            return web.json_response({"status": "failed", "error": repr(ex)}, status=500)
-        results = resp.parameters.get("__results__", {})
-        payload = next(iter(results.values()), {}) if results else {}
-        return web.json_response(payload if payload else {"status": "succeeded"})
+                frames = frames_from_bytes(raw)
+                doc.tensor = frames[0]
+            elif body.get("uri"):
+                doc.uri = body["uri"]
+            else:
+                return web.json_response(
+                    {"error": "request needs 'data' (base64) or 'uri'"},
+                    status=400,
+                )
+            params = {
+                "mode": body.get("mode", "sparse"),
+                "output_format": body.get("output_format", "xywh"),
+                "features": body.get("features", {}),
+            }
+            if body.get("doc_id"):
+                params["doc_id"] = body["doc_id"]
+            if body.get("doc_type"):
+                params["doc_type"] = body["doc_type"]
+            if body.get("regions"):
+                params["regions"] = body["regions"]
+            try:
+                resp = await client.apost(
+                    on=flow_endpoint, inputs=DocumentArray([doc]),
+                    parameters=params, return_responses=True,
+                )
+            except Exception as ex:  # noqa: BLE001
+                return web.json_response(
+                    {"status": "failed", "error": repr(ex)}, status=500
+                )
+            results = resp.parameters.get("__results__", {})
+            payload = next(iter(results.values()), {}) if results else {}
+            if not payload and len(resp.docs):
+                # executors that annotate docs instead of returning dicts
+                payload = {
+                    "status": "succeeded",
+                    "docs": resp.docs.to_dict(),
+                }
+            return web.json_response(payload if payload else {"status": "succeeded"})
 
-    app.router.add_post("/api/document/extract", document_extract)
+        return forwarder
+
+    async def capability_status(request):
+        """Per-capability status probes (reference ``/api/*/status``)."""
+        return web.json_response({"status": "OK"})
+
+    # the reference's per-capability REST surface
+    # (marie_server/executors/*/mserve_torch.py)
+    app.router.add_post(
+        "/api/document/extract", make_document_forwarder("/document/extract")
+    )
+    app.router.add_post(
+        "/api/ner/extract", make_document_forwarder("/ner/extract")
+    )
+    app.router.add_post(
+        "/api/document/classify", make_document_forwarder("/document/classify")
+    )
+    app.router.add_post(
+        "/api/overlay", make_document_forwarder("/overlay/segment")
+    )
+    for probe in ("/api/document/status", "/api/ner/status",
+                  "/api/overlay/status"):
+        app.router.add_get(probe, capability_status)
     app.router.add_post("/api/jobs/submit", submit)
     app.router.add_get("/api/jobs", list_jobs)
     app.router.add_get("/api/jobs/{job_id}", job_info)

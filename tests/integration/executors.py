@@ -119,3 +119,23 @@ class TokenStreamExecutor(BaseExecutor):
         for i in range(3):
             _time.sleep(0.05)
             yield Document(id=f"s{i}", text=f"part{i}")
+
+
+class CapabilitiesExecutor(BaseExecutor):
+    """Dict-returning endpoints matching the server's REST facades."""
+
+    @requests(on="/ner/extract")
+    def ner(self, docs: DocumentArray, parameters: dict, **kwargs):
+        return {"status": "succeeded", "kind": "ner",
+                "doc_id": parameters.get("doc_id")}
+
+    @requests(on="/document/classify")
+    def classify(self, docs: DocumentArray, parameters: dict, **kwargs):
+        return {"status": "succeeded", "kind": "classify",
+                "doc_type": parameters.get("doc_type")}
+
+    @requests(on="/overlay/segment")
+    def overlay(self, docs: DocumentArray, **kwargs):
+        for d in docs:
+            d.tags["cleaned"] = True
+        return docs

@@ -130,3 +130,72 @@ async def test_document_extract_rest(tmp_path):
                 await cp_task
             except asyncio.CancelledError:
                 pass
+
+
+async def test_capability_rest_facades(tmp_path):
+    """The reference's per-capability REST surface (/api/ner/extract,
+    /api/document/classify, /api/overlay + status probes) forwards into
+    the flow (marie_server/executors/*/mserve_torch.py parity)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from tests.integration.executors import CapabilitiesExecutor
+
+    with Flow().add(uses=CapabilitiesExecutor, name="caps") as f:
+        rest_port = random_port()
+        cp_task = asyncio.create_task(
+            _run_control_plane(f, rest_port, state_dir=str(tmp_path))
+        )
+        base = f"http://127.0.0.1:{rest_port}"
+        try:
+            async with aiohttp.ClientSession() as session:
+                for _ in range(50):
+                    try:
+                        async with session.get(f"{base}/health/status") as r:
+                            if r.status == 200:
+                                break
+                    except aiohttp.ClientError:
+                        pass
+                    await asyncio.sleep(0.1)
+
+                img = Image.new("RGB", (32, 32), (255, 255, 255))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                payload = {"data": base64.b64encode(buf.getvalue()).decode()}
+
+                async with session.post(
+                    f"{base}/api/ner/extract",
+                    json={**payload, "doc_id": "d-77"},
+                ) as r:
+                    body = await r.json()
+                    assert r.status == 200, body
+                    assert body["kind"] == "ner" and body["doc_id"] == "d-77"
+
+                async with session.post(
+                    f"{base}/api/document/classify",
+                    json={**payload, "doc_type": "invoice"},
+                ) as r:
+                    body = await r.json()
+                    assert body["kind"] == "classify"
+                    assert body["doc_type"] == "invoice"
+
+                # doc-annotating endpoint: docs ride back in the payload
+                async with session.post(
+                    f"{base}/api/overlay", json=payload
+                ) as r:
+                    body = await r.json()
+                    assert r.status == 200, body
+                    assert body["docs"][0]["tags"]["cleaned"] is True
+
+                for probe in ("/api/document/status", "/api/ner/status",
+                              "/api/overlay/status"):
+                    async with session.get(base + probe) as r:
+                        assert (await r.json())["status"] == "OK"
+        finally:
+            cp_task.cancel()
+            try:
+                await cp_task
+            except asyncio.CancelledError:
+                pass

@@ -263,5 +263,15 @@ class GRPCClient:
     def dry_run(self, **kwargs) -> bool:
         return run_async(self.adry_run(**kwargs))
 
+    # reference-API aliases (marie Client.is_flow_ready)
+    async def is_flow_ready(self, **kwargs) -> bool:
+        try:
+            return await self.adry_run(**kwargs)
+        except Exception:  # noqa: BLE001 — readiness probe never raises
+            return False
+
+    def flow_ready(self, **kwargs) -> bool:
+        return run_async(self.is_flow_ready(**kwargs))
+
     def info(self, **kwargs) -> dict:
         return run_async(self.ainfo(**kwargs))

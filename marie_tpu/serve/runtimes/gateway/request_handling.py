@@ -46,7 +46,14 @@ class GatewayRequestHandler:
         import time
 
         t0 = time.perf_counter()
-        resp = await self.streamer.process_single_data(requests[0])
+        try:
+            resp = await self.streamer.process_single_data(requests[0])
+        except Exception as ex:  # noqa: BLE001 — same per-request
+            # containment as the bidi path (_process_guarded): a dead
+            # deployment yields an error envelope, not a gateway crash
+            self.logger.error(f"DAG processing failed: {ex!r}")
+            resp = requests[0]
+            resp.add_exception(ex)
         self._m_latency.record(time.perf_counter() - t0)
         self._m_docs.record(len(resp.docs))
         if resp.is_error():

@@ -22,3 +22,43 @@ def test_stateful_replicas_converge_through_gateway():
         for want in range(1, 6):
             docs = client.post("/incr", [Document()])
             assert int(docs[0].tags["counter"]) == want, (want, docs[0].tags)
+
+
+def test_stateful_leader_kill_preserves_state():
+    """Kill the bootstrap leader pod: the survivors re-elect, the pool
+    retries through 'not the leader' + UNAVAILABLE, and the replicated
+    counter CONTINUES from its pre-kill value (no state loss) —
+    end-to-end analog of the consensus-level leader failover test."""
+    import time
+
+    flow = Flow().add(
+        uses=SnapshotExecutor, name="counter", replicas=3, stateful=True
+    )
+    with flow:
+        client = Client(port=flow.port_gateway)
+        for want in range(1, 4):
+            docs = client.post("/incr", [Document()])
+            assert int(docs[0].tags["counter"]) == want
+
+        # pod 0 bootstraps the cluster and starts as leader — kill it hard
+        leader = flow._deployments["counter"].pods[0]
+        leader._process.kill()
+        leader._process.join(5)
+
+        # survivors must re-elect and keep serving; allow generous time
+        deadline = time.time() + 30
+        got = None
+        while time.time() < deadline:
+            try:
+                docs = client.post(
+                    "/incr", [Document()], max_attempts=3,
+                    initial_backoff=0.2,
+                )
+                got = int(docs[0].tags["counter"])
+                break
+            except Exception:
+                time.sleep(0.5)
+        assert got == 4, f"counter after failover: {got}"
+        # and keeps advancing
+        docs = client.post("/incr", [Document()])
+        assert int(docs[0].tags["counter"]) == 5

@@ -156,6 +156,11 @@ async def _run_control_plane(
                 "entrypoint": body.get("entrypoint", "/default"),
                 "metadata": body.get("metadata", {}),
             },
+            priority=int(body.get("priority", 0)),
+            retry_limit=int(body.get("retry_limit", 2)),
+            # pg-boss extras carried by the scheduler schema
+            dead_letter=body.get("dead_letter"),
+            keep_until=float(body.get("keep_until", 0.0)),
         )
         job_id = await scheduler.submit_job(work)
         return web.json_response({"jobid": job_id, "status": "ok"})

@@ -56,3 +56,26 @@ def test_all_replicas_dead_is_contained_error():
 
         with _pytest.raises(BadServer):
             client.post("/default", [Document(text="c")])
+
+
+def test_sharded_deployment_survives_replica_kill():
+    """Sharded deployment (real head pod, polling=ALL): killing one
+    replica of a shard must not break the broadcast+reduce path — the
+    head's pool fails over to the shard's surviving replica."""
+    flow = Flow().add(uses=UpperExecutor, name="sh", shards=2, replicas=2)
+    with flow:
+        client = Client(port=flow.port_gateway)
+        docs = client.post(
+            "/default", [Document(id=f"d{i}", text=f"a{i}") for i in range(3)]
+        )
+        # ALL-polling reduce dedupes by id: 3 docs in, 3 docs out
+        assert sorted(d.text for d in docs) == ["A0", "A1", "A2"]
+
+        # kill shard-0's first replica
+        victim = flow._deployments["sh"].pods[0]
+        victim._process.kill()
+        victim._process.join(5)
+
+        for i in range(4):
+            docs = client.post("/default", [Document(id=f"k{i}", text=f"b{i}")])
+            assert docs[0].text == f"B{i}", f"post {i} failed after shard-replica kill"

@@ -34,10 +34,17 @@ class Deployment:
         when: Optional[Dict[str, Any]] = None,
         stateful: bool = False,
         env: Optional[Dict[str, str]] = None,
+        external: bool = False,
+        host: str = "127.0.0.1",
         **kwargs,
     ):
         self.logger = MarieLogger(f"deployment/{name}")
         self.name = name
+        # external deployments attach an already-running executor the
+        # flow does NOT manage (reference Flow.add(external=True) —
+        # tests/integration/external_deployment); host/port point at it
+        self.external = external
+        self.host = host
         self.uses = uses
         self.uses_with = uses_with
         self.replicas = replicas
@@ -56,6 +63,12 @@ class Deployment:
 
     # ------------------------------------------------------------------
     def start(self) -> "Deployment":
+        if self.external:
+            if not self.port:
+                raise ValueError(
+                    f"external deployment {self.name!r} needs port="
+                )
+            return self  # nothing to spawn; addresses() points at it
         n_workers = self.replicas * self.shards
         raft_ports = None
         if self.stateful:
@@ -107,6 +120,8 @@ class Deployment:
     @property
     def addresses(self) -> List[str]:
         """Addresses the gateway should talk to."""
+        if self.external:
+            return [f"{self.host}:{self.port}"]
         if self.head_pod is not None:
             return [self.head_pod.address]
         return [p.address for p in self.pods]

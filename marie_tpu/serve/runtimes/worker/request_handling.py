@@ -192,6 +192,9 @@ class WorkerRequestHandler:
 
     def _make_batch_fn(self, endpoint: str):
         async def _fn(docs, parameters):
+            specific = (parameters or {}).get(self.name)
+            if isinstance(specific, dict):
+                parameters = {**parameters, **specific}
             return await self._executor.__acall__(endpoint, docs, parameters)
 
         return _fn
@@ -238,13 +241,21 @@ class WorkerRequestHandler:
                     "call it via stream_doc / POST /post_stream"
                 )
 
+            # executor-specific parameters: a dict under this executor's
+            # name overrides the top-level keys for THIS executor only
+            # (reference _parse_params, request_handling.py:516)
+            call_params = req.parameters
+            specific = call_params.get(self.name)
+            if isinstance(specific, dict):
+                call_params = {**call_params, **specific}
+
             if endpoint in self._batch_queues:
                 result = await self._batch_queues[endpoint].push(
                     _clone_request(req, docs)
                 )
             else:
                 result = await self._executor.__acall__(
-                    endpoint, docs, req.parameters
+                    endpoint, docs, call_params
                 )
 
             if isinstance(result, DocumentArray):

@@ -177,9 +177,21 @@ class GRPCClient:
         self,
         requests_iter,
         timeout: Optional[float] = None,
+        results_in_order: bool = False,
     ):
-        """Bidirectional streaming over ``jina.JinaRPC/Call`` — yields
-        responses in stream order (reference StreamRpc)."""
+        """Bidirectional streaming over ``jina.JinaRPC/Call`` — responses
+        come in completion order; ``results_in_order`` asks the gateway
+        to yield them in submission order instead (reference
+        ``results_in_order``)."""
+        if results_in_order:
+            def _mark(reqs):
+                for r in reqs:
+                    params = r.parameters
+                    params["__results_in_order__"] = True
+                    r.parameters = params
+                    yield r
+
+            requests_iter = _mark(requests_iter)
         async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
             stub = ch.stream_stream(
                 "/jina.JinaRPC/Call",

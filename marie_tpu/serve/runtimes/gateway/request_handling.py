@@ -161,7 +161,23 @@ class GatewayRequestHandler:
             await client.close()
 
     async def stream(self, request_iterator):
-        async for resp in self.streamer.stream(request_iterator):
+        # wire-level ordering opt-in: the client marks requests with
+        # __results_in_order__ (reference results_in_order semantics)
+        it = request_iterator.__aiter__()
+        try:
+            first = await it.__anext__()
+        except StopAsyncIteration:
+            return
+        in_order = bool((first.parameters or {}).get("__results_in_order__"))
+
+        async def chained():
+            yield first
+            async for r in it:
+                yield r
+
+        async for resp in self.streamer.stream(
+            chained(), results_in_order=in_order
+        ):
             yield resp
 
     async def dry_run(self) -> None:

@@ -67,10 +67,36 @@ class GatewayStreamer:
             return request
 
     async def stream(
-        self, request_iterator: AsyncIterator[DataRequest]
+        self,
+        request_iterator: AsyncIterator[DataRequest],
+        results_in_order: bool = False,
     ) -> AsyncIterator[DataRequest]:
-        """Streaming with prefetch-limited in-flight requests, results in
-        completion order (reference RequestStreamer semantics)."""
+        """Streaming with prefetch-limited in-flight requests.  Results
+        come in completion order by default; ``results_in_order`` yields
+        them in submission order while still processing concurrently
+        (reference RequestStreamer ``results_in_order``,
+        marie/serve/runtimes/gateway/streamer.py:222)."""
+        if results_in_order:
+            ordered: asyncio.Queue = asyncio.Queue()
+            done_marker = object()
+
+            async def feed_ordered():
+                async for req in request_iterator:
+                    ordered.put_nowait(
+                        asyncio.create_task(self._process_guarded(req))
+                    )
+                ordered.put_nowait(done_marker)
+
+            feeder = asyncio.create_task(feed_ordered())
+            try:
+                while True:
+                    item = await ordered.get()
+                    if item is done_marker:
+                        break
+                    yield await item
+            finally:
+                feeder.cancel()
+            return
         queue: asyncio.Queue = asyncio.Queue()
         n_pending = 0
         done_feeding = asyncio.Event()

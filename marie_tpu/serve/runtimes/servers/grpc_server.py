@@ -130,6 +130,18 @@ class GRPCServer:
             return await _traced_process(request, context)
 
         async def call_stream(request_iterator, context):
+            handler_stream = getattr(self.req_handler, "stream", None)
+            if handler_stream is not None:
+                # gateway: prefetch-limited CONCURRENT processing with
+                # completion-order (or opt-in submission-order) results —
+                # the reference RequestStreamer wire behavior.  The old
+                # sequential loop serialized the whole bidi stream.
+                with tracing.start_span(
+                    f"rpc-stream/{getattr(self.req_handler, 'name', 'handler')}"
+                ):
+                    async for resp in handler_stream(request_iterator):
+                        yield resp
+                return
             async for req in request_iterator:
                 yield await _traced_process(req, context)
 

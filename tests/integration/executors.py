@@ -139,3 +139,16 @@ class CapabilitiesExecutor(BaseExecutor):
         for d in docs:
             d.tags["cleaned"] = True
         return docs
+
+
+class SleepyExecutor(BaseExecutor):
+    """Sleeps per-doc tags['delay'] seconds — ordering tests."""
+
+    @requests
+    def run(self, docs: DocumentArray, **kwargs):
+        import time as _time
+
+        for d in docs:
+            _time.sleep(float(d.tags.get("delay", 0)))
+            d.text = f"done:{d.text}"
+        return docs

@@ -28,6 +28,7 @@ class GRPCClient:
         host: str = "127.0.0.1",
         port: Optional[int] = None,
         api_key: Optional[str] = None,
+        compression: Optional[str] = None,
         **kwargs,
     ):
         if port is None:
@@ -38,6 +39,16 @@ class GRPCClient:
         # (reference TokenBearer guard, marie/auth/auth_bearer.py:11)
         self._metadata = (
             (("authorization", f"Bearer {api_key}"),) if api_key else None
+        )
+        # channel-default message compression ("Gzip" / "Deflate" /
+        # "NoCompression" — reference clients/base/grpc.py:76)
+        self._compression = (
+            getattr(grpc.Compression, compression) if compression else None
+        )
+
+    def _channel(self):
+        return grpc.aio.insecure_channel(
+            self.address, options=_OPTIONS, compression=self._compression
         )
 
     # --- async API ----------------------------------------------------
@@ -79,7 +90,7 @@ class GRPCClient:
 
         chunks = chunk_docs(as_docarray(inputs), request_size)
         responses: List[DataRequest] = []
-        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+        async with self._channel() as ch:
             stub = ch.unary_unary(
                 _PROCESS_DATA,
                 request_serializer=lambda r: r.to_bytes(),
@@ -146,7 +157,7 @@ class GRPCClient:
     async def adry_run(self, timeout: float = 5.0) -> bool:
         from marie_tpu.proto import marie_pb2
 
-        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+        async with self._channel() as ch:
             stub = ch.unary_unary(
                 _DRY_RUN,
                 request_serializer=lambda b: b,
@@ -162,7 +173,7 @@ class GRPCClient:
 
         from marie_tpu.proto import marie_pb2
 
-        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+        async with self._channel() as ch:
             stub = ch.unary_unary(
                 _INFO,
                 request_serializer=lambda b: b,
@@ -192,7 +203,7 @@ class GRPCClient:
                     yield r
 
             requests_iter = _mark(requests_iter)
-        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+        async with self._channel() as ch:
             stub = ch.stream_stream(
                 "/jina.JinaRPC/Call",
                 request_serializer=lambda r: r.to_bytes(),
@@ -221,7 +232,7 @@ class GRPCClient:
         sreq.header.exec_endpoint = on
         sreq.parameters = _json.dumps(parameters or {}).encode()
         sreq.document = doc.to_json().encode()
-        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+        async with self._channel() as ch:
             stub = ch.unary_stream(
                 "/jina.JinaSingleDocumentRequestRPC/stream_doc",
                 request_serializer=lambda m: m.SerializeToString(),
@@ -240,7 +251,7 @@ class GRPCClient:
 
         req = DataRequest.from_docs(DocumentArray(), endpoint="/")
         t0 = _time.perf_counter()
-        async with grpc.aio.insecure_channel(self.address, options=_OPTIONS) as ch:
+        async with self._channel() as ch:
             stub = ch.unary_unary(
                 _PROCESS_DATA,
                 request_serializer=lambda r: r.to_bytes(),

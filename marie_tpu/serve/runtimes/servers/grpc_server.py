@@ -78,6 +78,7 @@ class GRPCServer:
         port: Optional[int] = None,
         host: Optional[str] = None,
         name: str = "grpc",
+        compression: Optional[str] = None,
         **kwargs,
     ):
         from marie_tpu.helper import default_bind_host, random_port
@@ -85,6 +86,11 @@ class GRPCServer:
         self.req_handler = req_handler
         self.port = port or random_port()
         self.host = host or default_bind_host()
+        # server-default response compression ("Gzip"/"Deflate" —
+        # reference grpc server compression arg)
+        self.compression = (
+            getattr(grpc.Compression, compression) if compression else None
+        )
         self.logger = MarieLogger(f"GRPCServer/{name}")
         self.server: Optional[grpc.aio.Server] = None
         self.health = _HealthServicer()
@@ -107,7 +113,9 @@ class GRPCServer:
 
     # ------------------------------------------------------------------
     async def setup_server(self) -> None:
-        self.server = grpc.aio.server(options=_GRPC_OPTIONS)
+        self.server = grpc.aio.server(
+            options=_GRPC_OPTIONS, compression=self.compression
+        )
 
         from marie_tpu.serve.instrumentation import tracing
 

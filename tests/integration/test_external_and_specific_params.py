@@ -56,3 +56,14 @@ def test_executor_specific_parameters():
             target_executor="first",
         )
         assert docs[0].tags["tagged"] == "F"
+
+
+def test_grpc_gzip_compression_roundtrip():
+    """Gzip-compressed client against a gzip-compressed deployment
+    (reference test_grpc_compression)."""
+    from marie_tpu.clients.grpc_client import GRPCClient
+
+    with Deployment(uses=EchoExecutor, name="gz") as dep:
+        client = GRPCClient(port=dep.first_port, compression="Gzip")
+        docs = client.post("/echo", [Document(text="zip" * 2000)])
+        assert docs[0].text == "echo:" + "zip" * 2000

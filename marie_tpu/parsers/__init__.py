@@ -31,9 +31,39 @@ def build_parser() -> argparse.ArgumentParser:
     flow.add_argument("--uses", type=str, required=True)
     flow.add_argument("--port", type=int, default=None)
 
+    # deployment (reference api.py:12 — executor + replicas/shards)
+    deployment = sub.add_parser(
+        "deployment", help="run a deployment (executor with replicas/shards)"
+    )
+    deployment.add_argument("--uses", type=str, required=True)
+    deployment.add_argument("--port", type=int, default=None)
+    deployment.add_argument("--name", type=str, default="deployment")
+    deployment.add_argument("--replicas", type=int, default=1)
+    deployment.add_argument("--shards", type=int, default=1)
+    deployment.add_argument("--polling", type=str, default="all")
+
+    # gateway (reference api.py:92 — entry server over executor addresses)
+    gateway = sub.add_parser(
+        "gateway", help="run a standalone gateway over executor addresses"
+    )
+    gateway.add_argument(
+        "--deployments", type=str, required=True,
+        help='JSON {"name": ["host:port", ...], ...}',
+    )
+    gateway.add_argument(
+        "--graph", type=str, default=None,
+        help="JSON DAG {src: [dst,...]}; default chains all deployments",
+    )
+    gateway.add_argument("--port", type=int, default=None)
+    gateway.add_argument("--protocol", type=str, default="grpc")
+
     # ping
     ping = sub.add_parser("ping", help="health-check a runtime")
     ping.add_argument("host", type=str, help="host:port")
+
+    # dryrun (reference api.py:120)
+    dryrun = sub.add_parser("dryrun", help="flow readiness probe")
+    dryrun.add_argument("host", type=str, help="gateway host:port")
 
     # client
     client = sub.add_parser("client", help="send a request")

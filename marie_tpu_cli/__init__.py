@@ -18,8 +18,14 @@ def main(argv=None) -> int:
         return _executor(args)
     if cmd == "flow":
         return _flow(args)
+    if cmd == "deployment":
+        return _deployment(args)
+    if cmd == "gateway":
+        return _gateway(args)
     if cmd == "ping":
         return _ping(args)
+    if cmd == "dryrun":
+        return _ping(args)  # same probe, reference-named alias
     if cmd == "client":
         return _client(args)
     if cmd == "job":
@@ -66,6 +72,55 @@ def _flow(args) -> int:
     with flow:
         print(f"flow gateway at {flow.gateway_address}", flush=True)
         flow.block()
+    return 0
+
+
+def _deployment(args) -> int:
+    from marie_tpu.orchestrate.deployments import Deployment
+
+    with Deployment(
+        uses=args.uses, name=args.name, port=args.port,
+        replicas=args.replicas, shards=args.shards, polling=args.polling,
+    ) as dep:
+        print(
+            f"deployment {args.name} ({args.replicas}x{args.shards}) "
+            f"serving at {dep.addresses[0]}", flush=True,
+        )
+        dep.block()
+    return 0
+
+
+def _gateway(args) -> int:
+    from marie_tpu.orchestrate.pods import Pod
+
+    deployments = json.loads(args.deployments)
+    if args.graph:
+        graph = json.loads(args.graph)
+    else:
+        names = list(deployments)
+        graph = {"start-gateway": names[:1]}
+        for a, b in zip(names, names[1:]):
+            graph[a] = [b]
+        if names:
+            graph[names[-1]] = ["end-gateway"]
+    pod = Pod(
+        "gateway",
+        graph_representation=graph,
+        executor_addresses=deployments,
+        port=args.port,
+        protocol=args.protocol,
+        name="gateway",
+    ).start()
+    print(f"gateway serving at {pod.address}", flush=True)
+    try:
+        import time
+
+        while pod.is_alive():
+            time.sleep(1)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        pod.close()
     return 0
 
 

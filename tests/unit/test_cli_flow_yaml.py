@@ -17,6 +17,16 @@ def test_parser_tree():
     assert args.job_cmd == "submit"
     args = p.parse_args(["ping", "127.0.0.1:1234"])
     assert args.host == "127.0.0.1:1234"
+    args = p.parse_args(["dryrun", "127.0.0.1:1234"])
+    assert args.cli == "dryrun"
+    args = p.parse_args(
+        ["deployment", "--uses", "pkg.Mod", "--replicas", "2", "--shards", "2"]
+    )
+    assert args.cli == "deployment" and args.replicas == 2
+    args = p.parse_args(
+        ["gateway", "--deployments", '{"a": ["127.0.0.1:1"]}']
+    )
+    assert args.cli == "gateway"
     with pytest.raises(SystemExit):
         p.parse_args(["nonsense"])
 

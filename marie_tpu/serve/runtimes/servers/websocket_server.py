@@ -60,6 +60,36 @@ class WebSocketServer:
                 client_rid = (body.get("header") or {}).get("requestId")
                 if client_rid:
                     req.request_id = str(client_rid)
+                handler_stream = getattr(
+                    self.req_handler, "process_single_doc_stream", None
+                )
+                if body.get("stream") and handler_stream is not None:
+                    # generator-endpoint doc streaming: one message per
+                    # produced document + a done marker (the WS face of
+                    # gRPC stream_doc / HTTP NDJSON /post_stream)
+                    try:
+                        async for doc in handler_stream(req):
+                            await ws.send_json(
+                                {
+                                    "header": {"requestId": req.request_id},
+                                    "doc": doc.to_dict(),
+                                }
+                            )
+                        await ws.send_json(
+                            {
+                                "header": {"requestId": req.request_id},
+                                "done": True,
+                            }
+                        )
+                    except Exception as ex:  # noqa: BLE001
+                        await ws.send_json(
+                            {
+                                "header": {"requestId": req.request_id},
+                                "error": repr(ex),
+                                "done": True,
+                            }
+                        )
+                    return
                 resp = await self.req_handler.process_data([req])
                 await ws.send_json(
                     {

@@ -226,3 +226,51 @@ def test_gateway_multi_hop_stream_doc_falls_back_to_dag():
 
         texts = asyncio.run(drive())
     assert texts == ["AB!"]
+
+
+def test_websocket_doc_streaming():
+    """WS face of doc streaming: {"stream": true} yields one message per
+    produced doc plus a done marker, incrementally."""
+    import aiohttp
+
+    from marie_tpu.serve.runtimes.servers.websocket_server import (
+        WebSocketServer,
+    )
+    from marie_tpu.serve.runtimes.worker.request_handling import (
+        WorkerRequestHandler,
+    )
+
+    async def drive():
+        handler = WorkerRequestHandler(
+            executor=TokenStreamExecutor(), name="ws-stream"
+        )
+        server = WebSocketServer(handler, name="ws-stream")
+        await server.setup_server()
+        try:
+            arrivals = []
+            async with aiohttp.ClientSession() as s:
+                async with s.ws_connect(
+                    f"http://127.0.0.1:{server.port}/"
+                ) as ws:
+                    await ws.send_json(
+                        {
+                            "execEndpoint": "/stream",
+                            "stream": True,
+                            "data": [{"id": "d0", "text": "p q r"}],
+                            "header": {"requestId": "rq1"},
+                        }
+                    )
+                    async for msg in ws:
+                        body = json.loads(msg.data)
+                        if body.get("done"):
+                            break
+                        arrivals.append(
+                            (time.perf_counter(), body["doc"]["text"])
+                        )
+            return arrivals
+        finally:
+            await server.shutdown()
+
+    arrivals = asyncio.run(drive())
+    assert [t for _, t in arrivals] == ["p", "q", "r"]
+    assert arrivals[-1][0] - arrivals[0][0] > 0.05, "WS burst delivery"

@@ -14,6 +14,7 @@ held-out face — never rendered in any trainer):
   ood_noise      — trained font + gaussian noise
   ood_jpeg       — trained font + JPEG q=35 compression
   ood_rotate     — trained font + ±2° rotation
+  ood_lowres     — trained font downscaled 0.6× and back (fax/200-DPI)
 
 Decoders: greedy (default engine), beam-5, voting ensemble ('best').
 
@@ -80,6 +81,15 @@ def make_pages(n, seed=0, font="sans", perturb=None):
             buf = io.BytesIO()
             Image.fromarray(page).save(buf, "JPEG", quality=35)
             page = np.asarray(Image.open(buf).convert("RGB"))
+        elif perturb == "lowres":
+            # 200-DPI-fax style: downscale to 60% and back (bilinear) —
+            # glyph edges soften, x-height shrinks below training sizes
+            small = Image.fromarray(page).resize(
+                (int(PAGE_W * 0.6), int(PAGE_H * 0.6)), Image.BILINEAR
+            )
+            page = np.asarray(
+                small.resize((PAGE_W, PAGE_H), Image.BILINEAR)
+            )
         elif perturb == "rotate":
             angle = float(rng.uniform(-2.0, 2.0))
             rot = Image.fromarray(page).rotate(
@@ -116,6 +126,7 @@ DISTRIBUTIONS = {
     "ood_noise": dict(font="sans", perturb="noise"),
     "ood_jpeg": dict(font="sans", perturb="jpeg"),
     "ood_rotate": dict(font="sans", perturb="rotate"),
+    "ood_lowres": dict(font="sans", perturb="lowres"),
 }
 
 

@@ -49,6 +49,7 @@ class SyntheticWordDataset:
         font_sizes: Tuple[int, ...] = (18, 24, 30),
         noise: float = 0.03,
         rotate_deg: float = 0.0,
+        lowres_p: float = 0.25,
     ):
         self.cfg = config
         self.tokenizer = tokenizer or CharTokenizer()
@@ -61,6 +62,11 @@ class SyntheticWordDataset:
         # carry the tilt INSIDE the crop (the detector box stays axis-
         # aligned) — the round-3 fast2 stack's one OOD regression
         self.rotate_deg = rotate_deg
+        # resolution augmentation: fax/200-DPI scans reach the recognizer
+        # as SOFT glyphs (the page was downscaled before detection); with
+        # probability lowres_p the crop is degraded by a 0.4–0.7×
+        # down/up-scale round trip (oracle ood_lowres analog)
+        self.lowres_p = lowres_p
         self._fonts = self._load_fonts()
 
     _FONT_FILES = (
@@ -134,6 +140,13 @@ class SyntheticWordDataset:
         tight = canvas.crop(
             (bbox[0] - ml, bbox[1] - mt, bbox[2] + mr, bbox[3] + mb)
         )
+        if self.lowres_p > 0 and self.rng.random() < self.lowres_p:
+            f = float(self.rng.uniform(0.4, 0.7))
+            tw0, th0 = tight.size
+            small = tight.resize(
+                (max(1, int(tw0 * f)), max(1, int(th0 * f))), Image.BILINEAR
+            )
+            tight = small.resize((tw0, th0), Image.BILINEAR)
         tw, th = tight.size
         scale = self.h / max(th, 1)
         new_w = max(1, min(int(round(tw * scale)), self.w))
@@ -315,7 +328,15 @@ def train_recognizer_device(
             f"({(time.time() - t0) / done:.3f}s/step)"
         )
 
-    cer = evaluate_cer(model, params, dataset, tokenizer, n_samples=eval_samples)
+    # eval on CLEAN renders (no lowres degradation) — the training-time
+    # augmentation must not blur the reported number
+    eval_dataset = SyntheticWordDataset(
+        config, tokenizer, seed=seed + 9999, noise=0.0,
+        rotate_deg=rotate_deg, lowres_p=0.0,
+    )
+    cer = evaluate_cer(
+        model, params, eval_dataset, tokenizer, n_samples=eval_samples
+    )
     logger.info(f"final CER={cer:.4f} after {steps} steps")
     if checkpoint_path:
         from marie_tpu.registry.checkpoints import save_params

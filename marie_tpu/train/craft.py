@@ -108,6 +108,17 @@ def render_page_with_targets(
         y += int(rng.integers(26, 44))
 
     page = np.asarray(img, np.uint8)
+    # resolution augmentation (25%): fax/200-DPI pages reach detection as
+    # soft glyphs after a downscale — blur the PAGE only (the box targets
+    # are geometric and unchanged); matches the oracle's ood_lowres row
+    if rng.random() < 0.25:
+        f = float(rng.uniform(0.5, 0.75))
+        small = img.resize(
+            (max(1, int(w * f)), max(1, int(h * f))), Image.BILINEAR
+        )
+        page = np.asarray(
+            small.resize((w, h), Image.BILINEAR), np.uint8
+        )
     targets = (np.stack([region, affinity], axis=-1) * 255).astype(np.uint8)
     return page, targets
 

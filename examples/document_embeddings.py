@@ -15,6 +15,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from marie_tpu.utils.platform import honor_jax_platforms  # noqa: E402
+
+honor_jax_platforms()
+
 
 def cos_sim(a: np.ndarray, b: np.ndarray) -> float:
     return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))

@@ -12,6 +12,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from marie_tpu.utils.platform import honor_jax_platforms  # noqa: E402
+
+honor_jax_platforms()
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()

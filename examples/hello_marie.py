@@ -15,6 +15,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from marie_tpu.utils.platform import honor_jax_platforms  # noqa: E402
+
+honor_jax_platforms()
+
 
 def make_demo_page(width: int = 576, height: int = 768) -> np.ndarray:
     # 576x768 fits the smallest page bucket — fastest first compile

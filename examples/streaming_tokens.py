@@ -15,6 +15,10 @@ import time
 
 sys.path.insert(0, ".")
 
+from marie_tpu.utils.platform import honor_jax_platforms  # noqa: E402
+
+honor_jax_platforms()
+
 from marie_tpu.clients.grpc_client import GRPCClient
 from marie_tpu.orchestrate.flow import Flow
 from marie_tpu.serve.executors import BaseExecutor

@@ -62,3 +62,50 @@ def test_unknown_jtype_raises():
 
     with pytest.raises(BadConfigSource):
         JAML.construct({"jtype": "DoesNotExist"})
+
+
+def test_missing_env_without_default_is_none():
+    """Unset vars resolve to None unless a `| default` is given — the
+    documented contract (module docstring), pinned here."""
+    from marie_tpu.jaml import JAML
+
+    cfg = JAML.load_config("key: ${{ ENV.MARIE_DEFINITELY_UNSET_VAR_42 }}\n")
+    assert cfg["key"] is None
+    cfg = JAML.load_config(
+        "key: ${{ ENV.MARIE_DEFINITELY_UNSET_VAR_42 | 7777 }}\n"
+    )
+    assert cfg["key"] in (7777, "7777")
+
+
+def test_context_missing_key_is_none():
+    from marie_tpu.jaml import JAML
+
+    assert JAML.load_config("k: ${{ CONTEXT.nope }}\n", context={})["k"] is None
+
+
+def test_substitution_inside_lists_and_nested_maps(monkeypatch):
+    from marie_tpu.jaml import JAML
+
+    monkeypatch.setenv("MARIE_T_PORT", "5123")
+    cfg = JAML.load_config(
+        "servers:\n"
+        "  - host: a\n"
+        "    port: ${{ ENV.MARIE_T_PORT }}\n"
+        "  - host: b\n"
+        "meta:\n"
+        "  inner:\n"
+        "    v: ${{ CONTEXT.tag }}\n",
+        context={"tag": "blue"},
+    )
+    assert cfg["servers"][0]["port"] in (5123, "5123")
+    assert cfg["meta"]["inner"]["v"] == "blue"
+
+
+def test_malformed_yaml_raises_cleanly():
+    import pytest
+
+    from marie_tpu.jaml import JAML
+
+    with pytest.raises(Exception) as exc_info:
+        JAML.load_config("key: [unclosed\n  - broken")
+    assert "jtype" not in repr(exc_info.value)  # parse error, not construct error

@@ -59,7 +59,53 @@ CREATE TABLE IF NOT EXISTS job_history (
 CREATE TABLE IF NOT EXISTS archive (
   id TEXT PRIMARY KEY, name TEXT, state TEXT, data TEXT, archived_on REAL
 );
+CREATE TABLE IF NOT EXISTS schedule (
+  name TEXT PRIMARY KEY,
+  cron TEXT NOT NULL,
+  data TEXT,
+  created_on REAL,
+  updated_on REAL,
+  last_fired_minute INTEGER DEFAULT -1
+);
 """
+
+
+def _cron_field_matches(field: str, value: int, lo: int, hi: int) -> bool:
+    """One cron field against a value: ``*``, ``*/n``, lists, ranges."""
+    for part in field.split(","):
+        part = part.strip()
+        step = 1
+        if "/" in part:
+            part, _, step_s = part.partition("/")
+            step = int(step_s)
+        if part in ("*", ""):
+            start, end = lo, hi
+        elif "-" in part:
+            a, _, b = part.partition("-")
+            start, end = int(a), int(b)
+        else:
+            start = end = int(part)
+        if start <= value <= end and (value - start) % step == 0:
+            return True
+    return False
+
+
+def cron_matches(expr: str, t: time.struct_time) -> bool:
+    """5-field cron (minute hour day-of-month month day-of-week; dow
+    0=Sunday like pg-boss/vixie cron).  Raises ValueError on malformed
+    expressions."""
+    fields = expr.split()
+    if len(fields) != 5:
+        raise ValueError(f"cron needs 5 fields: {expr!r}")
+    minute, hour, dom, month, dow = fields
+    wday = (t.tm_wday + 1) % 7  # struct_time: Monday=0 → cron Sunday=0
+    return (
+        _cron_field_matches(minute, t.tm_min, 0, 59)
+        and _cron_field_matches(hour, t.tm_hour, 0, 23)
+        and _cron_field_matches(dom, t.tm_mday, 1, 31)
+        and _cron_field_matches(month, t.tm_mon, 1, 12)
+        and _cron_field_matches(dow, wday, 0, 6)
+    )
 
 
 class SqlJobScheduler(JobScheduler):
@@ -338,6 +384,82 @@ class SqlJobScheduler(JobScheduler):
         return [dict(r) for r in rows]
 
     # ------------------------------------------------------------------
+    # cron schedules (pg-boss schedule table — reference fixtures.py:153)
+    def schedule(self, name: str, cron: str, data: Optional[Dict] = None) -> None:
+        """Enqueue a job on ``name`` every time ``cron`` matches (minute
+        granularity, at most once per minute per schedule)."""
+        cron_matches(cron, time.localtime())  # validate eagerly
+        conn = self._conn()
+        with conn:
+            conn.execute(
+                "INSERT INTO schedule (name,cron,data,created_on,updated_on) "
+                "VALUES (?,?,?,?,?) ON CONFLICT(name) DO UPDATE SET "
+                "cron=excluded.cron, data=excluded.data, "
+                "updated_on=excluded.updated_on",
+                (name, cron, json.dumps(data or {}), time.time(), time.time()),
+            )
+
+    def unschedule(self, name: str) -> bool:
+        conn = self._conn()
+        with conn:
+            cur = conn.execute("DELETE FROM schedule WHERE name=?", (name,))
+        return bool(cur.rowcount)
+
+    def schedules(self) -> List[Dict[str, Any]]:
+        rows = self._conn().execute("SELECT * FROM schedule").fetchall()
+        return [dict(r) for r in rows]
+
+    def _run_schedules(self, now: Optional[float] = None) -> int:
+        """Fire due schedules (called from the monitor loop); returns the
+        number of jobs enqueued."""
+        now = now if now is not None else time.time()
+        minute = int(now // 60)
+        t = time.localtime(now)
+        conn = self._conn()
+        fired = 0
+        with conn:
+            for row in conn.execute("SELECT * FROM schedule").fetchall():
+                if row["last_fired_minute"] == minute:
+                    continue
+                try:
+                    due = cron_matches(row["cron"], t)
+                except ValueError:
+                    continue
+                if not due:
+                    continue
+                cur = conn.execute(
+                    "UPDATE schedule SET last_fired_minute=? "
+                    "WHERE name=? AND last_fired_minute!=?",
+                    (minute, row["name"], minute),
+                )
+                if cur.rowcount == 0:  # another process fired this minute
+                    continue
+                import uuid
+
+                job_id = uuid.uuid4().hex
+                conn.execute(
+                    "INSERT INTO job (id,name,priority,state,retry_limit,"
+                    "retry_count,retry_delay,retry_backoff,start_after,"
+                    "expire_in_seconds,data,created_on,dead_letter,keep_until) "
+                    "VALUES (?,?,0,?,2,0,1.0,1,0,0,?,?,NULL,0)",
+                    (
+                        job_id,
+                        row["name"],
+                        WorkState.CREATED.value,
+                        row["data"],
+                        now,
+                    ),
+                )
+                self._history(
+                    conn, job_id, WorkState.CREATED.value,
+                    f"cron {row['cron']}",
+                )
+                fired += 1
+        if fired:
+            self._poll_interval = POLL_MIN
+        return fired
+
+    # ------------------------------------------------------------------
     async def _poll_loop(self) -> None:
         """Adaptive polling: 1.25s when busy, backing off to 16s idle."""
         while self._running:
@@ -382,6 +504,7 @@ class SqlJobScheduler(JobScheduler):
         """Maintenance: expire overdue active jobs, archive old terminals."""
         while self._running:
             try:
+                self._run_schedules()
                 conn = self._conn()
                 now = time.time()
                 with conn:

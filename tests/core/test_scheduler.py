@@ -246,3 +246,51 @@ async def test_keep_until_blocks_archive(sched):
             conn.execute("DELETE FROM job WHERE id=?", (r["id"],))
     assert await sched.get_job(keep_id) is not None
     assert await sched.get_job(gone_id) is None
+
+
+def test_cron_matching():
+    """5-field cron semantics (pg-boss schedule table, fixtures.py:153)."""
+    from marie_tpu.scheduler.sql import cron_matches
+
+    t = time.struct_time((2026, 8, 18, 14, 30, 0, 1, 230, -1))  # Tue 14:30
+    assert cron_matches("* * * * *", t)
+    assert cron_matches("30 14 * * *", t)
+    assert not cron_matches("31 14 * * *", t)
+    assert cron_matches("*/15 * * * *", t)  # 30 % 15 == 0
+    assert not cron_matches("*/7 * * * *", t)
+    assert cron_matches("30 14 18 8 *", t)
+    assert not cron_matches("30 14 19 8 *", t)
+    assert cron_matches("* * * * 2", t)  # Tuesday (0=Sunday)
+    assert not cron_matches("* * * * 0", t)
+    assert cron_matches("0-45 9-17 * * 1-5", t)
+    with pytest.raises(ValueError):
+        cron_matches("* * *", t)
+
+
+async def test_schedule_fires_and_dedupes_within_minute(sched):
+    sched.schedule("nightly", "* * * * *", data={"task": "sweep"})
+    assert [s["name"] for s in sched.schedules()] == ["nightly"]
+
+    now = time.time()
+    assert sched._run_schedules(now) == 1
+    # same minute: no double fire
+    assert sched._run_schedules(now + 1) == 0
+    # next minute: fires again
+    assert sched._run_schedules(now + 61) == 1
+
+    got = sched.fetch_next("nightly")
+    assert got is not None and got.data == {"task": "sweep"}
+    assert "cron" in sched.job_history(got.id)[0]["detail"]
+
+    assert sched.unschedule("nightly")
+    assert sched._run_schedules(now + 300) == 0
+
+
+async def test_schedule_upsert_and_validation(sched):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sched.schedule("bad", "not a cron")
+    sched.schedule("s1", "0 9 * * *")
+    sched.schedule("s1", "0 10 * * *")  # upsert replaces
+    assert sched.schedules()[0]["cron"] == "0 10 * * *"

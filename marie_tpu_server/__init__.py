@@ -332,6 +332,29 @@ async def _run_control_plane(
     for probe in ("/api/document/status", "/api/ner/status",
                   "/api/overlay/status"):
         app.router.add_get(probe, capability_status)
+    async def schedule_put(request):
+        """Cron schedules over the wire (pg-boss schedule semantics)."""
+        body = await request.json()
+        try:
+            scheduler.schedule(
+                body["queue"], body["cron"], data=body.get("data") or {}
+            )
+        except (KeyError, ValueError) as ex:
+            return web.json_response({"error": repr(ex)}, status=400)
+        return web.json_response({"status": "ok"})
+
+    async def schedule_list(request):
+        return web.json_response({"schedules": scheduler.schedules()})
+
+    async def schedule_delete(request):
+        ok = scheduler.unschedule(request.match_info["name"])
+        if not ok:
+            return web.json_response({"error": "not found"}, status=404)
+        return web.json_response({"status": "ok"})
+
+    app.router.add_post("/api/schedules", schedule_put)
+    app.router.add_get("/api/schedules", schedule_list)
+    app.router.add_delete("/api/schedules/{name}", schedule_delete)
     app.router.add_post("/api/jobs/submit", submit)
     app.router.add_get("/api/jobs", list_jobs)
     app.router.add_get("/api/jobs/{job_id}", job_info)

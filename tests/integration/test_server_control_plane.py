@@ -199,3 +199,64 @@ async def test_capability_rest_facades(tmp_path):
                 await cp_task
             except asyncio.CancelledError:
                 pass
+
+
+async def test_schedule_rest_api(tmp_path):
+    """Cron schedules over REST: create, list, delete; a '* * * * *'
+    schedule enqueues a job the monitor loop picks up."""
+    from tests.integration.executors import EchoExecutor
+
+    with Flow().add(uses=EchoExecutor, name="echo") as f:
+        rest_port = random_port()
+        cp_task = asyncio.create_task(
+            _run_control_plane(f, rest_port, state_dir=str(tmp_path))
+        )
+        base = f"http://127.0.0.1:{rest_port}"
+        try:
+            async with aiohttp.ClientSession() as session:
+                for _ in range(50):
+                    try:
+                        async with session.get(f"{base}/health/status") as r:
+                            if r.status == 200:
+                                break
+                    except aiohttp.ClientError:
+                        pass
+                    await asyncio.sleep(0.1)
+
+                async with session.post(
+                    f"{base}/api/schedules",
+                    json={"queue": "default", "cron": "* * * * *",
+                          "data": {"entrypoint": "/echo"}},
+                ) as r:
+                    assert r.status == 200, await r.text()
+                async with session.post(
+                    f"{base}/api/schedules",
+                    json={"queue": "bad", "cron": "nope"},
+                ) as r:
+                    assert r.status == 400
+                async with session.get(f"{base}/api/schedules") as r:
+                    names = [s["name"] for s in (await r.json())["schedules"]]
+                    assert names == ["default"]
+
+                # the monitor loop fires within its interval; a job for
+                # queue 'default' must appear
+                seen = False
+                for _ in range(120):
+                    async with session.get(f"{base}/api/jobs") as r:
+                        jobs = (await r.json())["jobs"]
+                    if any(j["name"] == "default" for j in jobs):
+                        seen = True
+                        break
+                    await asyncio.sleep(0.25)
+                assert seen, "cron schedule never enqueued a job"
+
+                async with session.delete(f"{base}/api/schedules/default") as r:
+                    assert r.status == 200
+                async with session.get(f"{base}/api/schedules") as r:
+                    assert (await r.json())["schedules"] == []
+        finally:
+            cp_task.cancel()
+            try:
+                await cp_task
+            except asyncio.CancelledError:
+                pass

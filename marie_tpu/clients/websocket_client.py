@@ -132,6 +132,42 @@ class WebSocketClient:
                 out.append(d)
         return out
 
+    async def astream_doc(
+        self,
+        on: str,
+        doc: Document,
+        parameters: Optional[Dict[str, Any]] = None,
+    ):
+        """One document in → a stream of documents out, yielded as the
+        generator endpoint produces them (the WS face of gRPC
+        ``stream_doc``: a ``{"stream": true}`` message followed by one
+        response message per doc and a ``done`` marker)."""
+        import json as _json
+
+        import aiohttp
+
+        async with aiohttp.ClientSession(headers=self._headers) as session:
+            async with session.ws_connect(
+                self.url, max_msg_size=64 * 1024 * 1024
+            ) as ws:
+                await ws.send_json(
+                    {
+                        "execEndpoint": on,
+                        "stream": True,
+                        "data": [doc.to_dict()],
+                        "parameters": parameters or {},
+                    }
+                )
+                async for msg in ws:
+                    body = _json.loads(msg.data)
+                    if body.get("error"):
+                        from marie_tpu.excepts import BadServer
+
+                        raise BadServer(body["error"])
+                    if body.get("done"):
+                        return
+                    yield Document.from_dict(body["doc"])
+
     def post(self, on: str = "/", inputs=None, **kwargs):
         return run_async(self.apost(on=on, inputs=inputs, **kwargs))
 

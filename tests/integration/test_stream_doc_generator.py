@@ -274,3 +274,34 @@ def test_websocket_doc_streaming():
     arrivals = asyncio.run(drive())
     assert [t for _, t in arrivals] == ["p", "q", "r"]
     assert arrivals[-1][0] - arrivals[0][0] > 0.05, "WS burst delivery"
+
+
+def test_ws_client_astream_doc_surface():
+    """WebSocketClient.astream_doc mirrors the gRPC client surface."""
+    from marie_tpu.clients.websocket_client import WebSocketClient
+    from marie_tpu.serve.runtimes.servers.websocket_server import (
+        WebSocketServer,
+    )
+    from marie_tpu.serve.runtimes.worker.request_handling import (
+        WorkerRequestHandler,
+    )
+    from marie_tpu.types.docs import Document
+
+    async def drive():
+        server = WebSocketServer(
+            WorkerRequestHandler(executor=TokenStreamExecutor(), name="wsc"),
+            name="wsc",
+        )
+        await server.setup_server()
+        try:
+            client = WebSocketClient(port=server.port)
+            return [
+                d.text
+                async for d in client.astream_doc(
+                    "/stream", Document(id="d0", text="u v w")
+                )
+            ]
+        finally:
+            await server.shutdown()
+
+    assert asyncio.run(drive()) == ["u", "v", "w"]

@@ -9,8 +9,6 @@ reference's ``runtime_conf`` shape (``page_classifier.enabled`` …).
 """
 
 import os
-import shutil
-from datetime import datetime
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 import numpy as np
@@ -19,6 +17,14 @@ from marie_tpu.enums import CoordinateFormat, PSMode
 from marie_tpu.helper import ensure_exists
 from marie_tpu.logging_core import MDC, TimeContext
 from marie_tpu.ocr.ocr_engine import OcrEngine
+from marie_tpu.pipe.assets import (
+    burst_frames,
+    get_file_count,
+    restore_assets,
+    save_frame,
+    split_filename,
+    store_assets,
+)
 from marie_tpu.pipe.base_pipeline import BasePipeline
 from marie_tpu.utils.image_utils import ensure_max_page_size, hash_frames_fast
 
@@ -68,9 +74,10 @@ class ExtractPipeline(BasePipeline):
 
         checksum = hash_frames_fast(frames)
         root_asset_dir = os.path.join(self.work_dir, checksum)
-        if os.path.exists(root_asset_dir):
-            ts = datetime.now().strftime("%Y%m%d%H%M%S")
-            shutil.move(root_asset_dir, f"{root_asset_dir}-{ts}")
+        # the asset dir is checksum-keyed and REUSED across runs of the
+        # same document: stages whose outputs already exist are skipped
+        # (pipeline-level idempotence — reference
+        # extract_pipeline.py:163-173,325)
         ensure_exists(root_asset_dir)
 
         MDC.put("request_id", job_id or checksum[:8])
@@ -122,6 +129,12 @@ class ExtractPipeline(BasePipeline):
         # clamp oversized pages (reference ensure_max_page_size)
         frames = [ensure_max_page_size(f)[0] for f in frames]
 
+        # restore prior-run assets from primary storage (best-effort) and
+        # burst pages to numbered files (skip when counts match) —
+        # reference extract_pipeline.py:325-339
+        restore_assets(ref_id, ref_type, root_asset_dir)
+        burst_frames(ref_id, frames, root_asset_dir)
+
         if boundary_enabled and self.boundary_processor is not None:
             with TimeContext("boundary", self.logger):
                 boundary_meta = []
@@ -133,8 +146,7 @@ class ExtractPipeline(BasePipeline):
 
         clean_frames = frames
         if cleaner_enabled and self.overlay_processor is not None:
-            with TimeContext("overlay-cleanup", self.logger):
-                clean_frames = self.overlay_processor.segment_batch(frames)
+            clean_frames = self._segment(ref_id, frames, root_asset_dir)
 
         with TimeContext("ocr", self.logger):
             ocr_results = self.ocr_engine.extract(
@@ -163,7 +175,50 @@ class ExtractPipeline(BasePipeline):
             self._render_artifacts(frames, ocr_results, root_asset_dir)
         self._pack_assets(clean_frames, metadata, root_asset_dir)
         metadata["assets"] = self._asset_listing(root_asset_dir)
+        # mirror the asset tree to primary storage so a future run of the
+        # same ref can restore + skip (reference extract_pipeline.py:385)
+        store_assets(ref_id, ref_type, root_asset_dir)
         return metadata
+
+    # ------------------------------------------------------------------
+    def _segment(
+        self, ref_id: str, frames: List[np.ndarray], root_asset_dir: str
+    ) -> List[np.ndarray]:
+        """Overlay cleanup with per-page persistence: clean pages are
+        written to ``clean/`` and, when a prior run (local or restored)
+        already produced one file per page, loaded from disk instead of
+        re-running the GAN (reference skip-on-count-match,
+        ``extract_pipeline.py:163-173``)."""
+        clean_dir = ensure_exists(os.path.join(root_asset_dir, "clean"))
+        _, prefix, _ = split_filename(ref_id)
+        names = [f"{prefix}_{i:05d}.png" for i in range(len(frames))]
+        if get_file_count(clean_dir) == len(frames):
+            try:
+                from PIL import Image
+
+                restored = []
+                files = sorted(
+                    n for n in os.listdir(clean_dir)
+                    if os.path.isfile(os.path.join(clean_dir, n))
+                )
+                for name, ref_frame in zip(files, frames):
+                    img = Image.open(os.path.join(clean_dir, name))
+                    # match the incoming frame's channel layout
+                    img = img.convert("L" if np.asarray(ref_frame).ndim == 2 else "RGB")
+                    restored.append(np.asarray(img))
+                if len(restored) == len(frames):
+                    self.logger.info(f"Skipping segmentation for {ref_id}")
+                    return restored
+            except Exception as ex:  # noqa: BLE001 — fall through to re-run
+                self.logger.warning(f"clean-asset restore failed: {ex!r}")
+        with TimeContext("overlay-cleanup", self.logger):
+            clean_frames = self.overlay_processor.segment_batch(frames)
+        for name, cf in zip(names, clean_frames):
+            try:
+                save_frame(np.asarray(cf), os.path.join(clean_dir, name))
+            except Exception as ex:  # noqa: BLE001 — persistence is best-effort
+                self.logger.warning(f"clean-asset save failed: {ex!r}")
+        return list(clean_frames)
 
     def _pack_assets(self, frames, metadata, root_asset_dir: str) -> None:
         """Pack the processed pages as one multi-page TIFF + metadata JSON

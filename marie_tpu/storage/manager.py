@@ -5,6 +5,7 @@ Parity with the reference (``/root/reference/marie/storage/manager.py:17,199``):
 the manager routes read/write/copy/exists/list/mkdir to the handler.
 """
 
+import fnmatch
 import os
 import shutil
 from abc import ABC, abstractmethod
@@ -44,6 +45,11 @@ class PathHandler(ABC):
     def write_from_file(self, local_path: str, path: str) -> None:
         with open(local_path, "rb") as fp:
             self.write_bytes(path, fp.read())
+
+    def ping(self) -> bool:
+        """Cheap reachability probe; handlers backed by remote services
+        override this (e.g. S3 HeadBucket)."""
+        return True
 
 
 class StorageManager:
@@ -105,6 +111,92 @@ class StorageManager:
     @classmethod
     def copy(cls, src: str, dst: str) -> None:
         cls.write(dst, cls.read(src))
+
+    @classmethod
+    def ensure_connection(
+        cls, prefix: str, silence_exceptions: bool = False
+    ) -> bool:
+        """True iff a handler is registered for ``prefix`` and reachable
+        (reference ``StorageManager.ensure_connection``,
+        ``/root/reference/marie/storage/__init__.py``)."""
+        try:
+            handler = cls._handlers.get(prefix)
+            if handler is None:
+                for p, h in cls._handlers.items():
+                    if prefix.startswith(p):
+                        handler = h
+                        break
+            if handler is None:
+                raise StorageError(f"no storage handler for prefix {prefix!r}")
+            if not handler.ping():
+                raise StorageError(f"storage backend unreachable: {prefix!r}")
+            return True
+        except Exception:
+            if silence_exceptions:
+                return False
+            raise
+
+    @classmethod
+    def copy_dir(
+        cls,
+        local_dir: str,
+        remote_base: str,
+        relative_to_dir: Optional[str] = None,
+        match_wildcard: str = "*",
+    ) -> List[str]:
+        """Upload every file under ``local_dir`` whose relative path
+        matches ``match_wildcard`` to ``remote_base`` (reference
+        ``StorageManager.copy_dir`` semantics used by ``store_assets``,
+        ``/root/reference/marie/pipe/components.py:502``)."""
+        rel_root = relative_to_dir or local_dir
+        stored: List[str] = []
+        for base, _, files in os.walk(local_dir):
+            for name in sorted(files):
+                src = os.path.join(base, name)
+                rel = os.path.relpath(src, rel_root)
+                if not (
+                    fnmatch.fnmatch(rel, match_wildcard)
+                    or fnmatch.fnmatch("/" + rel, match_wildcard)
+                    or fnmatch.fnmatch(name, match_wildcard)
+                ):
+                    continue
+                dst = remote_base.rstrip("/") + "/" + rel.replace(os.sep, "/")
+                cls.write_from_file(src, dst)
+                stored.append(dst)
+        return stored
+
+    @classmethod
+    def copy_remote(
+        cls,
+        remote_base: str,
+        local_dir: str,
+        match_wildcard: str = "*",
+        overwrite: bool = False,
+    ) -> List[str]:
+        """Download every object under ``remote_base`` whose path matches
+        ``match_wildcard`` into ``local_dir``, preserving relative layout
+        (reference ``restore_assets`` path,
+        ``/root/reference/marie/pipe/components.py:450``)."""
+        base = remote_base.rstrip("/")
+        restored: List[str] = []
+        for remote in cls.list(base):
+            rel = remote[len(base):].lstrip("/") if remote.startswith(base) else remote
+            if not rel:
+                continue
+            if not (
+                fnmatch.fnmatch(remote, match_wildcard)
+                or fnmatch.fnmatch(rel, match_wildcard)
+                or fnmatch.fnmatch("/" + rel, match_wildcard)
+            ):
+                continue
+            dst = os.path.join(local_dir, *rel.split("/"))
+            if os.path.exists(dst) and not overwrite:
+                restored.append(dst)
+                continue
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            cls.read_to_file(remote, dst)
+            restored.append(dst)
+        return restored
 
     @classmethod
     def can_handle(cls, path: str) -> bool:

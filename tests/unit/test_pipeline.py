@@ -125,12 +125,13 @@ def test_extract_pipeline_regions(tmp_path):
     assert meta["regions"][0]["id"] == "r1"
 
 
-def test_classification_pipeline(tiny_classifier):
+def test_classification_pipeline(tiny_classifier, tmp_path):
     splitter = LayoutDocumentSplitter(config=LayoutLMConfig.tiny(num_labels=2))
     pipe = ClassificationPipeline(
         ocr_engine=MockOcrEngine(),
         classifiers=[tiny_classifier],
         splitter=splitter,
+        work_dir=str(tmp_path),
     )
     frames = [np.full((300, 400, 3), 255, np.uint8) for _ in range(3)]
     meta = pipe.execute("d", "t", frames)

@@ -108,12 +108,20 @@ class TopologyGraph:
                     return next(r for r in pred_resps if r.is_error())
                 if len(pred_resps) > 1:
                     merged_docs = WorkerRequestHandler.reduce_docs(pred_resps)
+                    WorkerRequestHandler.merge_routes(pred_resps)
                     req = _clone(pred_resps[0])
                     req.docs = merged_docs
                 else:
                     req = pred_resps[0]
             else:
                 req = _clone(request)
+
+            # target_executor is a REGEX over node names: non-matching
+            # nodes are skipped (docs pass through unchanged) without the
+            # request ever leaving the gateway (reference
+            # topology_graph.py:449 `re.match(target_executor_pattern, ...)`)
+            if not _targets(request.target_executor, node):
+                return req
 
             condition = self.node_conditions.get(node)
             if condition:
@@ -156,6 +164,7 @@ class TopologyGraph:
                 return r
         if len(responses) > 1:
             merged = WorkerRequestHandler.reduce_docs(responses)
+            WorkerRequestHandler.merge_routes(responses)
             final = responses[0]
             final.docs = merged
             return final
@@ -176,6 +185,20 @@ class TopologyGraph:
         for n in self.nodes:
             visit(n)
         return order
+
+
+def _targets(pattern: str, node: str) -> bool:
+    """True iff the request's ``target_executor`` pattern addresses this
+    node.  Empty pattern targets everything; a malformed regex falls back
+    to exact-name comparison."""
+    import re
+
+    if not pattern:
+        return True
+    try:
+        return re.match(pattern, node) is not None
+    except re.error:
+        return pattern == node
 
 
 def _clone(req: DataRequest) -> DataRequest:

@@ -213,6 +213,21 @@ class WorkerRequestHandler:
                     merged.append(doc)
         return merged
 
+    @staticmethod
+    def merge_routes(requests: Sequence[DataRequest]) -> None:
+        """Merge the routes of a request matrix into the first request so
+        the response carries every executor hop that produced it, deduped
+        by executor (reference ``merge_routes``,
+        ``request_handling.py:855``)."""
+        if len(requests) <= 1:
+            return
+        seen = {r.executor for r in requests[0].routes}
+        for request in requests[1:]:
+            for route in request.routes:
+                if route.executor not in seen:
+                    requests[0].proto.routes.add().CopyFrom(route)
+                    seen.add(route.executor)
+
     async def process_data(
         self, requests: Sequence[DataRequest]
     ) -> DataRequest:
@@ -225,12 +240,14 @@ class WorkerRequestHandler:
         await self._record_job(job_id, "started")
         try:
             target = req.target_executor
-            if target and target != self.name:
+            if target and not _target_matches(target, self.name):
                 return req  # not addressed to us — pass through
 
-            docs = (
-                self.reduce_docs(requests) if len(requests) > 1 else req.docs
-            )
+            if len(requests) > 1:
+                docs = self.reduce_docs(requests)
+                self.merge_routes(requests)
+            else:
+                docs = req.docs
             endpoint = req.exec_endpoint
             if self._executor.is_generator_endpoint(endpoint):
                 # mirror the reference's "endpoint must be generator"
@@ -357,6 +374,18 @@ class WorkerRequestHandler:
         for q in self._batch_queues.values():
             await q.close()
         self._executor.close()
+
+
+def _target_matches(pattern: str, name: str) -> bool:
+    """``target_executor`` is a regex over executor names (reference
+    gateway semantics, ``topology_graph.py:449``); a malformed pattern
+    degrades to exact comparison."""
+    import re
+
+    try:
+        return re.match(pattern, name) is not None
+    except re.error:
+        return pattern == name
 
 
 def _clone_request(req: DataRequest, docs: DocumentArray) -> DataRequest:

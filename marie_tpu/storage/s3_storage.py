@@ -157,6 +157,20 @@ class S3StorageHandler(PathHandler):
         return urllib.request.urlopen(req, timeout=self.timeout)
 
     # --- PathHandler ------------------------------------------------------
+    def ping(self) -> bool:
+        """Reachability probe used by ``StorageManager.ensure_connection``
+        (reference ``ensure_connection("s3://")`` before every asset
+        restore/store): HEAD the configured bucket; any HTTP answer —
+        including 403/404 — proves the endpoint is reachable."""
+        bucket = os.environ.get("MARIE_S3_BUCKET", "marie")
+        try:
+            with self._request("HEAD", bucket):
+                return True
+        except urllib.error.HTTPError:
+            return True  # endpoint answered; auth/bucket issues surface later
+        except (urllib.error.URLError, OSError):
+            return False
+
     def exists(self, path: str) -> bool:
         bucket, key = self._split(path)
         try:

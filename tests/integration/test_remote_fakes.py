@@ -120,6 +120,17 @@ def _handler(endpoint):
     )
 
 
+def test_s3_ping(fake_s3):
+    # live endpoint answers (even 403/404) -> reachable
+    assert _handler(fake_s3).ping() is True
+    # dead endpoint -> unreachable, no raise
+    dead = S3StorageHandler(
+        endpoint_url="http://127.0.0.1:1", access_key="k", secret_key="s"
+    )
+    dead.timeout = 0.5
+    assert dead.ping() is False
+
+
 def test_s3_roundtrip(fake_s3):
     h = _handler(fake_s3)
     assert not h.exists("s3://bucket/a/b.txt")

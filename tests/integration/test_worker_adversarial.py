@@ -101,3 +101,43 @@ def test_empty_request_is_valid():
     resp = asyncio.run(handler.process_data([_req(texts=())]))
     assert len(resp.docs) == 0
     assert not resp.is_error()
+
+
+def test_target_executor_regex_matches_worker():
+    """target_executor is a REGEX over executor names (reference gateway
+    topology_graph.py:449): a pattern covering this worker's name runs
+    the endpoint; a non-matching pattern passes through."""
+    handler = WorkerRequestHandler(uses=EchoExecutor, name="adv-echo")
+    req = _req(texts=("hit",))
+    req.target_executor = "adv-.*"
+    resp = asyncio.run(handler.process_data([req]))
+    assert [d.text for d in resp.docs] == ["echo:hit"]
+
+    req2 = _req(texts=("miss",))
+    req2.target_executor = "^other-.*"
+    resp2 = asyncio.run(handler.process_data([req2]))
+    assert [d.text for d in resp2.docs] == ["miss"]
+
+
+def test_target_executor_malformed_regex_falls_back_to_exact():
+    handler = WorkerRequestHandler(uses=EchoExecutor, name="adv[echo")
+    req = _req(texts=("x",))
+    req.target_executor = "adv[echo"  # invalid regex, exact name match
+    resp = asyncio.run(handler.process_data([req]))
+    assert [d.text for d in resp.docs] == ["echo:x"]
+
+
+def test_matrix_merge_routes_dedupes_by_executor():
+    """Routes from every predecessor request survive the matrix reduce,
+    deduped by executor (reference merge_routes, request_handling.py:855)."""
+    handler = WorkerRequestHandler(uses=EchoExecutor, name="adv-echo")
+    r1 = _req(texts=("x",), ids=("i1",))
+    r1.add_route("upstream-a", "t0", "t1")
+    r2 = _req(texts=("y",), ids=("i2",))
+    r2.add_route("upstream-b", "t0", "t1")
+    r2.add_route("upstream-a", "t0", "t1")  # duplicate executor
+    resp = asyncio.run(handler.process_data([r1, r2]))
+    names = [r.executor for r in resp.routes]
+    assert names.count("upstream-a") == 1
+    assert "upstream-b" in names
+    assert "adv-echo" in names  # this hop appended its own route

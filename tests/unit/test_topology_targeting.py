@@ -1,0 +1,86 @@
+"""Gateway DAG targeting + route merging (reference
+``topology_graph.py:449`` regex target_executor skip and
+``request_handling.py:855`` merge_routes)."""
+
+import asyncio
+
+from marie_tpu.serve.runtimes.gateway.topology_graph import TopologyGraph
+from marie_tpu.types.docs import Document, DocumentArray
+from marie_tpu.types.request import DataRequest
+
+
+class RecordingPool:
+    """Fake connection pool: tags each doc with the deployments it
+    visited and records every send."""
+
+    def __init__(self):
+        self.sent = []
+
+    async def send_requests_once(self, requests, deployment, timeout=None):
+        self.sent.append(deployment)
+        req = requests[0]
+        for d in req.docs:
+            d.tags["path"] = d.tags.get("path", "") + f">{deployment}"
+        req.add_route(deployment, "t0", "t1")
+        return req
+
+
+def _req(target=""):
+    req = DataRequest.from_docs(
+        DocumentArray([Document(id="d0", text="x")]), endpoint="/e"
+    )
+    if target:
+        req.target_executor = target
+    return req
+
+
+def _graph():
+    # start -> a -> (b, c) -> d -> end
+    return TopologyGraph(
+        {
+            "start-gateway": ["a"],
+            "a": ["b", "c"],
+            "b": ["d"],
+            "c": ["d"],
+            "d": ["end-gateway"],
+        }
+    )
+
+
+def test_no_target_visits_all_nodes():
+    pool = RecordingPool()
+    resp = asyncio.run(_graph().stream(_req(), pool))
+    assert sorted(pool.sent) == ["a", "b", "c", "d"]
+    assert resp.docs[0].tags["path"].startswith(">a")
+
+
+def test_regex_target_skips_nonmatching_nodes_at_gateway():
+    pool = RecordingPool()
+    resp = asyncio.run(_graph().stream(_req(target="^(a|b)$"), pool))
+    # c and d are skipped WITHOUT a network send; docs still flow through
+    assert sorted(pool.sent) == ["a", "b"]
+    assert resp.docs[0].tags["path"] == ">a>b"
+
+
+def test_exact_target_single_node():
+    pool = RecordingPool()
+    resp = asyncio.run(_graph().stream(_req(target="^c$"), pool))
+    assert pool.sent == ["c"]
+    assert resp.docs[0].tags["path"] == ">c"
+
+
+def test_malformed_target_regex_degrades_to_exact():
+    pool = RecordingPool()
+    graph = TopologyGraph({"start-gateway": ["a[x"], "a[x": ["end-gateway"]})
+    resp = asyncio.run(graph.stream(_req(target="a[x"), pool))
+    assert pool.sent == ["a[x"]
+    assert resp.docs[0].tags["path"] == ">a[x"
+
+
+def test_join_merges_routes_from_both_branches():
+    pool = RecordingPool()
+    resp = asyncio.run(_graph().stream(_req(), pool))
+    names = [r.executor for r in resp.routes]
+    # every hop shows up exactly once despite the b/c join reduce
+    for hop in ("a", "b", "c", "d"):
+        assert names.count(hop) == 1, names

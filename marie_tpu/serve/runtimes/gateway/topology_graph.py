@@ -31,6 +31,10 @@ class TopologyGraph:
         self.graph = {k: list(v) for k, v in graph_description.items()}
         self.floating = set(floating_deployments or [])
         self.node_conditions = dict(node_conditions or {})
+        # lazily-discovered endpoint sets per node (reference populates
+        # node.endpoints via JinaDiscoverEndpointsRPC and skips nodes
+        # that don't serve the requested endpoint, topology_graph.py:435)
+        self._endpoints_cache: Dict[str, Optional[set]] = {}
         # normalize: collect all node names
         names = set()
         for src, dsts in self.graph.items():
@@ -123,6 +127,17 @@ class TopologyGraph:
             if not _targets(request.target_executor, node):
                 return req
 
+            # endpoint filtering: skip nodes that don't serve the
+            # requested endpoint (and have no /default catch-all) before
+            # any network send (reference topology_graph.py:435-441)
+            eps = await self._node_endpoints(node, connection_pool)
+            if (
+                eps is not None
+                and request.exec_endpoint not in eps
+                and "/default" not in eps
+            ):
+                return req
+
             condition = self.node_conditions.get(node)
             if condition:
                 from marie_tpu.serve.runtimes.gateway.conditions import doc_matches
@@ -169,6 +184,26 @@ class TopologyGraph:
             final.docs = merged
             return final
         return responses[0]
+
+    async def _node_endpoints(
+        self, node: str, connection_pool: GrpcConnectionPool
+    ) -> Optional[set]:
+        """Endpoint set a node serves, discovered once per topology build
+        via the endpoint-discovery RPC.  ``None`` (pool without discovery
+        support, or discovery failed) means "unknown — send anyway"; the
+        worker-side endpoint-mismatch skip remains the safety net."""
+        if node in self._endpoints_cache:
+            return self._endpoints_cache[node]
+        discover = getattr(connection_pool, "send_discover_endpoint", None)
+        eps: Optional[set] = None
+        if discover is not None:
+            try:
+                info = await discover(node)
+                eps = set(info.get("endpoints", []))
+            except Exception:  # noqa: BLE001 — discovery is best-effort
+                eps = None
+        self._endpoints_cache[node] = eps
+        return eps
 
     def _topo_order(self) -> List[str]:
         order: List[str] = []

@@ -249,6 +249,20 @@ class WorkerRequestHandler:
             else:
                 docs = req.docs
             endpoint = req.exec_endpoint
+            if (
+                endpoint not in self._executor.requests
+                and "/default" not in self._executor.requests
+            ):
+                # endpoint mismatch without a default endpoint: SKIP this
+                # executor, docs pass through unchanged (reference
+                # request_handling.py:714-726 — in a flow, only the
+                # executors that serve the endpoint run)
+                self.logger.debug(
+                    f"skip executor: endpoint mismatch {endpoint!r} "
+                    f"(serves {sorted(self._executor.requests)})"
+                )
+                req.docs = docs
+                return req
             if self._executor.is_generator_endpoint(endpoint):
                 # mirror the reference's "endpoint must be generator"
                 # asymmetry (request_handling.py:1052): generator

@@ -44,12 +44,13 @@ def test_executor_error_travels_to_client(echo_deployment):
         client.post("/boom", [Document(text="x")])
 
 
-def test_unknown_endpoint_error(echo_deployment):
-    from marie_tpu.excepts import BadServer
-
+def test_unknown_endpoint_skips_executor(echo_deployment):
+    """Endpoint mismatch without /default is a SKIP, not an error: the
+    docs come back unchanged (reference request_handling.py:714-726 —
+    flow hops that don't serve an endpoint pass the request through)."""
     client = Client(port=echo_deployment.first_port)
-    with pytest.raises(BadServer):
-        client.post("/nope", [Document(text="x")])
+    docs = client.post("/nope", [Document(text="x")])
+    assert docs[0].text == "x"
 
 
 def test_tensor_payload_roundtrip(echo_deployment):

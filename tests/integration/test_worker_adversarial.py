@@ -57,12 +57,15 @@ def test_target_executor_mismatch_passes_through_unmodified():
     assert len(resp.routes) == 0  # pass-through adds no route
 
 
-def test_unknown_endpoint_travels_as_error_envelope():
-    """An unroutable endpoint must produce a response with the error in
-    the envelope — never a raised error that kills the runtime stream."""
+def test_unknown_endpoint_skips_executor():
+    """Endpoint mismatch without a /default endpoint SKIPS the executor —
+    docs pass through unchanged so only the flow hops that serve the
+    endpoint run (reference request_handling.py:714-726)."""
     handler = WorkerRequestHandler(uses=EchoExecutor, name="adv-echo")
-    resp = asyncio.run(handler.process_data([_req(endpoint="/no-such")]))
-    assert resp.is_error()
+    resp = asyncio.run(handler.process_data([_req(endpoint="/no-such",
+                                                  texts=("keep",))]))
+    assert not resp.is_error()
+    assert [d.text for d in resp.docs] == ["keep"]
 
 
 def test_executor_exception_envelope_names_executor():

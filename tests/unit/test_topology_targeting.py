@@ -84,3 +84,51 @@ def test_join_merges_routes_from_both_branches():
     # every hop shows up exactly once despite the b/c join reduce
     for hop in ("a", "b", "c", "d"):
         assert names.count(hop) == 1, names
+
+
+class DiscoveringPool(RecordingPool):
+    """Pool that also answers endpoint discovery (like the real one)."""
+
+    def __init__(self, endpoints_by_node):
+        super().__init__()
+        self.endpoints_by_node = endpoints_by_node
+        self.discoveries = []
+
+    async def send_discover_endpoint(self, deployment, timeout=None):
+        self.discoveries.append(deployment)
+        eps = self.endpoints_by_node.get(deployment)
+        if eps is None:
+            raise RuntimeError("discovery unavailable")
+        return {"endpoints": list(eps), "write_endpoints": [], "schemas": {}}
+
+
+def test_endpoint_filter_skips_nonserving_nodes():
+    """Nodes that don't serve the requested endpoint (and have no
+    /default) are skipped before any send (reference
+    topology_graph.py:435-441)."""
+    pool = DiscoveringPool({
+        "a": ["/e"], "b": ["/other"], "c": ["/default"], "d": ["/e"],
+    })
+    resp = asyncio.run(_graph().stream(_req(), pool))
+    # b doesn't serve /e and has no default -> skipped; c catches all
+    assert sorted(pool.sent) == ["a", "c", "d"]
+    names = [r.executor for r in resp.routes]
+    assert "b" not in names
+
+
+def test_endpoint_discovery_cached_per_topology():
+    pool = DiscoveringPool({"a": ["/e"], "b": ["/e"], "c": ["/e"], "d": ["/e"]})
+    g = _graph()
+    asyncio.run(g.stream(_req(), pool))
+    asyncio.run(g.stream(_req(), pool))
+    # one discovery per node despite two requests
+    assert sorted(pool.discoveries) == ["a", "b", "c", "d"]
+
+
+def test_endpoint_discovery_failure_sends_anyway():
+    pool = DiscoveringPool({"a": ["/e"], "b": None, "c": ["/e"], "d": ["/e"]})
+    resp = asyncio.run(_graph().stream(_req(), pool))
+    # discovery failed for b -> unknown -> sent anyway (worker-side skip
+    # is the safety net)
+    assert sorted(pool.sent) == ["a", "b", "c", "d"]
+    assert resp is not None

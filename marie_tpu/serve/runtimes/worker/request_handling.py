@@ -45,6 +45,14 @@ class WorkerRequestHandler:
         )
         self._m_docs = reg.metric("request_docs", MetricUnit.COUNT, dims)
         self._m_failed = reg.metric("failed_requests", MetricUnit.COUNT, dims)
+        # wire-size observability (reference _record_request_size_ /
+        # _record_response_size_monitoring, request_handling.py:532-585)
+        self._m_req_bytes = reg.metric(
+            "received_request_bytes", MetricUnit.BYTES, dims
+        )
+        self._m_resp_bytes = reg.metric(
+            "sent_response_bytes", MetricUnit.BYTES, dims
+        )
         # per-job bookkeeping KV (reference _record_started/_failed/
         # _successful_job, request_handling.py:1460-1556) — shared sqlite
         # file so the job dashboard stays truthful across worker crashes
@@ -236,6 +244,10 @@ class WorkerRequestHandler:
         MDC.put("request_id", req.request_id)
         start = datetime.now(timezone.utc).isoformat()
         t0 = time.perf_counter()
+        try:
+            self._m_req_bytes.record(sum(r.proto.ByteSize() for r in requests))
+        except Exception:  # noqa: BLE001 — metrics must never break serving
+            pass
         job_id = (req.parameters or {}).get("job_id")
         await self._record_job(job_id, "started")
         try:
@@ -311,6 +323,10 @@ class WorkerRequestHandler:
             )
             self._m_latency.record(time.perf_counter() - t0)
             self._m_docs.record(len(req.docs))
+            try:
+                self._m_resp_bytes.record(req.proto.ByteSize())
+            except Exception:  # noqa: BLE001
+                pass
             await self._record_job(job_id, "successful")
             return req
         except Exception as ex:  # noqa: BLE001 — error travels in the envelope

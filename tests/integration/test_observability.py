@@ -39,6 +39,14 @@ def test_worker_metrics_move_and_render():
         "request_seconds", dimensions={"runtime": "worker", "executor": "obs-echo"}
     ).total_count
     assert after == before + 2
+    # wire-size metrics moved too (reference request/response size
+    # monitoring, request_handling.py:532-585)
+    for name in ("received_request_bytes", "sent_response_bytes"):
+        m = get_registry().metric(
+            name, dimensions={"runtime": "worker", "executor": "obs-echo"}
+        )
+        assert m.total_count >= 2
+        assert m.total > 0
 
 
 def test_worker_failure_counter():

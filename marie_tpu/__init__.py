@@ -39,6 +39,7 @@ _LAZY_ATTRS = {
     "Executor": ("marie_tpu.serve.executors", "BaseExecutor"),
     "BaseExecutor": ("marie_tpu.serve.executors", "BaseExecutor"),
     "requests": ("marie_tpu.serve.executors.decorators", "requests"),
+    "write": ("marie_tpu.serve.executors.decorators", "write"),
     "dynamic_batching": ("marie_tpu.serve.executors.decorators", "dynamic_batching"),
     "monitor": ("marie_tpu.serve.executors.decorators", "monitor"),
     "safely_encoded": ("marie_tpu.serve.executors.decorators", "safely_encoded"),

@@ -142,6 +142,14 @@ class StatefulReplicatedHandler:
         import asyncio
 
         req = requests[0]
+        # only @write endpoints replicate through the consensus log;
+        # reads execute locally on ANY replica (reference @write
+        # semantics, serve/executors/decorators.py:94 — the scalability
+        # point of replicated state).  Executors that declare no write
+        # endpoints keep the conservative replicate-everything behavior.
+        writes = set(self.inner.executor.write_endpoints)
+        if writes and req.exec_endpoint not in writes:
+            return await self.inner.process_data(requests)
         try:
             loop = asyncio.get_running_loop()
             _, result = await loop.run_in_executor(

@@ -51,6 +51,18 @@ class BaseExecutor(JAMLCompatible):
             if cfg:
                 self.dynamic_batching[ep] = dict(cfg)
 
+    @property
+    def write_endpoints(self) -> list:
+        """Endpoints marked ``@write`` — the ones a stateful deployment
+        replicates through RAFT (reference ``write_endpoints``,
+        ``serve/executors/__init__.py:573``)."""
+        out = []
+        for ep, fn in self.requests.items():
+            target = getattr(fn, "__func__", fn)
+            if getattr(target, "__is_write__", False):
+                out.append(ep)
+        return sorted(out)
+
     # ------------------------------------------------------------------
     @property
     def workspace(self) -> Optional[str]:

@@ -11,7 +11,30 @@ import functools
 import time
 from typing import Callable, Optional, Sequence, Union
 
-__all__ = ["requests", "dynamic_batching", "monitor", "safely_encoded"]
+__all__ = ["requests", "write", "dynamic_batching", "monitor", "safely_encoded"]
+
+
+def write(func: Optional[Callable] = None):
+    """Mark an endpoint as a STATE-CHANGING write: in a stateful
+    (RAFT-replicated) deployment only ``@write`` endpoints go through the
+    consensus log; undecorated endpoints are reads served locally by any
+    replica (reference ``@write``,
+    ``/root/reference/marie/serve/executors/decorators.py:94``).
+
+    Stack under ``@requests``::
+
+        @requests(on="/index")
+        @write
+        def index(self, docs, **kwargs): ...
+    """
+
+    def _decorate(f: Callable) -> Callable:
+        f.__is_write__ = True
+        return f
+
+    if func is not None and callable(func):
+        return _decorate(func)
+    return _decorate
 
 
 def requests(

@@ -386,7 +386,11 @@ class WorkerRequestHandler:
     def endpoints(self) -> Dict[str, Any]:
         """Endpoint discovery payload (JinaDiscoverEndpointsRPC parity)."""
         eps = sorted(self._executor.requests)
-        return {"endpoints": eps, "write_endpoints": [], "schemas": {}}
+        return {
+            "endpoints": eps,
+            "write_endpoints": list(self._executor.write_endpoints),
+            "schemas": {},
+        }
 
     def info(self) -> Dict[str, Any]:
         from marie_tpu.helper import get_full_version

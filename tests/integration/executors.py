@@ -2,7 +2,7 @@
 in an importable module, not inside test functions)."""
 
 from marie_tpu.serve.executors import BaseExecutor
-from marie_tpu.serve.executors.decorators import dynamic_batching, requests
+from marie_tpu.serve.executors.decorators import dynamic_batching, requests, write
 from marie_tpu.types.docs import Document, DocumentArray
 
 
@@ -62,8 +62,16 @@ class SnapshotExecutor(BaseExecutor):
         self.counter = 0
 
     @requests(on="/incr")
+    @write
     def incr(self, docs: DocumentArray, **kwargs):
         self.counter += len(docs)
+        for d in docs:
+            d.tags["counter"] = self.counter
+        return docs
+
+    @requests(on="/count")
+    def count(self, docs: DocumentArray, **kwargs):
+        # READ endpoint: served locally by any replica, never through RAFT
         for d in docs:
             d.tags["counter"] = self.counter
         return docs

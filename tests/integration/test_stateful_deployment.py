@@ -62,3 +62,32 @@ def test_stateful_leader_kill_preserves_state():
         # and keeps advancing
         docs = client.post("/incr", [Document()])
         assert int(docs[0].tags["counter"]) == 5
+
+
+def test_stateful_reads_served_locally_without_consensus():
+    """Undecorated endpoints are READS: any replica answers from local
+    state without a round through the RAFT log, while @write endpoints
+    replicate (reference @write, serve/executors/decorators.py:94)."""
+    flow = Flow().add(
+        uses=SnapshotExecutor, name="counter", replicas=3, stateful=True
+    )
+    with flow:
+        import time
+
+        client = Client(port=flow.port_gateway)
+        for _ in range(3):
+            client.post("/incr", [Document()])
+        # local reads are eventually consistent: followers apply the log
+        # asynchronously, so poll until every replica the pool rotates
+        # through has converged — but reads NEVER error with
+        # "not the leader" (they would under replicate-everything)
+        deadline = time.time() + 15
+        streak = 0
+        while time.time() < deadline and streak < 6:
+            docs = client.post("/count", [Document()])
+            got = int(docs[0].tags["counter"])
+            assert got <= 3, f"read overshot the write count: {got}"
+            streak = streak + 1 if got == 3 else 0
+            if streak == 0:
+                time.sleep(0.3)
+        assert streak == 6, "replicas never converged on local reads"

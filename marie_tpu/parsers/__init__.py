@@ -84,6 +84,25 @@ def build_parser() -> argparse.ArgumentParser:
         elif name != "list":
             p.add_argument("job_id", type=str)
 
+    # new (reference api.py:179 — scaffold a project from a template)
+    new = sub.add_parser("new", help="scaffold a new marie project")
+    new.add_argument("name", type=str, help="project directory to create")
+    new.add_argument(
+        "--type", type=str, default="flow", choices=["flow", "deployment"],
+    )
+
+    # hub (reference: jina/marie hub — executor bundle registry)
+    hub = sub.add_parser("hub", help="executor hub operations")
+    hub_sub = hub.add_subparsers(dest="hub_cmd", required=True)
+    hp = hub_sub.add_parser("push", help="publish an executor bundle")
+    hp.add_argument("path", type=str, help="executor directory (with config.yml)")
+    hp.add_argument("--name", type=str, default=None)
+    hp.add_argument("--version", type=str, default="0.1.0")
+    for name in ("pull", "versions", "manifest"):
+        p = hub_sub.add_parser(name)
+        p.add_argument("ref", type=str, help="executor ref (name[:version])")
+    hub_sub.add_parser("list", help="list local hub bundles")
+
     # check / export / help
     check = sub.add_parser("check", help="environment + device diagnostics")
     export = sub.add_parser("export", help="export flow configs")

@@ -159,21 +159,7 @@ class WorkerRequestHandler:
                         f"{uses}: bundle has no config.yml ({pkg_dir})"
                     )
                 # import the bundle's py_modules so its jtype registers
-                import importlib.util
-
-                import yaml as _yaml
-
-                with open(config) as fp:
-                    cfg = _yaml.safe_load(fp) or {}
-                for mod_rel in cfg.get("py_modules", []) or []:
-                    mod_path = os.path.join(pkg_dir, mod_rel)
-                    mod_name = os.path.splitext(os.path.basename(mod_rel))[0]
-                    spec = importlib.util.spec_from_file_location(
-                        f"marie_hub_{mod_name}", mod_path
-                    )
-                    module = importlib.util.module_from_spec(spec)
-                    sys.modules[spec.name] = module
-                    spec.loader.exec_module(module)
+                _import_py_modules(config)
                 return BaseExecutor.load_config(
                     config, runtime_args=runtime_args, **uses_with
                 )
@@ -189,6 +175,11 @@ class WorkerRequestHandler:
                     )
                 except (ImportError, AttributeError):
                     pass  # fall through to YAML loading for a clear error
+            if os.path.isfile(uses) and uses.endswith((".yml", ".yaml")):
+                # any config.yml may list py_modules to import, relative
+                # to the config file (reference metas.py_modules —
+                # scaffolded projects and hub bundles share the shape)
+                _import_py_modules(uses)
             return BaseExecutor.load_config(
                 uses, runtime_args=runtime_args, **uses_with
             )
@@ -408,6 +399,30 @@ class WorkerRequestHandler:
         for q in self._batch_queues.values():
             await q.close()
         self._executor.close()
+
+
+def _import_py_modules(config_path: str) -> None:
+    """Import the ``py_modules`` a config.yml lists (paths relative to
+    the config file) so their executor classes register for jtype
+    construction (reference metas.py_modules loading)."""
+    import importlib.util
+    import os
+    import sys
+
+    import yaml as _yaml
+
+    with open(config_path) as fp:
+        cfg = _yaml.safe_load(fp) or {}
+    base = os.path.dirname(os.path.abspath(config_path))
+    for mod_rel in cfg.get("py_modules", []) or []:
+        mod_path = os.path.join(base, mod_rel)
+        mod_name = os.path.splitext(os.path.basename(mod_rel))[0]
+        spec = importlib.util.spec_from_file_location(
+            f"marie_pymod_{mod_name}", mod_path
+        )
+        module = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = module
+        spec.loader.exec_module(module)
 
 
 def _target_matches(pattern: str, name: str) -> bool:

@@ -34,7 +34,79 @@ def main(argv=None) -> int:
         return _check(args)
     if cmd == "export":
         return _export(args)
+    if cmd == "new":
+        return _new(args)
+    if cmd == "hub":
+        return _hub(args)
     parser.print_help()
+    return 1
+
+
+def _new(args) -> int:
+    """Scaffold a project from the bundled template (reference
+    ``marie new``, marie_cli/api.py:179)."""
+    import os
+    import shutil
+
+    import marie_tpu
+
+    template_root = os.path.join(
+        os.path.dirname(marie_tpu.__file__), "resources", "project-template",
+        args.type,
+    )
+    target = os.path.abspath(args.name)
+    if os.path.exists(target):
+        print(f"error: {target} already exists")
+        return 1
+    shutil.copytree(template_root, target)
+    print(f"created {args.type} project at {target}")
+    for base, _, files in os.walk(target):
+        for f in sorted(files):
+            print("  ", os.path.relpath(os.path.join(base, f), target))
+    return 0
+
+
+def _hub(args) -> int:
+    """Executor hub operations over the local/remote bundle registry
+    (reference ``marie hub``; hub semantics in marie_tpu/hub.py)."""
+    import json
+    import os
+
+    from marie_tpu.hub import ExecutorHub, parse_hub_ref as _parse
+
+    def parse_hub_ref(ref: str):
+        # the CLI accepts bare `name[:version]`; the library form is
+        # `hub://name[:version]`
+        return _parse(ref if ref.startswith("hub://") else f"hub://{ref}")
+
+    hub = ExecutorHub()
+    cmd = args.hub_cmd
+    if cmd == "push":
+        name = args.name or os.path.basename(os.path.abspath(args.path))
+        bundle = hub.push(args.path, name=name, version=args.version)
+        print(f"pushed {name}:{args.version} -> {bundle}")
+        return 0
+    if cmd == "pull":
+        name, version = parse_hub_ref(args.ref)
+        installed = hub.pull(name, version)
+        print(installed)
+        return 0
+    if cmd == "versions":
+        name, _ = parse_hub_ref(args.ref)
+        for v in hub.versions(name):
+            print(v)
+        return 0
+    if cmd == "manifest":
+        name, version = parse_hub_ref(args.ref)
+        print(json.dumps(hub.manifest(name, version), indent=1, sort_keys=True))
+        return 0
+    if cmd == "list":
+        for entry in hub.list():
+            line = f"{entry['name']}:{entry['version']}"
+            if "sha256" in entry:
+                line += f"  sha256:{entry['sha256'][:12]}"
+            print(line)
+        return 0
     return 1
 
 

@@ -70,11 +70,18 @@ class WorkerRequestHandler:
             self._executor = executor
         else:
             self._executor = self._load_executor(uses, uses_with, name, workspace)
-        self._batch_queues: Dict[str, BatchQueue] = {}
-        for ep, cfg in self._executor.dynamic_batching.items():
-            self._batch_queues[ep] = BatchQueue(
-                self._make_batch_fn(ep), **cfg
-            )
+        # one BatchQueue per (endpoint, parameters) so requests with
+        # different parameters NEVER share a merged batch (reference
+        # _batchqueue_instances[endpoint][param_key],
+        # request_handling.py:739-753); instances materialize lazily per
+        # distinct param set
+        self._batch_queue_config: Dict[str, Dict] = {
+            ep: dict(cfg)
+            for ep, cfg in self._executor.dynamic_batching.items()
+        }
+        self._batch_queues: Dict[str, Dict[str, BatchQueue]] = {
+            ep: {} for ep in self._batch_queue_config
+        }
         self._reload_task = None
         if hot_reload:
             import asyncio
@@ -284,9 +291,15 @@ class WorkerRequestHandler:
                 call_params = {**call_params, **specific}
 
             if endpoint in self._batch_queues:
-                result = await self._batch_queues[endpoint].push(
-                    _clone_request(req, docs)
-                )
+                param_key = json.dumps(call_params, sort_keys=True, default=str)
+                instances = self._batch_queues[endpoint]
+                queue = instances.get(param_key)
+                if queue is None:
+                    queue = instances[param_key] = BatchQueue(
+                        self._make_batch_fn(endpoint),
+                        **self._batch_queue_config[endpoint],
+                    )
+                result = await queue.push(_clone_request(req, docs))
             else:
                 result = await self._executor.__acall__(
                     endpoint, docs, call_params
@@ -396,8 +409,9 @@ class WorkerRequestHandler:
         self._executor.restore(snapshot_file)
 
     async def close(self) -> None:
-        for q in self._batch_queues.values():
-            await q.close()
+        for instances in self._batch_queues.values():
+            for q in instances.values():
+                await q.close()
         self._executor.close()
 
 

@@ -160,3 +160,16 @@ class SleepyExecutor(BaseExecutor):
             _time.sleep(float(d.tags.get("delay", 0)))
             d.text = f"done:{d.text}"
         return docs
+
+
+class ParamBatchExecutor(BaseExecutor):
+    """Tags docs with the parameter value their batch ran with
+    (param-keyed dynamic-batching isolation test)."""
+
+    @requests(on="/pbatch")
+    @dynamic_batching(preferred_batch_size=2, timeout=250)
+    def run(self, docs: DocumentArray, parameters: dict, **kwargs):
+        for d in docs:
+            d.tags["seen"] = parameters.get("v", "?")
+            d.tags["batch"] = len(docs)
+        return docs

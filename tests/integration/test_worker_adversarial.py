@@ -144,3 +144,35 @@ def test_matrix_merge_routes_dedupes_by_executor():
     assert names.count("upstream-a") == 1
     assert "upstream-b" in names
     assert "adv-echo" in names  # this hop appended its own route
+
+
+def test_dynamic_batching_isolates_parameter_sets():
+    """Requests with DIFFERENT parameters never share a merged batch —
+    each runs with its own params (reference param-keyed batch queues,
+    request_handling.py:739-753)."""
+    from tests.integration.executors import ParamBatchExecutor
+
+    handler = WorkerRequestHandler(uses=ParamBatchExecutor, name="pb")
+
+    async def run():
+        ra = _req(endpoint="/pbatch", params={"v": "A"}, texts=("a1", "a2"))
+        rb = _req(endpoint="/pbatch", params={"v": "B"}, texts=("b1", "b2"))
+        return await asyncio.gather(
+            handler.process_data([ra]), handler.process_data([rb])
+        )
+
+    res_a, res_b = asyncio.run(run())
+    assert [d.tags["seen"] for d in res_a.docs] == ["A", "A"]
+    assert [d.tags["seen"] for d in res_b.docs] == ["B", "B"]
+
+    async def run_same():
+        r1 = _req(endpoint="/pbatch", params={"v": "X"}, texts=("x1",))
+        r2 = _req(endpoint="/pbatch", params={"v": "X"}, texts=("x2",))
+        return await asyncio.gather(
+            handler.process_data([r1]), handler.process_data([r2])
+        )
+
+    s1, s2 = asyncio.run(run_same())
+    # equal params DO share a batch (both saw batch size 2)
+    assert int(s1.docs[0].tags["batch"]) == 2
+    assert int(s2.docs[0].tags["batch"]) == 2

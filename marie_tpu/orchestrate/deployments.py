@@ -111,7 +111,11 @@ class Deployment:
             self.head_pod = Pod(
                 "head",
                 shard_addresses=shard_addresses,
-                polling=str(self.polling),
+                # dicts carry per-endpoint polling ({'/index': 'any',
+                # '*': 'all'}); plain modes travel as their string value
+                polling=self.polling
+                if isinstance(self.polling, dict)
+                else str(self.polling),
                 name=f"{self.name}/head",
                 port=self.port,
             ).start()

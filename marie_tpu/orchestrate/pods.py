@@ -81,9 +81,12 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
             HeaderRequestHandler,
         )
 
+        raw_polling = kwargs.get("polling", "all")
         handler = HeaderRequestHandler(
             shard_addresses=kwargs["shard_addresses"],
-            polling=PollingType(kwargs.get("polling", "all")),
+            polling=raw_polling
+            if isinstance(raw_polling, dict)
+            else PollingType(str(raw_polling).lower()),
             name=kwargs.get("name", "head"),
         )
     else:

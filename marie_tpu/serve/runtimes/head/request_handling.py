@@ -35,10 +35,25 @@ class HeaderRequestHandler:
             for addr in addresses:
                 self.connection_pool.add_connection(f"shard-{shard_id}", addr)
         self._rr = 0
+        self._endpoints_cache: Optional[Dict[str, Any]] = None
+
+    def _polling_for(self, endpoint: str) -> PollingType:
+        """Resolve the polling mode for an endpoint: a plain PollingType
+        applies to everything; a dict maps endpoint → mode with ``'*'``
+        as the default (reference per-endpoint polling,
+        ``polling={'/index': 'ANY', '*': 'ALL'}``)."""
+        polling = self.polling
+        if isinstance(polling, dict):
+            mode = polling.get(endpoint, polling.get("*", PollingType.ALL))
+        else:
+            mode = polling
+        if isinstance(mode, str):
+            mode = PollingType[mode.upper()]
+        return mode
 
     async def process_data(self, requests: Sequence[DataRequest]) -> DataRequest:
         req = requests[0]
-        endpoint_polling = self.polling
+        endpoint_polling = self._polling_for(req.exec_endpoint)
         if endpoint_polling == PollingType.ANY:
             shard = self.shards[self._rr % len(self.shards)]
             self._rr += 1
@@ -58,12 +73,29 @@ class HeaderRequestHandler:
             if r.is_error():
                 return r
         merged = WorkerRequestHandler.reduce_docs(responses)
+        WorkerRequestHandler.merge_routes(responses)
         final = responses[0]
         final.docs = merged
         return final
 
-    def endpoints(self) -> Dict[str, Any]:
-        return {"endpoints": ["/"], "write_endpoints": [], "schemas": {}}
+    async def endpoints(self) -> Dict[str, Any]:
+        """Proxy endpoint discovery to the shards (reference head
+        endpoint_discovery forwards to a worker) so a gateway filtering
+        by endpoint sees the REAL surface behind this head.  Falls back
+        to the ``/default`` catch-all when no shard answers — permissive,
+        never filters a reachable deployment out."""
+        if self._endpoints_cache is not None:
+            return self._endpoints_cache
+        for s in self.shards:
+            try:
+                info = await self.connection_pool.send_discover_endpoint(
+                    f"shard-{s}", timeout=5.0
+                )
+                self._endpoints_cache = info
+                return info
+            except Exception:  # noqa: BLE001 — try the next shard
+                continue
+        return {"endpoints": ["/default"], "write_endpoints": [], "schemas": {}}
 
     def info(self) -> Dict[str, Any]:
         from marie_tpu.helper import get_full_version

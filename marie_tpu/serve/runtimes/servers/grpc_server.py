@@ -154,7 +154,11 @@ class GRPCServer:
                 yield await _traced_process(req, context)
 
         async def endpoint_discovery(request, context) -> bytes:
+            import inspect
+
             eps = self.req_handler.endpoints()
+            if inspect.isawaitable(eps):
+                eps = await eps  # head handlers proxy discovery to shards
             proto = marie_pb2.EndpointsProto()
             proto.endpoints.extend(eps["endpoints"])
             proto.write_endpoints.extend(eps.get("write_endpoints", []))

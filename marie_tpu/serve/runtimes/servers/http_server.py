@@ -163,7 +163,12 @@ class HTTPServer:
             return resp
 
         async def endpoints(request):
-            return web.json_response(self.req_handler.endpoints())
+            import inspect
+
+            eps = self.req_handler.endpoints()
+            if inspect.isawaitable(eps):
+                eps = await eps
+            return web.json_response(eps)
 
         async def metrics(request):
             from marie_tpu.metrics import render_prometheus

@@ -173,3 +173,20 @@ class ParamBatchExecutor(BaseExecutor):
             d.tags["seen"] = parameters.get("v", "?")
             d.tags["batch"] = len(docs)
         return docs
+
+
+class ShardIdentityExecutor(BaseExecutor):
+    """Appends one doc identifying this shard process — makes ALL vs ANY
+    polling observable (ALL returns one doc per shard)."""
+
+    @requests(on="/collect")
+    def collect(self, docs: DocumentArray, **kwargs):
+        import os
+
+        return DocumentArray([Document(id=f"shard-{os.getpid()}", text="hit")])
+
+    @requests(on="/one")
+    def one(self, docs: DocumentArray, **kwargs):
+        import os
+
+        return DocumentArray([Document(id=f"one-{os.getpid()}", text="hit")])

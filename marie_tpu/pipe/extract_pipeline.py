@@ -173,7 +173,7 @@ class ExtractPipeline(BasePipeline):
 
         with TimeContext("render", self.logger):
             self._render_artifacts(frames, ocr_results, root_asset_dir)
-        self._pack_assets(clean_frames, metadata, root_asset_dir)
+        self._pack_assets(clean_frames, metadata, root_asset_dir, ref_id)
         metadata["assets"] = self._asset_listing(root_asset_dir)
         # mirror the asset tree to primary storage so a future run of the
         # same ref can restore + skip (reference extract_pipeline.py:385)
@@ -220,11 +220,19 @@ class ExtractPipeline(BasePipeline):
                 self.logger.warning(f"clean-asset save failed: {ex!r}")
         return list(clean_frames)
 
-    def _pack_assets(self, frames, metadata, root_asset_dir: str) -> None:
-        """Pack the processed pages as one multi-page TIFF + metadata JSON
-        (reference ``pack_assets`` :579 — merged G4 TIFF + zips)."""
+    def _pack_assets(
+        self, frames, metadata, root_asset_dir: str, ref_id: str = "doc"
+    ) -> None:
+        """Pack the delivery ``assets/`` dir (reference ``pack_assets``
+        :579-613): adlib XMLs zipped as ``{prefix}.ocr.zip``, blobs as
+        ``{prefix}.blobs.xml.zip``, the cleaned pages merged into one
+        multi-page TIFF (``{prefix}.tif`` + ``{prefix}.tif.clean``), the
+        searchable PDF as ``{prefix}.pdf`` — plus results.tif/results.json
+        at the root for programmatic consumers."""
         import json
+        import shutil
 
+        from marie_tpu.utils.archive import merge_tiff, merge_zip
         from marie_tpu.utils.docs import save_frames_as_tiff
 
         try:
@@ -233,6 +241,30 @@ class ExtractPipeline(BasePipeline):
             )
             with open(os.path.join(root_asset_dir, "results.json"), "w") as fp:
                 json.dump(metadata.get("ocr", []), fp, default=str)
+
+            assets_dir = ensure_exists(os.path.join(root_asset_dir, "assets"))
+            _, prefix, _ = split_filename(ref_id)
+            merge_zip(
+                os.path.join(root_asset_dir, "adlib"),
+                os.path.join(assets_dir, f"{prefix}.ocr.zip"),
+            )
+            merge_zip(
+                os.path.join(root_asset_dir, "blobs"),
+                os.path.join(assets_dir, f"{prefix}.blobs.xml.zip"),
+            )
+            clean_dir = os.path.join(root_asset_dir, "clean")
+            clean_tif = os.path.join(assets_dir, f"{prefix}.tif.clean")
+            if merge_tiff(clean_dir, clean_tif) == 0:
+                # no overlay stage ran — the processed pages stand in
+                shutil.copy(
+                    os.path.join(root_asset_dir, "results.tif"), clean_tif
+                )
+            shutil.copy(
+                clean_tif, os.path.join(assets_dir, f"{prefix}.tif")
+            )
+            pdf = os.path.join(root_asset_dir, "results.pdf")
+            if os.path.exists(pdf):
+                shutil.copy(pdf, os.path.join(assets_dir, f"{prefix}.pdf"))
         except Exception as ex:  # noqa: BLE001 — packing must not fail the job
             self.logger.error(f"pack_assets failed: {ex!r}")
 

@@ -297,3 +297,34 @@ def test_classification_pipeline_ocr_cache(tmp_path, no_s3):
     cache = os.path.join(tmp_path, runs[0], "results", "ocr.json")
     with open(cache) as fp:
         assert isinstance(json.load(fp), list)
+
+
+def test_pack_assets_delivery_layout(tmp_path, no_s3):
+    """The assets/ delivery dir matches the reference layout
+    (pack_assets, extract_pipeline.py:579): adlib+blobs zips, merged
+    clean TIFF (+ .tif copy), PDF copy."""
+    import zipfile
+
+    overlay = CountingOverlay()
+    pipe = ExtractPipeline(
+        ocr_engine=MockOcrEngine(), overlay_processor=overlay,
+        work_dir=str(tmp_path), renderers=("text", "pdf", "blobs", "adlib"),
+    )
+    frames = _frames(2, 128, 128)
+    meta = pipe.execute("claim.tif", "ocr", frames)
+    root = os.path.join(tmp_path, os.listdir(tmp_path)[0])
+    assets = os.path.join(root, "assets")
+    names = sorted(os.listdir(assets))
+    assert names == [
+        "claim.blobs.xml.zip", "claim.ocr.zip", "claim.pdf",
+        "claim.tif", "claim.tif.clean",
+    ], names
+    # the clean TIFF really holds one page per frame
+    from PIL import Image
+
+    img = Image.open(os.path.join(assets, "claim.tif.clean"))
+    assert getattr(img, "n_frames", 1) == 2
+    # zips are valid archives with entries
+    with zipfile.ZipFile(os.path.join(assets, "claim.blobs.xml.zip")) as zf:
+        assert len(zf.namelist()) >= 1
+    assert any("assets" in a for a in meta["assets"])

@@ -262,23 +262,29 @@ async def _run_control_plane(
         ``marie_server/executors/{extract,ner,classifier,overlay}``)."""
 
         async def forwarder(request):
-            import base64 as b64
-
             body = await request.json()
             doc = Document(tags={})
-            if body.get("data"):
-                raw = b64.b64decode(body["data"])
-                from marie_tpu.utils.docs import frames_from_bytes
-
-                frames = frames_from_bytes(raw)
-                doc.tensor = frames[0]
-            elif body.get("uri"):
+            if body.get("uri") and not body.get("data"):
+                # pass the uri through — the executor resolves it
                 doc.uri = body["uri"]
             else:
-                return web.json_response(
-                    {"error": "request needs 'data' (base64) or 'uri'"},
-                    status=400,
-                )
+                # full payload key zoo: data/srcData/srcBase64/srcFile/
+                # srcUrl (reference extract_payload, marie/api:56)
+                from marie_tpu.api.payload import parse_payload_to_frames
+
+                try:
+                    frames, checksum, _ = parse_payload_to_frames(
+                        body, body.get("queue_id", "api")
+                    )
+                except (ValueError, FileNotFoundError) as ex:
+                    return web.json_response(
+                        {"error": str(ex) or
+                         "request needs 'data' (base64) or 'uri'"},
+                        status=400,
+                    )
+                doc.tensor = frames[0]
+                doc.tags["checksum"] = checksum
+                doc.tags["pages"] = len(frames)
             params = {
                 "mode": body.get("mode", "sparse"),
                 "output_format": body.get("output_format", "xywh"),

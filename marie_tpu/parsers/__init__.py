@@ -103,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("ref", type=str, help="executor ref (name[:version])")
     hub_sub.add_parser("list", help="list local hub bundles")
 
+    # help lookup (reference marie_cli/lookup.py — `marie help port`)
+    hlp = sub.add_parser("help", help="look up a CLI argument across commands")
+    hlp.add_argument("query", type=str, help="argument name, e.g. 'port'")
+
     # check / export / help
     check = sub.add_parser("check", help="environment + device diagnostics")
     export = sub.add_parser("export", help="export flow configs")

@@ -34,12 +34,49 @@ def main(argv=None) -> int:
         return _check(args)
     if cmd == "export":
         return _export(args)
+    if cmd == "help":
+        return _help_lookup(args, parser)
     if cmd == "new":
         return _new(args)
     if cmd == "hub":
         return _hub(args)
     parser.print_help()
     return 1
+
+
+def _help_lookup(args, parser) -> int:
+    """Search every subcommand's arguments for ``query`` and print where
+    it appears with its help text (reference ``marie help``,
+    marie_cli/lookup.py lookup_and_print)."""
+    import argparse
+
+    query = args.query.lower().lstrip("-")
+    hits = []
+    for action in parser._subparsers._group_actions:
+        if not isinstance(action, argparse._SubParsersAction):
+            continue
+        for name, sp in action.choices.items():
+            stack = [(name, sp)]
+            while stack:
+                cmd_name, p = stack.pop()
+                for a in p._actions:
+                    if isinstance(a, argparse._SubParsersAction):
+                        stack.extend(
+                            (f"{cmd_name} {n}", s) for n, s in a.choices.items()
+                        )
+                        continue
+                    names = [o.lstrip("-") for o in a.option_strings] or [a.dest]
+                    if any(query == n.lower() for n in names):
+                        flag = ", ".join(a.option_strings) or a.dest
+                        hits.append((cmd_name, flag, a.help or ""))
+    if not hits:
+        print(f"no argument matching {args.query!r} found")
+        return 1
+    for cmd_name, flag, help_text in hits:
+        print(f"marie {cmd_name}  {flag}")
+        if help_text:
+            print(f"    {help_text}")
+    return 0
 
 
 def _new(args) -> int:

@@ -87,3 +87,13 @@ def test_hub_cli_roundtrip(tmp_path):
     installed = r.stdout.strip().splitlines()[-1]
     assert os.path.isdir(installed), installed
     assert os.path.exists(os.path.join(installed, "config.yml"))
+
+
+def test_help_lookup():
+    r = _cli("help", "port")
+    assert r.returncode == 0
+    assert "marie server" in r.stdout and "--port" in r.stdout
+    r = _cli("help", "entrypoint")
+    assert r.returncode == 0 and "job submit" in r.stdout
+    r = _cli("help", "definitely-not-an-arg")
+    assert r.returncode == 1

@@ -158,3 +158,40 @@ def to_kubernetes_yaml(flow, **kwargs) -> str:
 
 def to_docker_compose_yaml(flow, **kwargs) -> str:
     return yaml.safe_dump(flow_to_docker_compose(flow, **kwargs), sort_keys=False)
+
+
+def to_mermaid(flow, direction: str = "LR") -> str:
+    """Render the flow DAG as a mermaid flowchart (reference
+    ``Flow._mermaid_str``, ``orchestrate/flow/base.py:2130`` — the text
+    behind ``Flow.plot()``).  Gateway is the source/sink; replicas and
+    shards annotate the node label."""
+    lines = [f"flowchart {direction}"]
+    lines.append('    gateway([gateway])')
+    graph = flow._graph_representation()
+    names = {n for dsts in graph.values() for n in dsts} | set(graph)
+    names -= {"start-gateway", "end-gateway"}
+    for name in sorted(names):
+        dep = flow._deployments.get(name)
+        label = name
+        if dep is not None:
+            extras = []
+            if getattr(dep, "replicas", 1) > 1:
+                extras.append(f"x{dep.replicas}")
+            if getattr(dep, "shards", 1) > 1:
+                extras.append(f"{dep.shards} shards")
+            if getattr(dep, "external", False):
+                extras.append("external")
+            if extras:
+                label = f"{name}<br/>{' / '.join(extras)}"
+        lines.append(f'    {name}["{label}"]')
+    for src, dsts in sorted(graph.items()):
+        s = "gateway" if src == "start-gateway" else src
+        for dst in dsts:
+            d = "gateway" if dst == "end-gateway" else dst
+            lines.append(f"    {s} --> {d}")
+    # leaves implicitly feed the response
+    for leaf in flow._leaves():
+        edge = f"    {leaf} --> gateway"
+        if edge not in lines:
+            lines.append(edge)
+    return "\n".join(lines)

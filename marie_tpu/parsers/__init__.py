@@ -113,7 +113,8 @@ def build_parser() -> argparse.ArgumentParser:
     export.add_argument("--uses", type=str, default=None)
     export.add_argument(
         "--kind", type=str, default="graph",
-        choices=["graph", "yaml", "kubernetes", "docker-compose", "schema"],
+        choices=["graph", "yaml", "kubernetes", "docker-compose", "schema",
+                 "flowchart"],
     )
     export.add_argument("--namespace", type=str, default="marie")
 

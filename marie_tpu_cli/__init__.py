@@ -321,6 +321,10 @@ def _export(args) -> int:
         from marie_tpu.orchestrate.export import to_docker_compose_yaml
 
         print(to_docker_compose_yaml(flow))
+    elif args.kind == "flowchart":
+        from marie_tpu.orchestrate.export import to_mermaid
+
+        print(to_mermaid(flow))
     else:
         from marie_tpu.jaml import JAML
 

@@ -141,3 +141,29 @@ def test_export_parser_kinds():
         ["export", "--uses", "f.yml", "--kind", "kubernetes", "--namespace", "prod"]
     )
     assert args.kind == "kubernetes" and args.namespace == "prod"
+
+
+def test_flow_mermaid_export():
+    """Flowchart export (reference Flow._mermaid_str / `marie export
+    flowchart`): every deployment is a node, edges follow `needs`,
+    gateway is source and sink, replicas/shards annotate the label."""
+    from marie_tpu.executor.text_extraction_executor import (
+        TextExtractionExecutorMock,
+    )
+    from marie_tpu.orchestrate.export import to_mermaid
+
+    f = (
+        Flow()
+        .add(uses=TextExtractionExecutorMock, name="a", replicas=2)
+        .add(uses=TextExtractionExecutorMock, name="b", needs=["a"])
+        .add(uses=TextExtractionExecutorMock, name="c", needs=["a"], shards=2)
+        .needs_all(name="join")
+    )
+    m = to_mermaid(f)
+    assert m.startswith("flowchart LR")
+    assert 'a["a<br/>x2"]' in m
+    assert 'c["c<br/>2 shards"]' in m
+    assert "    gateway --> a" in m
+    assert "    a --> b" in m and "    a --> c" in m
+    assert "    b --> join" in m and "    c --> join" in m
+    assert "    join --> gateway" in m

@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("ref", type=str, help="executor ref (name[:version])")
     hub_sub.add_parser("list", help="list local hub bundles")
 
+    # shell completions (reference resources/completions)
+    comp = sub.add_parser(
+        "completions", help="emit a shell completion script"
+    )
+    comp.add_argument("shell", type=str, choices=["bash", "zsh"])
+
     # help lookup (reference marie_cli/lookup.py — `marie help port`)
     hlp = sub.add_parser("help", help="look up a CLI argument across commands")
     hlp.add_argument("query", type=str, help="argument name, e.g. 'port'")

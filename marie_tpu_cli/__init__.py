@@ -36,12 +36,82 @@ def main(argv=None) -> int:
         return _export(args)
     if cmd == "help":
         return _help_lookup(args, parser)
+    if cmd == "completions":
+        return _completions(args, parser)
     if cmd == "new":
         return _new(args)
     if cmd == "hub":
         return _hub(args)
     parser.print_help()
     return 1
+
+
+def _cli_tree(parser):
+    """{command: [options...]} for every (possibly nested) subcommand."""
+    import argparse
+
+    tree = {}
+    for action in parser._subparsers._group_actions:
+        if not isinstance(action, argparse._SubParsersAction):
+            continue
+        stack = list(action.choices.items())
+        while stack:
+            name, sp = stack.pop()
+            opts = []
+            for a in sp._actions:
+                if isinstance(a, argparse._SubParsersAction):
+                    stack.extend((f"{name} {n}", s) for n, s in a.choices.items())
+                    opts.extend(a.choices)
+                    continue
+                opts.extend(a.option_strings)
+            tree[name] = sorted(set(opts))
+    return tree
+
+
+def _completions(args, parser) -> int:
+    """Emit a bash/zsh completion script generated from the live parser
+    tree (reference ships static scripts in resources/completions)."""
+    tree = _cli_tree(parser)
+    top = sorted(k for k in tree if " " not in k)
+    if args.shell == "bash":
+        cases = "\n".join(
+            f'    {name.split()[-1]}) opts="{" ".join(opts)}" ;;'
+            for name, opts in sorted(tree.items())
+            if " " not in name
+        )
+        print(f"""# bash completion for marie — source this file
+_marie_complete() {{
+  local cur prev opts
+  cur="${{COMP_WORDS[COMP_CWORD]}}"
+  if [[ $COMP_CWORD -eq 1 ]]; then
+    COMPREPLY=( $(compgen -W "{" ".join(top)}" -- "$cur") )
+    return 0
+  fi
+  case "${{COMP_WORDS[1]}}" in
+{cases}
+    *) opts="" ;;
+  esac
+  COMPREPLY=( $(compgen -W "$opts" -- "$cur") )
+}}
+complete -F _marie_complete marie""")
+    else:  # zsh
+        cases = "\n".join(
+            f'    {name}) _values "options" {" ".join(opts) or "-h"} ;;'
+            for name, opts in sorted(tree.items())
+            if " " not in name
+        )
+        print(f"""#compdef marie
+_marie() {{
+  if (( CURRENT == 2 )); then
+    _values "command" {" ".join(top)}
+    return
+  fi
+  case "$words[2]" in
+{cases}
+  esac
+}}
+_marie "$@" """)
+    return 0
 
 
 def _help_lookup(args, parser) -> int:

@@ -97,3 +97,23 @@ def test_help_lookup():
     assert r.returncode == 0 and "job submit" in r.stdout
     r = _cli("help", "definitely-not-an-arg")
     assert r.returncode == 1
+
+
+def test_completions_bash_script_works():
+    r = _cli("completions", "bash")
+    assert r.returncode == 0
+    script = r.stdout
+    # the generated function really completes under bash
+    probe = (
+        script
+        + '\nCOMP_WORDS=(marie se); COMP_CWORD=1; _marie_complete; echo "${COMPREPLY[@]}"'
+        + '\nCOMP_WORDS=(marie server --po); COMP_CWORD=2; _marie_complete; echo "${COMPREPLY[@]}"'
+    )
+    out = subprocess.run(["bash", "-c", probe], capture_output=True,
+                         text=True, timeout=30)
+    lines = out.stdout.strip().splitlines()
+    assert lines[-2] == "server"
+    assert lines[-1] == "--port"
+    # zsh variant emits a compdef script
+    rz = _cli("completions", "zsh")
+    assert rz.returncode == 0 and rz.stdout.startswith("#compdef marie")

@@ -104,6 +104,21 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
     )
 
     async def _serve():
+        # SIGTERM/SIGINT become a graceful stop; handlers install BEFORE
+        # readiness is signalled so a terminate() racing startup still
+        # takes the graceful path (deregistration + server shutdown +
+        # executor close always run — reference runtime signal handling,
+        # serve/runtimes/asyncio.py)
+        import signal
+
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except (NotImplementedError, RuntimeError):
+                pass
+
         await runtime.server.setup_server()
         if runtime.port_monitoring:
             await runtime._start_monitoring()
@@ -114,6 +129,7 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
         )[0].port
         # self-register with discovery (reference: workers hold etcd leases)
         discovery_client = None
+        discovery_key = None
         if kwargs.get("discovery_address"):
             import json
 
@@ -121,19 +137,43 @@ def _pod_main(kind: str, kwargs: Dict[str, Any], ready_event, port_value) -> Non
 
             discovery_client = DiscoveryClient(kwargs["discovery_address"])
             deployment = kwargs.get("deployment", kwargs.get("name", kind))
-            key = f"gateway/{deployment}/{kwargs.get('name', kind)}"
+            discovery_key = f"gateway/{deployment}/{kwargs.get('name', kind)}"
             await discovery_client.register(
-                key,
+                discovery_key,
                 json.dumps({"address": f"127.0.0.1:{port_value.value}"}),
                 ttl=6.0,
             )
         ready_event.set()
         try:
-            await runtime.server.run_server()
+            serve_task = asyncio.create_task(runtime.server.run_server())
+            stop_task = asyncio.create_task(stop.wait())
+            done, pending = await asyncio.wait(
+                [serve_task, stop_task], return_when=asyncio.FIRST_COMPLETED
+            )
+            for t in pending:
+                t.cancel()
+            # let cancellation finish before tearing the server down —
+            # a half-cancelled wait_for_termination corrupts grpc's stop
+            await asyncio.gather(*pending, return_exceptions=True)
+            if serve_task in done:
+                serve_task.result()  # surface server crashes
         finally:
             if discovery_client is not None:
+                # graceful shutdown DEREGISTERS immediately so the
+                # gateway reroutes now instead of after lease expiry
+                # (crash paths still rely on the TTL reaper)
+                try:
+                    await discovery_client.delete(discovery_key)
+                except Exception:  # noqa: BLE001 — registry may be gone
+                    pass
                 await discovery_client.close()
-            await runtime.server.shutdown()
+            try:
+                await runtime.server.shutdown()
+            except (Exception, asyncio.CancelledError):  # noqa: BLE001 —
+                # teardown must not mask a clean exit: cancelling the
+                # grpc wait_for_termination task cancels grpc's shared
+                # shutdown future, so stop() re-raises CancelledError
+                pass
             if hasattr(handler, "close"):
                 await handler.close()
 

@@ -151,3 +151,39 @@ async def test_websocket_server_roundtrip():
                 assert "error" in msg
     finally:
         await server.shutdown()
+
+
+async def test_pod_deregisters_on_graceful_shutdown():
+    """A cleanly-stopped pod deletes its discovery key immediately —
+    the gateway reroutes now, not after lease expiry (crashes still
+    rely on the TTL reaper)."""
+    import time
+
+    from marie_tpu.orchestrate.pods import Pod
+
+    disc = DiscoveryServer()
+    await disc.start()
+    client = DiscoveryClient(disc.address)
+    pod = None
+    try:
+        pod = Pod(
+            "worker", uses=EchoExecutor, name="r1", deployment="dereg",
+            discovery_address=disc.address,
+        )
+        await asyncio.to_thread(pod.start)
+        keys = await client.get_prefix("gateway/dereg/")
+        assert "gateway/dereg/r1" in keys
+
+        await asyncio.to_thread(pod.close)  # SIGTERM -> graceful stop
+        deadline = time.time() + 3.0  # well under repeated-keepalive TTL
+        while time.time() < deadline:
+            keys = await client.get_prefix("gateway/dereg/")
+            if "gateway/dereg/r1" not in keys:
+                break
+            await asyncio.sleep(0.1)
+        assert "gateway/dereg/r1" not in keys
+    finally:
+        if pod is not None:
+            pod.close()
+        await client.close()
+        await disc.stop()

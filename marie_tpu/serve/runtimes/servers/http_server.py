@@ -49,6 +49,7 @@ class HTTPServer:
         host: Optional[str] = None,
         name: str = "http",
         extra_routes=None,
+        cors: bool = False,
         **kwargs,
     ):
         from marie_tpu.helper import default_bind_host, random_port
@@ -59,6 +60,8 @@ class HTTPServer:
         self.logger = MarieLogger(f"HTTPServer/{name}")
         self._runner = None
         self._extra_routes = extra_routes or []
+        self.cors = cors
+        self.name = name
 
     async def setup_server(self) -> None:
         from aiohttp import web
@@ -179,22 +182,131 @@ class HTTPServer:
                 charset="utf-8",
             )
 
+        async def openapi(request):
+            return web.json_response(await self._openapi_spec())
+
         app.router.add_get("/", index)
         app.router.add_get("/health", health)
         app.router.add_get("/dry_run", dry_run)
         app.router.add_get("/status", status)
         app.router.add_get("/endpoints", endpoints)
         app.router.add_get("/metrics", metrics)
+        app.router.add_get("/openapi.json", openapi)
         app.router.add_post("/post", post)
         app.router.add_post("/post_stream", post_stream)
         for route in self._extra_routes:
             app.router.add_route(route["method"], route["path"], route["handler"])
+
+        if self.cors:
+            # CORS for browser frontends (reference `cors` gateway flag,
+            # http_fastapi_app.py:73 — allow-all, matching its defaults)
+            @web.middleware
+            async def cors_middleware(request, handler):
+                if request.method == "OPTIONS":
+                    resp = web.Response(status=204)
+                else:
+                    resp = await handler(request)
+                resp.headers["Access-Control-Allow-Origin"] = "*"
+                resp.headers["Access-Control-Allow-Methods"] = "*"
+                resp.headers["Access-Control-Allow-Headers"] = "*"
+                return resp
+
+            app.middlewares.append(cors_middleware)
+            # aiohttp routes 405 OPTIONS before middlewares unless a route
+            # exists; add catch-all preflight
+            async def preflight(request):
+                return web.Response(status=204)
+
+            app.router.add_route("OPTIONS", "/{tail:.*}", preflight)
 
         self._runner = web.AppRunner(app)
         await self._runner.setup()
         site = web.TCPSite(self._runner, self.host, self.port)
         await site.start()
         self.logger.debug(f"HTTP server serving on {self.host}:{self.port}")
+
+    async def _openapi_spec(self) -> dict:
+        """OpenAPI 3 document for the REST surface (the reference's
+        FastAPI gateway serves this automatically; here it is built from
+        the live endpoint discovery so execEndpoint enumerates the real
+        exec endpoints)."""
+        import inspect
+
+        eps = self.req_handler.endpoints()
+        if inspect.isawaitable(eps):
+            eps = await eps
+        exec_endpoints = sorted(eps.get("endpoints", []))
+        doc_schema = {
+            "type": "object",
+            "properties": {
+                "id": {"type": "string"},
+                "text": {"type": "string"},
+                "uri": {"type": "string"},
+                "tags": {"type": "object"},
+                "tensor": {"description": "nested list / base64 ndarray"},
+            },
+        }
+        data_request = {
+            "type": "object",
+            "properties": {
+                "execEndpoint": {
+                    "type": "string",
+                    "enum": exec_endpoints or None,
+                },
+                "data": {"type": "array", "items": doc_schema},
+                "parameters": {"type": "object"},
+                "targetExecutor": {
+                    "type": "string",
+                    "description": "regex over executor names",
+                },
+            },
+            "required": ["execEndpoint"],
+        }
+        if not exec_endpoints:
+            data_request["properties"]["execEndpoint"].pop("enum")
+        response = {
+            "type": "object",
+            "properties": {
+                "header": {"type": "object"},
+                "parameters": {"type": "object"},
+                "routes": {"type": "array"},
+                "data": {"type": "array", "items": doc_schema},
+            },
+        }
+        json_of = lambda schema: {  # noqa: E731
+            "content": {"application/json": {"schema": schema}}
+        }
+        return {
+            "openapi": "3.0.3",
+            "info": {"title": f"marie-tpu {self.name}", "version": "1"},
+            "paths": {
+                "/post": {
+                    "post": {
+                        "summary": "process documents through the flow",
+                        "requestBody": json_of(data_request),
+                        "responses": {"200": {"description": "ok",
+                                              **json_of(response)}},
+                    }
+                },
+                "/post_stream": {
+                    "post": {
+                        "summary": "NDJSON document streaming",
+                        "requestBody": json_of(data_request),
+                        "responses": {"200": {"description": "ndjson lines"}},
+                    }
+                },
+                "/dry_run": {"get": {"summary": "flow readiness probe",
+                                     "responses": {"200": {"description": "ready"}}}},
+                "/status": {"get": {"summary": "runtime info",
+                                    "responses": {"200": {"description": "info"}}}},
+                "/endpoints": {"get": {"summary": "exec endpoint discovery",
+                                       "responses": {"200": {"description": "endpoints"}}}},
+                "/metrics": {"get": {"summary": "prometheus exposition",
+                                     "responses": {"200": {"description": "text"}}}},
+                "/health": {"get": {"summary": "liveness",
+                                    "responses": {"200": {"description": "ok"}}}},
+            },
+        }
 
     async def run_server(self) -> None:
         import asyncio

@@ -148,3 +148,48 @@ def test_http_retry_exhaustion_raises():
     # the final 503 is surfaced as a server error once retries exhaust
     with pytest.raises(BadServer, match="HTTP 503"):
         asyncio.new_event_loop().run_until_complete(_run())
+
+
+def test_openapi_and_cors(http_worker):
+    """/openapi.json reflects the live exec endpoints; cors=True adds
+    allow-all headers + preflight (reference FastAPI gateway parity)."""
+    import asyncio as _asyncio
+
+    import aiohttp
+
+    loop, server = http_worker
+
+    async def check_openapi():
+        async with aiohttp.ClientSession() as s:
+            async with s.get(f"http://127.0.0.1:{server.port}/openapi.json") as r:
+                assert r.status == 200
+                spec = await r.json()
+        assert spec["openapi"].startswith("3.")
+        assert "/post" in spec["paths"]
+        enum = spec["paths"]["/post"]["post"]["requestBody"]["content"][
+            "application/json"]["schema"]["properties"]["execEndpoint"]["enum"]
+        assert "/echo" in enum
+
+    loop.run_until_complete(check_openapi())
+
+    async def check_cors():
+        from marie_tpu.serve.runtimes.servers.http_server import HTTPServer
+        from marie_tpu.serve.runtimes.worker.request_handling import (
+            WorkerRequestHandler,
+        )
+        from tests.integration.executors import EchoExecutor
+
+        srv = HTTPServer(WorkerRequestHandler(uses=EchoExecutor, name="c"),
+                         name="cors", cors=True)
+        await srv.setup_server()
+        try:
+            async with aiohttp.ClientSession() as s:
+                async with s.options(f"{srv.address}/post") as r:
+                    assert r.status == 204
+                    assert r.headers["Access-Control-Allow-Origin"] == "*"
+                async with s.get(f"{srv.address}/health") as r:
+                    assert r.headers["Access-Control-Allow-Origin"] == "*"
+        finally:
+            await srv.shutdown()
+
+    _asyncio.new_event_loop().run_until_complete(check_cors())

@@ -52,3 +52,55 @@ class InMemoryVectorStore:
 
     def __len__(self) -> int:
         return len(self._vectors)
+
+
+class PGVectorStore:
+    """DBAPI-backed vector store over a pgvector table (reference
+    ``marie/vectorstores/pgvector/pgvector.py`` — same surface:
+    ``similarity_search[_with_score]`` issuing ``ORDER BY embedding <->``
+    nearest-neighbor SQL).  The connection is injected (any DBAPI conn
+    whose server understands the pgvector operator), so deployments wire
+    psycopg2 in and tests wire a fake."""
+
+    def __init__(self, conn, table: str = "marie_vectors"):
+        self.conn = conn
+        self.table = table
+
+    def ensure_schema(self, dim: int) -> None:
+        with self.conn.cursor() as cur:
+            cur.execute(
+                f"CREATE TABLE IF NOT EXISTS {self.table} "
+                f"(id TEXT PRIMARY KEY, embedding vector({dim}), "
+                "metadata JSONB)"
+            )
+        self.conn.commit()
+
+    def add(self, ids: Sequence[str], vectors, metadata=None) -> None:
+        metadata = metadata or [None] * len(ids)
+        with self.conn.cursor() as cur:
+            for i, (id_, vec) in enumerate(zip(ids, vectors)):
+                cur.execute(
+                    f"INSERT INTO {self.table} (id, embedding, metadata) "
+                    "VALUES (%s, %s, %s) ON CONFLICT (id) DO UPDATE SET "
+                    "embedding = EXCLUDED.embedding, "
+                    "metadata = EXCLUDED.metadata",
+                    (id_, list(np.asarray(vec, dtype=float)), metadata[i]),
+                )
+        self.conn.commit()
+
+    def similarity_search_with_score(
+        self, query_vector, k: int = 5
+    ) -> List[Tuple[str, float]]:
+        """Top-k (id, distance) by pgvector nearest-neighbor order."""
+        with self.conn.cursor() as cur:
+            cur.execute(
+                f"SELECT id, embedding <-> %s AS score FROM {self.table} "
+                "ORDER BY score LIMIT %s",
+                (list(np.asarray(query_vector, dtype=float)), int(k)),
+            )
+            return [(row[0], float(row[1])) for row in cur.fetchall()]
+
+    def similarity_search(self, query_vector, k: int = 5) -> List[str]:
+        return [
+            id_ for id_, _ in self.similarity_search_with_score(query_vector, k)
+        ]

@@ -233,3 +233,75 @@ def test_rabbit_handler_via_toast_registry():
         assert [p[1] for p in channel.published] == ["job.failed"]
     finally:
         Toast._handlers.get("job.", []).clear()
+
+
+# --- pgvector store ----------------------------------------------------------
+
+
+class _FakePgVectorConn:
+    """DBAPI fake understanding the exact SQL shapes PGVectorStore issues
+    (pgvector `<->` = L2 distance, computed in python)."""
+
+    def __init__(self):
+        self.rows = {}  # id -> (vector, metadata)
+        self.committed = 0
+
+    def cursor(self):
+        conn = self
+
+        class _Cur:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def execute(self, sql, params=None):
+                self._result = []
+                if sql.startswith("CREATE TABLE"):
+                    return
+                if sql.startswith("INSERT INTO"):
+                    id_, vec, meta = params
+                    conn.rows[id_] = (list(vec), meta)
+                    return
+                if "ORDER BY score" in sql:
+                    import numpy as _np
+
+                    q = _np.asarray(params[0], dtype=float)
+                    k = params[1]
+                    scored = sorted(
+                        (float(_np.linalg.norm(_np.asarray(v) - q)), i)
+                        for i, (v, _) in conn.rows.items()
+                    )
+                    self._result = [(i, s) for s, i in scored[:k]]
+                    return
+                raise AssertionError(f"unexpected SQL: {sql}")
+
+            def fetchall(self):
+                return self._result
+
+        return _Cur()
+
+    def commit(self):
+        self.committed += 1
+
+
+def test_pgvector_store_roundtrip():
+    from marie_tpu.vectorstores import PGVectorStore
+
+    conn = _FakePgVectorConn()
+    store = PGVectorStore(conn)
+    store.ensure_schema(dim=3)
+    store.add(
+        ["a", "b", "c"],
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.9, 0.1, 0.0]],
+        metadata=["ma", "mb", "mc"],
+    )
+    assert conn.committed >= 2
+    hits = store.similarity_search_with_score([1.0, 0.0, 0.0], k=2)
+    assert [h[0] for h in hits] == ["a", "c"]
+    assert hits[0][1] == 0.0  # exact match distance
+    assert store.similarity_search([0.0, 1.0, 0.0], k=1) == ["b"]
+    # upsert: same id replaces the vector
+    store.add(["a"], [[0.0, 0.0, 1.0]])
+    assert store.similarity_search([0.0, 0.0, 1.0], k=1) == ["a"]

@@ -7,15 +7,22 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from marie_tpu.components.base import PageInput
+from marie_tpu.executor.storage import StorageMixin
 from marie_tpu.serve.executors import BaseExecutor
 from marie_tpu.serve.executors.decorators import requests, safely_encoded
 from marie_tpu.types.docs import DocumentArray
 
 
-class NerExtractionExecutor(BaseExecutor):
+class NerExtractionExecutor(StorageMixin, BaseExecutor):
     def __init__(self, indexer=None, ocr_engine=None, labels=None,
-                 reading_order: Optional[bool] = None, **kwargs):
+                 reading_order: Optional[bool] = None,
+                 storage_enabled: bool = False,
+                 storage_conf: Optional[Dict[str, Any]] = None, **kwargs):
         super().__init__(**kwargs)
+        # result persistence (reference ner_extraction_executor.py:941
+        # `persist` — ner_results StorageDocs after indexing)
+        self.setup_storage(storage_enabled, storage_conf,
+                           silence_exceptions=True)
         # LayoutReader stage (reference ner_extraction_executor applies it
         # between OCR and token classification): the learned ranker of
         # document/layoutreader.py; auto-enabled when the trained
@@ -86,4 +93,20 @@ class NerExtractionExecutor(BaseExecutor):
         results = self.indexer.index(pages)
         for doc, res in zip(docs, results):
             doc.tags["indexer"] = res
+        if self.storage_enabled:
+            from marie_tpu.api.docs import StorageDoc
+
+            ref_id = str(parameters.get(
+                "ref_id", docs[0].id if len(docs) else ""))
+            self.store(
+                ref_id=ref_id,
+                ref_type=str(parameters.get("ref_type", "doc")),
+                store_mode="content",
+                docs=[StorageDoc(
+                    content=results,
+                    tags={"action": "ner", "index": -1,
+                          "type": "ner_results", "ttl": 48 * 60,
+                          "checksum": ref_id},
+                )],
+            )
         return {"status": "succeeded", "entities": results}

@@ -13,6 +13,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from marie_tpu.enums import CoordinateFormat, PSMode
+from marie_tpu.executor.storage import StorageMixin
 from marie_tpu.logging_core import MDC
 from marie_tpu.serve.executors import BaseExecutor
 from marie_tpu.serve.executors.decorators import requests, safely_encoded
@@ -36,15 +37,21 @@ def _frames_from_docs_or_assets(docs: DocumentArray):
     return frames
 
 
-class TextExtractionExecutor(BaseExecutor):
+class TextExtractionExecutor(StorageMixin, BaseExecutor):
     def __init__(
         self,
         pipeline=None,
         ocr_engine: Optional[str] = "default",
         work_dir: str = "/tmp/generators",
+        storage_enabled: bool = False,
+        storage_conf: Optional[Dict[str, Any]] = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
+        # result persistence (reference text_extraction_executor.py:123
+        # wires StorageMixin.setup_storage from the `storage` config key)
+        self.setup_storage(storage_enabled, storage_conf,
+                           silence_exceptions=True)
         if pipeline is None:
             from marie_tpu.ocr.util import get_known_ocr_engines
             from marie_tpu.pipe.extract_pipeline import ExtractPipeline
@@ -93,6 +100,30 @@ class TextExtractionExecutor(BaseExecutor):
                 job_id=job_id,
                 runtime_conf=parameters.get("features", {}) or {},
             )
+            if self.storage_enabled:
+                # persist per-request results (reference
+                # text_extraction_executor.py:291-303 — one StorageDoc
+                # with the extract metadata, store_mode="content")
+                from marie_tpu.api.docs import StorageDoc
+                from marie_tpu.utils.image_utils import hash_frames_fast
+
+                ref_id = str(parameters.get(
+                    "ref_id", docs[0].id if len(docs) else ""))
+                self.store(
+                    ref_id=ref_id,
+                    ref_type=str(parameters.get("ref_type", "doc")),
+                    store_mode="content",
+                    docs=[StorageDoc(
+                        content=metadata,
+                        tags={
+                            "action": "extract",
+                            "index": -1,
+                            "type": "extract_results",
+                            "ttl": 48 * 60,
+                            "checksum": hash_frames_fast(frames),
+                        },
+                    )],
+                )
             return {
                 "status": "succeeded",
                 "runtime_info": {

@@ -36,7 +36,11 @@ def _tfn_detect_jit(model, variables, page_u8, word_threshold, low_text,
     word_affinity = out["word"][0, ..., 1]
     char_map = out["char"][0, ..., 0]
 
-    # word candidates: region|affinity CC (CRAFT post-processing shape)
+    # word candidates: region|affinity CC (CRAFT post-processing shape).
+    # Maps are at cfg.head_stride; the fuse module pools stride-4 P3
+    # features, so component boxes convert to stride-4 units before
+    # fusion (to_p3 = head_stride/4; 1.0 for the classic head).
+    to_p3 = cfg.head_stride / 4.0
     wmask = (word_region > low_text) | (word_affinity > low_text)
     wstats = component_boxes(
         connected_components(wmask), word_region,
@@ -52,18 +56,19 @@ def _tfn_detect_jit(model, variables, page_u8, word_threshold, low_text,
         variables,
         out["p3"][0],
         out["seg_feat"][0],
-        wstats["boxes"].astype(jnp.float32),
+        wstats["boxes"].astype(jnp.float32) * to_p3,
         word_valid,
-        cstats["boxes"].astype(jnp.float32),
+        cstats["boxes"].astype(jnp.float32) * to_p3,
         cstats["valid"],
         method=TextFuseNet.fuse,
     )
     return {
         "boxes": refined,                   # [K,4] xyxy stride-4 grid
-        "heat_boxes": wstats["boxes"],      # [K,4] pre-refinement
+        "heat_boxes": wstats["boxes"] * to_p3,  # [K,4] pre-refinement (/4)
         "scores": score,                    # [K] fused text/noise score
         "heat_scores": wstats["scores"],
-        "areas": wstats["areas"],
+        # areas in stride-4 cells so min_area keeps its meaning
+        "areas": wstats["areas"] * (to_p3 * to_p3),
         "valid": word_valid,
         "char_boxes": cstats["boxes"],
         "char_valid": cstats["valid"],
@@ -81,7 +86,11 @@ class BoxProcessorTextFuseNet(BoxProcessor):
         config: Optional[TextFuseNetConfig] = None,
         variables=None,
         word_threshold: float = 0.6,
-        low_text: float = 0.4,
+        # held-out sweep on the stride-2 checkpoint: recall/precision flat
+        # 0.993-0.997 / 0.997-1.000 across lt 0.2-0.8, peak at 0.6 (the
+        # stride-4 checkpoint needed 0.8 to reach only 0.829 — the d2s
+        # head removed the sensitivity along with the word merging)
+        low_text: float = 0.6,
         char_threshold: float = 0.5,
         fuse_threshold: float = 0.5,
         min_area: int = 4,
@@ -91,13 +100,20 @@ class BoxProcessorTextFuseNet(BoxProcessor):
     ):
         super().__init__(work_dir, models_dir, **kwargs)
         if variables is None and config is None:
-            # default: the in-repo synthetic-trained checkpoint
-            # (scripts/train_textfusenet.py -> model_zoo/textfusenet-synth)
+            # default ladder: stride-2 sub-pixel-head checkpoint when
+            # trained (small-font inter-word gaps quantize below one
+            # stride-4 cell and merge), else the classic stride-4 slot
+            # (scripts/train_textfusenet.py -> model_zoo/textfusenet-*)
             from marie_tpu.registry.zoo import zoo_params
 
-            variables = zoo_params("textfusenet-synth")
-            if variables is not None:
-                config = TextFuseNetConfig.synth()
+            for name, cfg_fn in (
+                ("textfusenet-s2-synth", TextFuseNetConfig.synth_s2),
+                ("textfusenet-synth", TextFuseNetConfig.synth),
+            ):
+                variables = zoo_params(name)
+                if variables is not None:
+                    config = cfg_fn()
+                    break
         self.config = config or TextFuseNetConfig.synth()
         self.model = TextFuseNet(self.config)
         self.word_threshold = word_threshold

@@ -52,10 +52,19 @@ class TextFuseNetConfig:
     max_words: int = 128        # K static word-instance slots
     max_chars: int = 512        # M static char-instance slots
     contain_thresh: float = 0.9  # reference predicate inter/self > 0.9
+    head_stride: int = 4        # word/char map stride: 4 (P3-native) or 2
+    #                             (sub-pixel d2s head — at stride 4 the
+    #                             inter-word gaps of small fonts quantize
+    #                             below one cell and words merge, the same
+    #                             failure measured on the DiT stride-4 head)
 
     @staticmethod
     def synth() -> "TextFuseNetConfig":
         return TextFuseNetConfig()
+
+    @staticmethod
+    def synth_s2() -> "TextFuseNetConfig":
+        return TextFuseNetConfig(head_stride=2)
 
 
 class _FPN(nn.Module):
@@ -96,9 +105,14 @@ class TextFuseNet(nn.Module):
         self.fpn = _FPN(self.cfg)
         # dense branches at /4
         self.word_convs = [ConvBNRelu(c) for _ in range(2)]
-        self.word_out = nn.Conv(2, (1, 1), name="word_logits")   # region+affinity
+        # sub-pixel head: at head_stride 2 each P3 cell predicts its 2x2
+        # phase sub-cells (depth_to_space after the conv) — the stride-2
+        # output grid off the stride-4 feature stack, as in CraftConfig
+        # fast_s2d2
+        r = 4 // self.cfg.head_stride
+        self.word_out = nn.Conv(2 * r * r, (1, 1), name="word_logits")
         self.char_convs = [ConvBNRelu(c) for _ in range(2)]
-        self.char_out = nn.Conv(1, (1, 1), name="char_logits")
+        self.char_out = nn.Conv(1 * r * r, (1, 1), name="char_logits")
         # global seg head: fuse all levels at /4 (seg_head.py:66-77)
         self.seg_lat = [nn.Conv(c, (1, 1)) for _ in range(3)]
         self.seg_convs = [ConvBNRelu(c) for _ in range(2)]
@@ -120,14 +134,26 @@ class TextFuseNet(nn.Module):
         seg_logits [B,h,w,1], seg_feat [B,h,w,C], p3 [B,h,w,C].
         """
         p3, p4, p5 = self.fpn(images, train)
+        r = 4 // self.cfg.head_stride
+
+        def _d2s(logits, nc):
+            # [B,h,w,nc*r*r] -> [B,h*r,w*r,nc] (phase maps to sub-cells)
+            if r == 1:
+                return logits
+            b, hh, ww, _ = logits.shape
+            out = logits.reshape(b, hh, ww, r, r, nc)
+            return out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, r * hh, r * ww, nc
+            )
+
         x = p3
         for conv in self.word_convs:
             x = conv(x, train)
-        word = nn.sigmoid(self.word_out(x))
+        word = nn.sigmoid(_d2s(self.word_out(x), 2))
         x = p3
         for conv in self.char_convs:
             x = conv(x, train)
-        char = nn.sigmoid(self.char_out(x))
+        char = nn.sigmoid(_d2s(self.char_out(x), 1))
         # global fused features: conv1x1 each level, resize to /4, sum
         seg = self.seg_lat[0](p3)
         seg = seg + _resize(self.seg_lat[1](p4), p3.shape[1:3])

@@ -177,14 +177,16 @@ def train_textfusenet_device(
         p = jnp.clip(pred, eps, 1 - eps)
         return -(target * jnp.log(p) + (1 - target) * jnp.log(1 - p)).mean()
 
-    def loss_fn(p, images, t4, wb, wv, cb, cv, key):
+    def loss_fn(p, images, t_head, t_seg4, wb, wv, cb, cv, key):
         out = model.apply(p, images, method=TextFuseNet.dense)
-        l_word = bce(out["word"][..., 0], t4[..., 0]) + bce(
-            out["word"][..., 1], t4[..., 1]
+        l_word = bce(out["word"][..., 0], t_head[..., 0]) + bce(
+            out["word"][..., 1], t_head[..., 1]
         )
-        l_char = bce(out["char"][..., 0], t4[..., 2])
+        l_char = bce(out["char"][..., 0], t_head[..., 2])
+        # the global seg branch stays at stride 4 regardless of the
+        # word/char head stride
         l_seg = optax.sigmoid_binary_cross_entropy(
-            out["seg_logits"][..., 0], t4[..., 3]
+            out["seg_logits"][..., 0], t_seg4
         ).mean()
 
         # refinement: per-sample jittered positives + shuffled negatives
@@ -240,11 +242,15 @@ def train_textfusenet_device(
             images = data["pages"][idx].astype(jnp.float32) / 255.0
             t2 = data["targets"][idx].astype(jnp.float32) / 255.0
             t4 = jax.lax.reduce_window(
-                t2, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+                t2, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                "VALID",
             )
+            # sub-pixel head trains on the native stride-2 targets; the
+            # seg branch is stride-4 either way
+            t_head = t2 if cfg.head_stride == 2 else t4
             loss, grads = jax.value_and_grad(loss_fn)(
-                params, images, t4, data["wb"][idx], data["wv"][idx],
-                data["cb"][idx], data["cv"][idx], kloss,
+                params, images, t_head, t4[..., 3], data["wb"][idx],
+                data["wv"][idx], data["cb"][idx], data["cv"][idx], kloss,
             )
             updates, new_opt = optimizer.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), new_opt), loss

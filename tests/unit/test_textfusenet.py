@@ -161,3 +161,68 @@ def test_renderer_char_supervision():
     )
     contained = (inter / carea[None]) > 0.9
     assert contained.any(axis=0).mean() > 0.95
+
+
+S2_CFG = TextFuseNetConfig(max_words=8, max_chars=16, channels=16,
+                           backbone_widths=(8, 16, 32), head_stride=2)
+
+
+def test_s2_dense_maps_are_stride2():
+    """The sub-pixel head doubles the word/char map resolution while the
+    seg branch and P3 features stay at stride 4."""
+    model = TextFuseNet(S2_CFG)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, method="init_probe")
+    out = model.apply(variables, imgs)
+    assert out["word"].shape == (1, 32, 32, 2)
+    assert out["char"].shape == (1, 32, 32, 1)
+    assert out["seg_logits"].shape == (1, 16, 16, 1)
+    assert out["p3"].shape[1:3] == (16, 16)
+
+
+def test_s2_processor_boxes_in_page_pixels(tmp_path):
+    """Stride-2 components must come back in the SAME page-pixel units
+    as the stride-4 head (the jit converts to stride-4 grid coords
+    before fusion; detect_words multiplies by 4)."""
+    from marie_tpu.boxes.textfusenet_box_processor import (
+        BoxProcessorTextFuseNet,
+    )
+    from marie_tpu.preprocess import BucketSpec
+
+    proc = BoxProcessorTextFuseNet(
+        work_dir=str(tmp_path),
+        config=S2_CFG,
+        page_hw=(64, 64),
+        bucket_spec=BucketSpec(shapes=((64, 64),)),
+        fuse_threshold=0.0,
+        min_area=0,
+        word_threshold=0.0,
+        low_text=0.99,
+    )
+    page = (np.random.default_rng(0).random((60, 60, 3)) * 255).astype(
+        np.uint8
+    )
+    boxes, scores = proc.detect_words(page)
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+    # everything stays inside the page in pixel units
+    if len(boxes):
+        assert (boxes[:, 0] + boxes[:, 2] <= 60 + 1e-3).all()
+        assert (boxes[:, 1] + boxes[:, 3] <= 60 + 1e-3).all()
+
+
+def test_s2_zoo_ladder_prefers_s2_checkpoint():
+    """When the stride-2 slot is trained the processor defaults to it
+    (and must construct with the matching head_stride config)."""
+    from marie_tpu.registry.zoo import zoo_checkpoint
+
+    if zoo_checkpoint("textfusenet-s2-synth") is None:
+        pytest.skip("textfusenet-s2 ckpt not trained")
+    from marie_tpu.boxes.textfusenet_box_processor import (
+        BoxProcessorTextFuseNet,
+    )
+    from marie_tpu.preprocess import BucketSpec
+
+    proc = BoxProcessorTextFuseNet(
+        page_hw=(256, 192), bucket_spec=BucketSpec(shapes=((256, 192),))
+    )
+    assert proc.config.head_stride == 2

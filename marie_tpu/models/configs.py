@@ -32,6 +32,14 @@ class ViTConfig:
     # bucket (stride-4 head at half-res = stride 8 in page pixels — word
     # gaps quantized to <1 cell and every line merged into one component)
     head_stride: int = 4
+    # sub-pixel phase factor (DiT detector): the conv stack upsamples to
+    # head_stride*subpixel and the final 1x1 head predicts subpixel^2
+    # phase maps per channel, depth-to-spaced to head_stride — the same
+    # trick that fixed the TextFuseNet stride-4 head (models/
+    # textfusenet.py) and at subpixel=2/head_stride=1 it halves the
+    # effective page-pixel stride of a downscale-served page without a
+    # full-resolution conv stage
+    subpixel: int = 1
 
     @property
     def patch_hw(self) -> Tuple[int, int]:
@@ -54,6 +62,18 @@ class ViTConfig:
             num_layers=6, num_heads=4, mlp_dim=1024, use_cls_token=False,
             head_stride=2,
         )
+
+    @staticmethod
+    def dit_synth_s1() -> "ViTConfig":
+        """dit_synth with a 2x2 sub-pixel phase head: output grid at
+        stride 1 off the stride-2 conv stack.  A 1024x768 page served
+        downscaled into the 512x384 bucket sees an effective page-pixel
+        stride of 2 instead of 4 — the stride-4 cell size is what capped
+        the classic head's oracle IoU at 0.685 (the same quantization
+        that collapsed CraftConfig.fast_s2 to IoU 0.71 and the stride-4
+        TextFuseNet head to recall 0.723)."""
+        base = ViTConfig.dit_synth()
+        return dataclasses.replace(base, head_stride=1, subpixel=2)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -366,7 +366,8 @@ def _eval_dit(n_pages: int, seed: int):
     from marie_tpu.boxes.dit_box_processor import BoxProcessorUlimDit
     from marie_tpu.registry.zoo import zoo_checkpoint
 
-    if zoo_checkpoint("dit-synth") is None:
+    if (zoo_checkpoint("dit-s1-synth") is None
+            and zoo_checkpoint("dit-synth") is None):
         return None
     proc = BoxProcessorUlimDit()
     pages, truths = make_pages(n_pages, seed=seed, font="sans")

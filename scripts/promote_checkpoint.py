@@ -41,6 +41,7 @@ KINDS = {
     "detector": {"only": "engines", "decoders": "greedy"},
     "boundary": {"only": "boundary", "decoders": "greedy"},
     "textfusenet": {"only": "textfusenet", "decoders": "greedy"},
+    "dit": {"only": "dit", "decoders": "greedy"},
 }
 
 
@@ -100,10 +101,10 @@ def score(kind: str, table: dict):
         if "cer_after_fit_to_page" in row:
             s -= 5.0 * row["cer_after_fit_to_page"]
         return s, row
-    if kind == "textfusenet":
-        row = table.get("detector/textfusenet")
+    if kind in ("textfusenet", "dit"):
+        row = table.get(f"detector/{kind}")
         if not row:
-            raise RuntimeError("no detector/textfusenet row in oracle output")
+            raise RuntimeError(f"no detector/{kind} row in oracle output")
         return (
             row["detection_recall"]
             + 0.5 * row["detection_precision"]

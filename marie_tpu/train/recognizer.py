@@ -49,6 +49,7 @@ class SyntheticWordDataset:
         font_sizes: Tuple[int, ...] = (18, 24, 30),
         noise: float = 0.03,
         rotate_deg: float = 0.0,
+        rotate_p: float = 0.35,
         lowres_p: float = 0.25,
     ):
         self.cfg = config
@@ -60,8 +61,13 @@ class SyntheticWordDataset:
         self.noise = noise
         # baseline-tilt augmentation: serving crops off a ±2° rotated page
         # carry the tilt INSIDE the crop (the detector box stays axis-
-        # aligned) — the round-3 fast2 stack's one OOD regression
+        # aligned) — the round-3 fast2 stack's one OOD regression.
+        # Applied with probability rotate_p, NOT always: an always-on
+        # tilt shifted the whole training distribution and the gate
+        # rejected it (rotate CER 0.0173 -> 0.0025 but serif 0 -> 0.0208,
+        # serif-bold 0.0056 -> 0.0372)
         self.rotate_deg = rotate_deg
+        self.rotate_p = rotate_p
         # resolution augmentation: fax/200-DPI scans reach the recognizer
         # as SOFT glyphs (the page was downscaled before detection); with
         # probability lowres_p the crop is degraded by a 0.4–0.7×
@@ -120,7 +126,7 @@ class SyntheticWordDataset:
         x0, y0 = 20, 20
         draw.text((x0, y0), text, fill=(0, 0, 0), font=font)
         bbox = draw.textbbox((x0, y0), text, font=font)
-        if self.rotate_deg > 0:
+        if self.rotate_deg > 0 and self.rng.random() < self.rotate_p:
             angle = float(self.rng.uniform(-self.rotate_deg, self.rotate_deg))
             cx, cy = (bbox[0] + bbox[2]) / 2.0, (bbox[1] + bbox[3]) / 2.0
             canvas = canvas.rotate(

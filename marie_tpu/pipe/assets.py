@@ -28,6 +28,8 @@ def split_filename(ref_id: str) -> Tuple[str, str, str]:
     """``"sample.tif"`` → ``("sample.tif", "sample", "tif")``
     (reference ``split_filename``)."""
     filename = os.path.basename(ref_id)
+    if not filename:  # degenerate ids like "/" or "dir/" — stay total
+        filename = "doc"
     prefix, _, suffix = filename.rpartition(".")
     if not prefix:  # no dot — the whole name is the prefix
         prefix, suffix = filename, ""

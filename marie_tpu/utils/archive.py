@@ -55,6 +55,12 @@ def merge_tiff(
         return 0
     first, rest = pages[0], pages[1:]
     # explicit format: delivery names like `{prefix}.tif.clean` have no
-    # PIL-recognizable extension
-    first.save(tiff_path, format="TIFF", save_all=True, append_images=rest)
+    # PIL-recognizable extension.  packbits: near-raw encode speed at a
+    # fraction of the bytes (uncompressed gray pages are ~2.4 MB each —
+    # pure disk I/O on the delivery path); G4 for 1-bit pages
+    comp = "group4" if first.mode == "1" else "packbits"
+    first.save(
+        tiff_path, format="TIFF", save_all=True, append_images=rest,
+        compression=comp,
+    )
     return len(pages)

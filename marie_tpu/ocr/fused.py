@@ -90,10 +90,46 @@ def _unpack4(packed_u8: jnp.ndarray) -> jnp.ndarray:
     return nib * jnp.uint8(17)
 
 
-@partial(jax.jit, static_argnames=())
-def _unpack4_page(packed_u8: jnp.ndarray) -> jnp.ndarray:
+def _unpack2(packed_u8: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of :func:`marie_tpu.utils.pack4.pack2`:
+    [..., W//4] 2-bit quads -> [..., W] uint8 (level * 85), same
+    lane-friendly repeat+select formulation as :func:`_unpack4`."""
+    rep = jnp.repeat(packed_u8, 4, axis=-1).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, rep.shape, rep.ndim - 1)
+    lvl = (rep >> ((3 - col % 4) * 2)) & 0x3
+    return (lvl * 85).astype(jnp.uint8)
+
+
+def _norm_pack_bits(packed) -> int:
+    """Normalize the ``packed`` flag: False/None -> 0 (unpacked),
+    True -> 4 (u4, the original bool API), else 2 or 4."""
+    if packed is True:
+        return 4
+    if not packed:
+        return 0
+    bits = int(packed)
+    if bits not in (2, 4):
+        raise ValueError(f"pack bits must be 2 or 4, got {packed!r}")
+    return bits
+
+
+def _unpack_bits(pages_u8: jnp.ndarray, bits: int) -> jnp.ndarray:
+    if bits == 4:
+        return _unpack4(pages_u8)
+    if bits == 2:
+        return _unpack2(pages_u8)
+    return pages_u8
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def _unpack_page(packed_u8: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
     """Standalone unpack for the rare overflow-recognition path."""
-    return _unpack4(packed_u8)
+    return _unpack_bits(packed_u8, bits)
+
+
+# back-compat alias (tests / external callers)
+def _unpack4_page(packed_u8: jnp.ndarray) -> jnp.ndarray:
+    return _unpack_page(packed_u8, bits=4)
 
 
 @partial(
@@ -371,11 +407,12 @@ def _fused_pages_compact(
     from compaction so they neither consume budget nor shift rows.
     """
     if packed:
-        # 4-bit packed grayscale upload ([P, H, W//2], HALF the bytes of
-        # the already-1/3 grayscale path over the host->device link —
-        # the dominant serving cost on bandwidth-limited relays);
-        # unpacked once here, shared by detection and crops
-        pages_u8 = _unpack4(pages_u8)
+        # packed grayscale upload (u4 [P, H, W//2] / u2 [P, H, W//4] —
+        # half / a quarter the bytes of the already-1/3 grayscale path
+        # over the host->device link, the dominant serving cost on
+        # bandwidth-limited relays); unpacked once here, shared by
+        # detection and crops
+        pages_u8 = _unpack_bits(pages_u8, _norm_pack_bits(packed))
     if pages_u8.ndim == 3:
         # grayscale upload: detection needs the 3-channel page, but crops
         # gather from the channel-FREE [P, H, W] stack (well-tiled minor
@@ -487,10 +524,11 @@ def fused_ocr_pages(
     import jax.sharding as jsh
 
     bp, op = box_processor, ocr_processor
+    pack_bits = _norm_pack_bits(packed)
     p = int(pages.shape[0])
     if clip_whs is None:
         h = int(pages.shape[1])
-        w = int(pages.shape[2]) * (2 if packed else 1)
+        w = int(pages.shape[2]) * (8 // pack_bits if pack_bits else 1)
         clip_whs = np.tile(np.asarray([[w, h]], np.float32), (p, 1))
     if total_slots is None:
         total_slots = p * compact_slots
@@ -530,7 +568,7 @@ def fused_ocr_pages(
         float(bp.min_area), float(bp.box_expand),
         bp.max_components, bp.box_source, int(total_slots),
         op.crop_h, op.crop_w, op.compute_dtype, op.decode_steps,
-        bool(pallas_crop), bool(packed),
+        bool(pallas_crop), pack_bits,
     )
 
 
@@ -587,7 +625,7 @@ def _upload_group(preps, group, page_batch, upload_format: str = "u8",
     if _is_grayscale(stack):
         stack = stack[..., 0]  # upload 1/3 the bytes
     t1 = _time.time() if trace else 0.0
-    packed = False
+    packed = 0
     if (
         upload_format == "u4"
         and stack.ndim == 3
@@ -596,7 +634,16 @@ def _upload_group(preps, group, page_batch, upload_format: str = "u8",
         from marie_tpu.utils.pack4 import pack4
 
         stack = pack4(stack)
-        packed = True
+        packed = 4
+    elif (
+        upload_format == "u2"
+        and stack.ndim == 3
+        and stack.shape[-1] % 4 == 0
+    ):
+        from marie_tpu.utils.pack4 import pack2
+
+        stack = pack2(stack)
+        packed = 2
     t2 = _time.time() if trace else 0.0
     clip_np = np.asarray(
         [[preps[k][2][1] * preps[k][1], preps[k][2][0] * preps[k][1]]
@@ -874,7 +921,10 @@ def fused_collect_many(
                 members.append(
                     (stats_i, flat_texts, conf_host, offset, total_slots,
                      lambda s=s: _dev_rgb(
-                         _unpack4_page(pages_dev[s]) if packed
+                         _unpack_page(
+                             pages_dev[s], bits=_norm_pack_bits(packed)
+                         )
+                         if packed
                          else pages_dev[s]
                      ),
                      metas[s][0], metas[s][1], extra)

@@ -34,8 +34,9 @@ from marie_tpu.ocr.fused import (
     _crop_batch,
     _geometric_step_caps,
     _mesh_replicated_params,
+    _norm_pack_bits,
     _pallas_crop_default,
-    _unpack4,
+    _unpack_bits,
 )
 
 
@@ -119,7 +120,7 @@ def _fused_pages_chain(
     ``_fused_pages_compact``; additionally returns per-page class logits
     and per-row NER label ids/scores."""
     if packed:
-        pages_u8 = _unpack4(pages_u8)
+        pages_u8 = _unpack_bits(pages_u8, _norm_pack_bits(packed))
     if pages_u8.ndim == 3:
         crop_src = pages_u8
         pages_u8 = jnp.repeat(pages_u8[..., None], 3, axis=-1)
@@ -231,10 +232,11 @@ def fused_ocr_chain(
     import jax.sharding as jsh
 
     bp, op = box_processor, ocr_processor
+    pack_bits = _norm_pack_bits(packed)
     p = int(pages.shape[0])
     if clip_whs is None:
         h = int(pages.shape[1])
-        w = int(pages.shape[2]) * (2 if packed else 1)
+        w = int(pages.shape[2]) * (8 // pack_bits if pack_bits else 1)
         clip_whs = np.tile(np.asarray([[w, h]], np.float32), (p, 1))
     if total_slots is None:
         total_slots = p * compact_slots
@@ -278,7 +280,7 @@ def fused_ocr_chain(
         float(bp.min_area), float(bp.box_expand),
         bp.max_components, bp.box_source, int(total_slots),
         op.crop_h, op.crop_w, op.compute_dtype, op.decode_steps,
-        bool(pallas_crop), bool(packed),
+        bool(pallas_crop), pack_bits,
         int(seq_cap), int(classifier.config.vocab_size),
         int(classifier.config.max_2d_pos),
     )

@@ -39,7 +39,7 @@ def _load():
                     capture_output=True,
                 )
             lib = ctypes.CDLL(_SO_PATH)
-            for fn in (lib.pack4, lib.unpack4):
+            for fn in (lib.pack4, lib.unpack4, lib.pack2, lib.unpack2):
                 fn.restype = None
                 fn.argtypes = [
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t
@@ -82,4 +82,45 @@ def unpack4_host(packed: np.ndarray) -> np.ndarray:
         hi = ((packed >> 4) * np.uint8(17))
         lo = ((packed & 0xF) * np.uint8(17))
         out = np.stack([hi, lo], axis=-1).reshape(out.shape)
+    return out
+
+
+def pack2(pages: np.ndarray) -> np.ndarray:
+    """[..., W] uint8 (W % 4 == 0) -> [..., W//4] 2-bit packed (rounded).
+
+    Four gray levels (0, 85, 170, 255): a QUARTER of the link bytes.
+    Lossier than :func:`pack4` — the bench's CER/recall columns gate it
+    per stack (``upload_format='u2'``)."""
+    pages = np.ascontiguousarray(pages, dtype=np.uint8)
+    if pages.shape[-1] % 4:
+        raise ValueError(f"last dim must be divisible by 4, got {pages.shape}")
+    out = np.empty(pages.shape[:-1] + (pages.shape[-1] // 4,), np.uint8)
+    try:
+        _load().pack2(
+            pages.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            out.size,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        q = ((pages.astype(np.uint16) + 42) // 85).astype(np.uint8)
+        out = (
+            (q[..., 0::4] << 6) | (q[..., 1::4] << 4)
+            | (q[..., 2::4] << 2) | q[..., 3::4]
+        )
+    return out
+
+
+def unpack2_host(packed: np.ndarray) -> np.ndarray:
+    """Host-side inverse (parity tests): [..., W//4] -> [..., W] uint8."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    out = np.empty(packed.shape[:-1] + (packed.shape[-1] * 4,), np.uint8)
+    try:
+        _load().unpack2(
+            packed.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            packed.size,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        parts = [((packed >> s) & 3) * np.uint8(85) for s in (6, 4, 2, 0)]
+        out = np.stack(parts, axis=-1).reshape(out.shape)
     return out

@@ -38,3 +38,31 @@ void unpack4(const uint8_t* src, uint8_t* dst, size_t n_pairs) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// pack2 — 8-bit -> 2-bit (4 gray levels), four pixels per byte.
+// level = round(v / 85) in 0..3; device reconstructs level * 85.
+// Big-endian within the byte: pixel (4i) takes bits 7-6 ... pixel
+// (4i+3) bits 1-0, matching the device unpack's (3 - col%4)*2 shift.
+void pack2(const uint8_t* src, uint8_t* dst, size_t n_quads) {
+  for (size_t i = 0; i < n_quads; i++) {
+    uint32_t a = ((uint32_t)src[4 * i] + 42) / 85;
+    uint32_t b = ((uint32_t)src[4 * i + 1] + 42) / 85;
+    uint32_t c = ((uint32_t)src[4 * i + 2] + 42) / 85;
+    uint32_t d = ((uint32_t)src[4 * i + 3] + 42) / 85;
+    dst[i] = (uint8_t)((a << 6) | (b << 4) | (c << 2) | d);
+  }
+}
+
+// host-side inverse for parity tests
+void unpack2(const uint8_t* src, uint8_t* dst, size_t n_quads) {
+  for (size_t i = 0; i < n_quads; i++) {
+    dst[4 * i] = (uint8_t)(((src[i] >> 6) & 3) * 85);
+    dst[4 * i + 1] = (uint8_t)(((src[i] >> 4) & 3) * 85);
+    dst[4 * i + 2] = (uint8_t)(((src[i] >> 2) & 3) * 85);
+    dst[4 * i + 3] = (uint8_t)((src[i] & 3) * 85);
+  }
+}
+
+}  // extern "C"

@@ -36,6 +36,17 @@ def _trocr_processor(beam_size: int = 1):
     )
 
 
+def _upload_format() -> str:
+    """Serving default for page upload packing: u4 (4-bit grayscale —
+    half the host->device bytes at <= 8/255 per-pixel error, measured
+    CER-identical across the 8-distribution oracle).  ``MARIE_UPLOAD_FORMAT``
+    pins u8 (lossless) or u2 (quarter bytes, worst-case CER +0.0003 on
+    the oracle, the bench default)."""
+    import os
+
+    return os.environ.get("MARIE_UPLOAD_FORMAT", "u4")
+
+
 def _craft_box_processor():
     """Trained heatmap detector when the checkpoint exists; deterministic
     ink-boxes otherwise (identical compute graph either way)."""
@@ -111,7 +122,8 @@ def get_known_ocr_engines(
             from marie_tpu.ocr.ocr_engine import PipelineOcrEngine
 
             engines["default"] = PipelineOcrEngine(
-                _craft_box_processor(), _trocr_processor(beam_size=1)
+                _craft_box_processor(), _trocr_processor(beam_size=1),
+                upload_format=_upload_format(),
             )
         elif name == "chained":
             from marie_tpu.components.document_classifier import (
@@ -127,6 +139,7 @@ def get_known_ocr_engines(
                 _trocr_processor(beam_size=1),
                 classifier=LayoutDocumentClassifier.from_zoo_chain(),
                 indexer=LayoutDocumentIndexer.from_zoo_chain(),
+                upload_format=_upload_format(),
             )
         elif name == "best":
             from marie_tpu.ocr.voting_ocr_engine import VotingOcrEngine

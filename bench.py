@@ -172,6 +172,11 @@ def stage_breakdown(box, icr, pages, upload_format="u8"):
 
         upload_np = pack2(batch_np)
         packed = 2
+    elif upload_format == "u1" and batch_np.ndim == 3:
+        from marie_tpu.utils.pack4 import pack1
+
+        upload_np = pack1(batch_np)
+        packed = 1
     clip = jnp.asarray(
         [[p[2][1] * p[1], p[2][0] * p[1]] for p in preps], jnp.float32
     )
@@ -685,7 +690,7 @@ def main():
         if up and dev:
             page_mb = (
                 PAGE_H * PAGE_W
-                * {"u4": 0.5, "u2": 0.25}.get(upload_format, 1.0)
+                * {"u4": 0.5, "u2": 0.25, "u1": 0.125}.get(upload_format, 1.0)
                 / 1e6
             )
             pipeline = {

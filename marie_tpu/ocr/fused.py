@@ -100,16 +100,26 @@ def _unpack2(packed_u8: jnp.ndarray) -> jnp.ndarray:
     return (lvl * 85).astype(jnp.uint8)
 
 
+def _unpack1(packed_u8: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of :func:`marie_tpu.utils.pack4.pack1`:
+    [..., W//8] bit-packed -> [..., W] uint8 (bit * 255), same
+    lane-friendly repeat+select formulation as :func:`_unpack4`."""
+    rep = jnp.repeat(packed_u8, 8, axis=-1).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, rep.shape, rep.ndim - 1)
+    bit = (rep >> (7 - col % 8)) & 0x1
+    return (bit * 255).astype(jnp.uint8)
+
+
 def _norm_pack_bits(packed) -> int:
     """Normalize the ``packed`` flag: False/None -> 0 (unpacked),
-    True -> 4 (u4, the original bool API), else 2 or 4."""
+    True -> 4 (u4, the original bool API), else 1, 2 or 4."""
     if packed is True:
         return 4
     if not packed:
         return 0
     bits = int(packed)
-    if bits not in (2, 4):
-        raise ValueError(f"pack bits must be 2 or 4, got {packed!r}")
+    if bits not in (1, 2, 4):
+        raise ValueError(f"pack bits must be 1, 2 or 4, got {packed!r}")
     return bits
 
 
@@ -118,6 +128,8 @@ def _unpack_bits(pages_u8: jnp.ndarray, bits: int) -> jnp.ndarray:
         return _unpack4(pages_u8)
     if bits == 2:
         return _unpack2(pages_u8)
+    if bits == 1:
+        return _unpack1(pages_u8)
     return pages_u8
 
 
@@ -407,11 +419,11 @@ def _fused_pages_compact(
     from compaction so they neither consume budget nor shift rows.
     """
     if packed:
-        # packed grayscale upload (u4 [P, H, W//2] / u2 [P, H, W//4] —
-        # half / a quarter the bytes of the already-1/3 grayscale path
-        # over the host->device link, the dominant serving cost on
-        # bandwidth-limited relays); unpacked once here, shared by
-        # detection and crops
+        # packed grayscale upload (u4 [P, H, W//2] / u2 [P, H, W//4] /
+        # u1 [P, H, W//8] — half / quarter / eighth the bytes of the
+        # already-1/3 grayscale path over the host->device link, the
+        # dominant serving cost on bandwidth-limited relays); unpacked
+        # once here, shared by detection and crops
         pages_u8 = _unpack_bits(pages_u8, _norm_pack_bits(packed))
     if pages_u8.ndim == 3:
         # grayscale upload: detection needs the 3-channel page, but crops
@@ -644,6 +656,15 @@ def _upload_group(preps, group, page_batch, upload_format: str = "u8",
 
         stack = pack2(stack)
         packed = 2
+    elif (
+        upload_format == "u1"
+        and stack.ndim == 3
+        and stack.shape[-1] % 8 == 0
+    ):
+        from marie_tpu.utils.pack4 import pack1
+
+        stack = pack1(stack)
+        packed = 1
     t2 = _time.time() if trace else 0.0
     clip_np = np.asarray(
         [[preps[k][2][1] * preps[k][1], preps[k][2][0] * preps[k][1]]

@@ -40,8 +40,9 @@ def _upload_format() -> str:
     """Serving default for page upload packing: u4 (4-bit grayscale —
     half the host->device bytes at <= 8/255 per-pixel error, measured
     CER-identical across the 8-distribution oracle).  ``MARIE_UPLOAD_FORMAT``
-    pins u8 (lossless) or u2 (quarter bytes, worst-case CER +0.0003 on
-    the oracle, the bench default)."""
+    pins u8 (lossless), u2 (quarter bytes, worst-case CER +0.0003 on
+    the oracle, the bench default) or u1 (eighth bytes, binarized —
+    the relay-robustness floor; gate on the oracle before pinning)."""
     import os
 
     return os.environ.get("MARIE_UPLOAD_FORMAT", "u4")

@@ -39,7 +39,8 @@ def _load():
                     capture_output=True,
                 )
             lib = ctypes.CDLL(_SO_PATH)
-            for fn in (lib.pack4, lib.unpack4, lib.pack2, lib.unpack2):
+            for fn in (lib.pack4, lib.unpack4, lib.pack2, lib.unpack2,
+                       lib.pack1, lib.unpack1):
                 fn.restype = None
                 fn.argtypes = [
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t
@@ -107,6 +108,46 @@ def pack2(pages: np.ndarray) -> np.ndarray:
             (q[..., 0::4] << 6) | (q[..., 1::4] << 4)
             | (q[..., 2::4] << 2) | q[..., 3::4]
         )
+    return out
+
+
+def pack1(pages: np.ndarray) -> np.ndarray:
+    """[..., W] uint8 (W % 8 == 0) -> [..., W//8] 1-bit packed.
+
+    Binarized at 128 (levels 0, 255): an EIGHTH of the link bytes —
+    the relay-robustness floor for clean black-on-white documents.
+    Lossiest format; anti-aliased glyph edges go hard, so the oracle's
+    CER/recall columns must gate it per stack (``upload_format='u1'``)."""
+    pages = np.ascontiguousarray(pages, dtype=np.uint8)
+    if pages.shape[-1] % 8:
+        raise ValueError(f"last dim must be divisible by 8, got {pages.shape}")
+    out = np.empty(pages.shape[:-1] + (pages.shape[-1] // 8,), np.uint8)
+    try:
+        _load().pack1(
+            pages.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            out.size,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        bits = (pages >= 128).astype(np.uint8)
+        out = np.packbits(bits.reshape(bits.shape[:-1] + (-1, 8)),
+                          axis=-1, bitorder="big").reshape(out.shape)
+    return out
+
+
+def unpack1_host(packed: np.ndarray) -> np.ndarray:
+    """Host-side inverse (parity tests): [..., W//8] -> [..., W] uint8."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    out = np.empty(packed.shape[:-1] + (packed.shape[-1] * 8,), np.uint8)
+    try:
+        _load().unpack1(
+            packed.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            packed.size,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        bits = np.unpackbits(packed[..., None], axis=-1, bitorder="big")
+        out = (bits.reshape(out.shape) * np.uint8(255))
     return out
 
 

@@ -65,4 +65,27 @@ void unpack2(const uint8_t* src, uint8_t* dst, size_t n_quads) {
   }
 }
 
+// pack1 — 8-bit -> 1-bit (binarized), eight pixels per byte.
+// level = v >= 128; device reconstructs level * 255.  Big-endian
+// within the byte: pixel (8i) takes bit 7 ... pixel (8i+7) bit 0,
+// matching the device unpack's (7 - col%8) shift.
+void pack1(const uint8_t* src, uint8_t* dst, size_t n_octets) {
+  for (size_t i = 0; i < n_octets; i++) {
+    uint32_t v = 0;
+    for (int j = 0; j < 8; j++) {
+      v = (v << 1) | (src[8 * i + j] >= 128 ? 1u : 0u);
+    }
+    dst[i] = (uint8_t)v;
+  }
+}
+
+// host-side inverse for parity tests
+void unpack1(const uint8_t* src, uint8_t* dst, size_t n_octets) {
+  for (size_t i = 0; i < n_octets; i++) {
+    for (int j = 0; j < 8; j++) {
+      dst[8 * i + j] = (uint8_t)(((src[i] >> (7 - j)) & 1) * 255);
+    }
+  }
+}
+
 }  // extern "C"

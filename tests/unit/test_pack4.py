@@ -60,6 +60,50 @@ def test_u2_bad_width_rejected():
         pack2(np.zeros((2, 6), np.uint8))
 
 
+def test_u1_roundtrip_error_bound():
+    from marie_tpu.utils.pack4 import pack1, unpack1_host
+
+    v = np.arange(256, dtype=np.uint8).reshape(2, 128)
+    u = unpack1_host(pack1(v))
+    # binarization at 128: values land on 0 or 255, error < 128
+    assert np.abs(u.astype(np.int16) - v.astype(np.int16)).max() <= 127
+    assert set(np.unique(u)) <= {0, 255}
+
+
+def test_u1_device_unpack_matches_host():
+    from marie_tpu.ocr.fused import _unpack1
+    from marie_tpu.utils.pack4 import pack1, unpack1_host
+
+    rng = np.random.default_rng(7)
+    pages = rng.integers(0, 256, (2, 16, 32), dtype=np.uint8)
+    packed = pack1(pages)
+    dev = np.asarray(jax.device_get(_unpack1(packed)))
+    host = unpack1_host(packed)
+    assert np.array_equal(dev, host)
+    assert dev.shape == pages.shape
+
+
+def test_u1_numpy_fallback_matches_native():
+    from marie_tpu.utils import pack4 as mod
+
+    rng = np.random.default_rng(11)
+    pages = rng.integers(0, 256, (3, 8, 64), dtype=np.uint8)
+    native = mod.pack1(pages)
+    bits = (pages >= 128).astype(np.uint8)
+    fallback = np.packbits(
+        bits.reshape(bits.shape[:-1] + (-1, 8)), axis=-1, bitorder="big"
+    ).reshape(native.shape)
+    assert np.array_equal(native, fallback)
+
+
+def test_u1_bad_width_rejected():
+    import pytest
+    from marie_tpu.utils.pack4 import pack1
+
+    with pytest.raises(ValueError):
+        pack1(np.zeros((2, 12), np.uint8))
+
+
 def test_norm_pack_bits():
     import pytest
     from marie_tpu.ocr.fused import _norm_pack_bits
@@ -70,5 +114,6 @@ def test_norm_pack_bits():
     assert _norm_pack_bits(True) == 4
     assert _norm_pack_bits(4) == 4
     assert _norm_pack_bits(2) == 2
+    assert _norm_pack_bits(1) == 1
     with pytest.raises(ValueError):
         _norm_pack_bits(3)

@@ -161,6 +161,19 @@ class TrOCRConfig:
         )
 
     @staticmethod
+    def fast_v3_g2() -> "TrOCRConfig":
+        """fast_v2 + grouped-query cross-attention (2 shared K/V heads):
+        the middle ground after the pure-MQA ``fast_v3`` was
+        gate-REJECTED (held-out serif-bold CER 0 -> 0.0148 — one shared
+        K/V head cannot carry cross-font glyph detail).  3× smaller
+        prefilled cross-KV instead of 6×."""
+        base = TrOCRConfig.fast_v2()
+        return TrOCRConfig(
+            encoder=base.encoder,
+            decoder=dataclasses.replace(base.decoder, cross_kv_heads=2),
+        )
+
+    @staticmethod
     def tiny() -> "TrOCRConfig":
         """CPU-test preset."""
         return TrOCRConfig(

@@ -17,6 +17,7 @@ def _trocr_processor(beam_size: int = 1):
     # less encoder+cross-KV cost, see ARCHITECTURE "crop+decode anatomy")
     # > fast.  MARIE_RECOGNIZER pins a specific checkpoint.
     ladder = [("trocr-fast3-synth", TrOCRConfig.fast_v3),
+              ("trocr-fast3g2-synth", TrOCRConfig.fast_v3_g2),
               ("trocr-fast2-synth", TrOCRConfig.fast_v2),
               ("trocr-fast-synth", TrOCRConfig.fast)]
     prefer = _os.environ.get("MARIE_RECOGNIZER")

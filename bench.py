@@ -162,17 +162,22 @@ def stage_breakdown(box, icr, pages, upload_format="u8"):
         batch_np = batch_np[..., 0]  # the real dispatch path uploads 1ch
     packed = False
     upload_np = batch_np
-    if upload_format == "u4" and batch_np.ndim == 3:
+    # width-divisibility guards mirror _upload_group's (fall back to
+    # unpacked instead of raising — same behavior as the serving path)
+    if (upload_format == "u4" and batch_np.ndim == 3
+            and batch_np.shape[-1] % 2 == 0):
         from marie_tpu.utils.pack4 import pack4
 
         upload_np = pack4(batch_np)  # the bytes the serving path moves
         packed = True
-    elif upload_format == "u2" and batch_np.ndim == 3:
+    elif (upload_format == "u2" and batch_np.ndim == 3
+            and batch_np.shape[-1] % 4 == 0):
         from marie_tpu.utils.pack4 import pack2
 
         upload_np = pack2(batch_np)
         packed = 2
-    elif upload_format == "u1" and batch_np.ndim == 3:
+    elif (upload_format == "u1" and batch_np.ndim == 3
+            and batch_np.shape[-1] % 8 == 0):
         from marie_tpu.utils.pack4 import pack1
 
         upload_np = pack1(batch_np)

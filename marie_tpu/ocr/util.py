@@ -13,16 +13,25 @@ def _trocr_processor(beam_size: int = 1):
 
     import os as _os
 
-    # preference ladder: full-height-patch fast_v2 (20 enc tokens — 3x
-    # less encoder+cross-KV cost, see ARCHITECTURE "crop+decode anatomy")
-    # > fast.  MARIE_RECOGNIZER pins a specific checkpoint.
-    ladder = [("trocr-fast3-synth", TrOCRConfig.fast_v3),
-              ("trocr-fast3g2-synth", TrOCRConfig.fast_v3_g2),
+    # preference ladder of GATE-GREEN slots only: full-height-patch
+    # fast_v2 (20 enc tokens — 3x less encoder+cross-KV cost, see
+    # ARCHITECTURE "crop+decode anatomy") > fast.  Staged/rejected
+    # presets never appear here — a future commit of a rejected name
+    # must not silently ship it (ADVICE r3).  MARIE_RECOGNIZER pins any
+    # KNOWN preset checkpoint explicitly (experiments, ops rollback).
+    known = {"trocr-fast3g2-synth": TrOCRConfig.fast_v3_g2,
+             "trocr-fast3-synth": TrOCRConfig.fast_v3,
+             "trocr-fast2ov-synth": TrOCRConfig.fast_v2,
+             "trocr-fast2-synth": TrOCRConfig.fast_v2,
+             "trocr-fast-synth": TrOCRConfig.fast}
+    ladder = [("trocr-fast2ov-synth", TrOCRConfig.fast_v2),
               ("trocr-fast2-synth", TrOCRConfig.fast_v2),
               ("trocr-fast-synth", TrOCRConfig.fast)]
     prefer = _os.environ.get("MARIE_RECOGNIZER")
     if prefer:
-        ladder = [l for l in ladder if l[0] == prefer] + ladder
+        ladder = ([(prefer, known[prefer])] if prefer in known else []) + [
+            l for l in ladder if l[0] != prefer
+        ]
     params, config = None, TrOCRConfig.fast()
     for name, cfg_fn in ladder:
         ckpt = _zoo_checkpoint(name)

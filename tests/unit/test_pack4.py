@@ -84,11 +84,29 @@ def test_u1_device_unpack_matches_host():
 
 
 def test_u1_numpy_fallback_matches_native():
+    # call the ctypes path DIRECTLY (not via pack1, whose fallback IS
+    # the numpy expression below — that comparison would be tautological
+    # on hosts where the native build fails)
+    import ctypes
+
+    import pytest
+
     from marie_tpu.utils import pack4 as mod
 
+    try:
+        lib = mod._load()
+    except Exception as ex:  # noqa: BLE001
+        pytest.skip(f"native pack lib unavailable: {ex}")
     rng = np.random.default_rng(11)
-    pages = rng.integers(0, 256, (3, 8, 64), dtype=np.uint8)
-    native = mod.pack1(pages)
+    pages = np.ascontiguousarray(
+        rng.integers(0, 256, (3, 8, 64), dtype=np.uint8)
+    )
+    native = np.empty(pages.shape[:-1] + (pages.shape[-1] // 8,), np.uint8)
+    lib.pack1(
+        pages.ctypes.data_as(ctypes.c_void_p),
+        native.ctypes.data_as(ctypes.c_void_p),
+        native.size,
+    )
     bits = (pages >= 128).astype(np.uint8)
     fallback = np.packbits(
         bits.reshape(bits.shape[:-1] + (-1, 8)), axis=-1, bitorder="big"

@@ -58,7 +58,7 @@ def _upload_format() -> str:
     return os.environ.get("MARIE_UPLOAD_FORMAT", "u4")
 
 
-def _craft_box_processor():
+def _craft_box_processor(max_components: int = 384):
     """Trained heatmap detector when the checkpoint exists; deterministic
     ink-boxes otherwise (identical compute graph either way)."""
     from marie_tpu.boxes.craft_box_processor import BoxProcessorCraft
@@ -89,10 +89,12 @@ def _craft_box_processor():
                 # production serving defaults — bf16 trunk (MXU-native)
                 # and a 384-slot component budget: box stats scale
                 # linearly in K and ~140 words/page leaves 2.7x headroom
-                # (bench.py matches)
-                max_components=384, param_dtype="bfloat16",
+                # (bench.py matches); dense-page callers raise it
+                max_components=max_components, param_dtype="bfloat16",
             )
-    return BoxProcessorCraft(box_source="ink", min_area=4)
+    return BoxProcessorCraft(
+        box_source="ink", min_area=4, max_components=max_components
+    )
 
 
 def _crnn_processor():

@@ -32,6 +32,25 @@ _WORDS = (
     "group plan benefit patient doctor hospital pharmacy charge copay"
 ).split()
 
+# open-vocabulary generators (text_mode="open"): the reference decodes
+# GPT-2 BPE over full language (/root/reference/marie/models/unilm/trocr/
+# task.py:24, assets/gpt2_with_mask.dict.txt) — a lexicon-memorizing
+# recognizer cannot claim that capability.  Random n-grams force
+# char-level reading; syllable pseudo-words cover natural glyph
+# statistics WITHOUT teaching any real English lexicon (the oracle's
+# disjoint-lexicon suite stays honest); codes/currency/punctuation match
+# what detector crops actually contain on real documents.
+_SYLLABLES = (
+    "ba be bi bo bu ca ce ci co cu da de di do du fa fe fi fo fu "
+    "ga ge gi go gu ha he hi ho hu ja jo ka ke ki ko la le li lo lu "
+    "ma me mi mo mu na ne ni no nu pa pe pi po pu ra re ri ro ru "
+    "sa se si so su ta te ti to tu va ve vi vo wa we wi wo "
+    "tion ment ing ness able ster tran pre per pro con com ex "
+    "ch sh th st tr pl br gr str nd rt ly er ed es al ar or an en in on"
+).split()
+_PUNCT_PREFIX = ["(", "[", '"', "'", ""]
+_PUNCT_SUFFIX = [",", ".", ";", ":", "!", "?", ")", "]", '"', "'", "%", ""]
+
 
 class SyntheticWordDataset:
     """Renders random words/amounts/dates as crop images.
@@ -51,8 +70,14 @@ class SyntheticWordDataset:
         rotate_deg: float = 0.0,
         rotate_p: float = 0.35,
         lowres_p: float = 0.25,
+        text_mode: str = "lexicon",
     ):
         self.cfg = config
+        # "lexicon" = the round-1..3 domain-word distribution;
+        # "open" = open-vocabulary mix (random n-grams, pseudo-words,
+        # codes, currency, punctuation-attached tokens) — see module
+        # docstring constants
+        self.text_mode = text_mode
         self.tokenizer = tokenizer or CharTokenizer()
         self.rng = np.random.default_rng(seed)
         self.h, self.w = config.encoder.image_size
@@ -97,6 +122,8 @@ class SyntheticWordDataset:
         return fonts
 
     def _random_text(self) -> str:
+        if self.text_mode == "open":
+            return self._random_text_open()
         kind = self.rng.integers(0, 4)
         if kind == 0:  # word
             return str(self.rng.choice(_WORDS))
@@ -112,6 +139,77 @@ class SyntheticWordDataset:
         # mixed-case / upper word
         wd = str(self.rng.choice(_WORDS))
         return wd.upper() if self.rng.random() < 0.5 else wd.capitalize()
+
+    def _case(self, wd: str) -> str:
+        r = self.rng.random()
+        if r < 0.60:
+            return wd
+        if r < 0.80:
+            return wd.capitalize()
+        return wd.upper()
+
+    def _random_text_open(self) -> str:
+        rng = self.rng
+        r = rng.random()
+        if r < 0.22:  # random letter n-gram — pure char-level signal
+            n = int(rng.integers(1, 13))
+            core = "".join(
+                chr(97 + int(c)) for c in rng.integers(0, 26, n)
+            )
+            text = self._case(core)
+        elif r < 0.42:  # pronounceable pseudo-word (2-5 syllables)
+            n = int(rng.integers(1, 5))
+            core = "".join(
+                str(rng.choice(_SYLLABLES)) for _ in range(n + 1)
+            )[:14]
+            text = self._case(core)
+        elif r < 0.54:  # domain word (keeps the oracle lexicon rows warm)
+            text = self._case(str(rng.choice(_WORDS)))
+        elif r < 0.66:  # alphanumeric code: AB-1234, X9/Z07, 12_345
+            seps = "-/._"
+            parts = []
+            for _ in range(int(rng.integers(1, 3)) + 1):
+                k = int(rng.integers(1, 5))
+                alpha = rng.random() < 0.5
+                parts.append(
+                    "".join(
+                        chr((65 if alpha else 48) + int(c))
+                        for c in rng.integers(0, 26 if alpha else 10, k)
+                    )
+                )
+            text = str(rng.choice(list(seps))).join(parts)[:14]
+        elif r < 0.78:  # number / amount / currency / percent
+            v = int(rng.integers(0, 10_000_000))
+            rr = rng.random()
+            if rr < 0.3:
+                text = f"${v / 100:,.2f}"
+            elif rr < 0.45:
+                text = f"{int(rng.integers(0, 1000)) / 10:.1f}%"
+            elif rr < 0.7:
+                text = f"{v / 100:.2f}"
+            else:
+                text = str(v)
+        elif r < 0.84:  # date
+            text = (
+                f"{rng.integers(1, 13):02d}/"
+                f"{rng.integers(1, 29):02d}/"
+                f"{rng.integers(1990, 2030)}"
+            )
+        else:  # punctuation-attached token (detector crops keep punct)
+            base = (
+                str(rng.choice(_WORDS))
+                if rng.random() < 0.5
+                else "".join(
+                    chr(97 + int(c))
+                    for c in rng.integers(0, 26, int(rng.integers(2, 9)))
+                )
+            )
+            text = (
+                str(rng.choice(_PUNCT_PREFIX))
+                + self._case(base)
+                + str(rng.choice(_PUNCT_SUFFIX))
+            )
+        return text[:14] if len(text) > 14 else text
 
     def render(self, text: str) -> np.ndarray:
         """Render the word EXACTLY like the serving crop pipeline sees it:
@@ -223,6 +321,8 @@ def train_recognizer_device(
     checkpoint_path: Optional[str] = None,
     eval_samples: int = 128,
     refresh_every: int = 2000,
+    text_mode: str = "lexicon",
+    font_sizes: Tuple[int, ...] = (18, 24, 30),
 ):
     """Device-resident training: the synthetic dataset is rendered once,
     uploaded once (uint8), and every dispatch runs ``steps_per_dispatch``
@@ -237,7 +337,8 @@ def train_recognizer_device(
     assert config.decoder.vocab_size >= tokenizer.vocab_size
     model = TrOCRModel(config)
     dataset = SyntheticWordDataset(
-        config, tokenizer, seed=seed, noise=0.0, rotate_deg=rotate_deg
+        config, tokenizer, seed=seed, noise=0.0, rotate_deg=rotate_deg,
+        text_mode=text_mode, font_sizes=font_sizes,
     )
 
     logger.info(f"rendering {dataset_size} synthetic crops...")
@@ -301,7 +402,8 @@ def train_recognizer_device(
     def render_block(block_seed):
         ds = SyntheticWordDataset(
             config, tokenizer, seed=block_seed, noise=0.0,
-            rotate_deg=rotate_deg,
+            rotate_deg=rotate_deg, text_mode=text_mode,
+            font_sizes=font_sizes,
         )
         imgs_l, toks_l = [], []
         for start in range(0, dataset_size, 512):
@@ -338,7 +440,8 @@ def train_recognizer_device(
     # augmentation must not blur the reported number
     eval_dataset = SyntheticWordDataset(
         config, tokenizer, seed=seed + 9999, noise=0.0,
-        rotate_deg=rotate_deg, lowres_p=0.0,
+        rotate_deg=rotate_deg, lowres_p=0.0, text_mode=text_mode,
+        font_sizes=font_sizes,
     )
     cer = evaluate_cer(
         model, params, eval_dataset, tokenizer, n_samples=eval_samples

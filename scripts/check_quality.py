@@ -44,15 +44,54 @@ WORDS = (
     "provider service balance statement account number date reference"
 ).split()
 
+# Disjoint-lexicon suite (VERDICT r3 #2): every word below is absent
+# from the training lexicon (marie_tpu/train/recognizer.py _WORDS) and
+# from WORDS above — a recognizer can only read these pages character
+# by character.  The open-vocab trainer never draws from any English
+# word list, so this set is held out BY CONSTRUCTION.
+HELDOUT_WORDS = (
+    "zebra keyboard mountain whisper fabric journey orbit lantern "
+    "velvet quartz harbor thimble gadget oxygen frontier bamboo "
+    "saxophone glacier pumpkin wizard nebula crimson thunder "
+    "sapphire anchovy labyrinth obelisk vortex chimney drizzle "
+    "kangaroo umbrella waffle sphinx galaxy turquoise hammock "
+    "juniper marble octagon penguin quiver raspberry snorkel "
+    "tapestry unicycle volcano walnut xylophone yonder zephyr"
+).split()
 
-def make_pages(n, seed=0, font="sans", perturb=None):
-    """Ground-truth pages; perturb in {None, noise, jpeg, rotate}."""
+
+def _decorate(rng, wd):
+    """Mixed case + attached punctuation (what real detector crops hold)."""
+    r = rng.random()
+    if r < 0.25:
+        wd = wd.capitalize()
+    elif r < 0.4:
+        wd = wd.upper()
+    r = rng.random()
+    if r < 0.2:
+        wd = "(" + wd + ")"
+    elif r < 0.45:
+        wd = wd + str(rng.choice([",", ".", ";", ":", "!", "?"]))
+    elif r < 0.55:
+        wd = '"' + wd + '"'
+    return wd
+
+
+def make_pages(n, seed=0, font="sans", perturb=None, words=None,
+               font_size=20, dense=False, punct=False):
+    """Ground-truth pages; perturb in {None, noise, jpeg, rotate, lowres}.
+
+    ``dense`` packs 500+ words/page in a two-column layout at the given
+    (small) font size; ``punct`` decorates words with mixed case and
+    attached punctuation; ``words`` overrides the lexicon.
+    """
     from PIL import Image, ImageFont
 
     try:
-        fnt = ImageFont.truetype(FONTS[font], 20)
+        fnt = ImageFont.truetype(FONTS[font], font_size)
     except OSError:
         fnt = ImageFont.load_default()
+    lexicon = words or WORDS
     rng = np.random.default_rng(seed)
     pages, truths = [], []
     for _ in range(n):
@@ -61,16 +100,42 @@ def make_pages(n, seed=0, font="sans", perturb=None):
         img = Image.new("RGB", (PAGE_W, PAGE_H), (255, 255, 255))
         draw = ImageDraw.Draw(img)
         truth = []
-        y = 40
-        while y < PAGE_H - 70:
-            x = 40
-            while x < PAGE_W - 180:
-                wtext = WORDS[int(rng.integers(0, len(WORDS)))]
-                draw.text((x, y), wtext, fill=(0, 0, 0), font=fnt)
-                bx = draw.textbbox((x, y), wtext, font=fnt)
-                truth.append((wtext, [bx[0], bx[1], bx[2] - bx[0], bx[3] - bx[1]]))
-                x = bx[2] + 18 + int(rng.integers(0, 30))
-            y += 34 + int(rng.integers(0, 12))
+        if dense:
+            # two columns, tight line/word gaps — 500+ words/page
+            col_w = (PAGE_W - 3 * 24) // 2
+            for col in range(2):
+                cx0 = 24 + col * (col_w + 24)
+                y = 26
+                while y < PAGE_H - 44:
+                    x = cx0
+                    while True:
+                        wtext = str(lexicon[int(rng.integers(0, len(lexicon)))])
+                        if punct:
+                            wtext = _decorate(rng, wtext)
+                        bx = draw.textbbox((x, y), wtext, font=fnt)
+                        if bx[2] > cx0 + col_w:
+                            break
+                        draw.text((x, y), wtext, fill=(0, 0, 0), font=fnt)
+                        truth.append(
+                            (wtext, [bx[0], bx[1], bx[2] - bx[0], bx[3] - bx[1]])
+                        )
+                        x = bx[2] + 6 + int(rng.integers(0, 7))
+                    y += font_size + 3 + int(rng.integers(0, 3))
+        else:
+            y = 40
+            while y < PAGE_H - 70:
+                x = 40
+                while x < PAGE_W - 180:
+                    wtext = str(lexicon[int(rng.integers(0, len(lexicon)))])
+                    if punct:
+                        wtext = _decorate(rng, wtext)
+                    draw.text((x, y), wtext, fill=(0, 0, 0), font=fnt)
+                    bx = draw.textbbox((x, y), wtext, font=fnt)
+                    truth.append(
+                        (wtext, [bx[0], bx[1], bx[2] - bx[0], bx[3] - bx[1]])
+                    )
+                    x = bx[2] + 18 + int(rng.integers(0, 30))
+                y += 34 + int(rng.integers(0, 12))
         page = np.asarray(img, np.uint8)
 
         if perturb == "noise":
@@ -127,10 +192,22 @@ DISTRIBUTIONS = {
     "ood_jpeg": dict(font="sans", perturb="jpeg"),
     "ood_rotate": dict(font="sans", perturb="rotate"),
     "ood_lowres": dict(font="sans", perturb="lowres"),
+    # open-vocabulary suite (VERDICT r3 #2): words never seen in any
+    # trainer (HELDOUT_WORDS), with punctuation/case, and a 500+-word
+    # dense two-column page at small font
+    "ood_lexicon": dict(font="sans", perturb=None, words=HELDOUT_WORDS),
+    "ood_punct": dict(font="sans", perturb=None, words=HELDOUT_WORDS,
+                      punct=True),
+    "ood_dense": dict(font="sans", perturb=None, words=HELDOUT_WORDS,
+                      font_size=14, dense=True),
 }
+# dense pages exceed the serving detector's 384-component budget; the
+# dense suite builds its own engine with a larger budget (separate
+# compiled program, cached like any other)
+DENSE_MAX_COMPONENTS = 768
 
 
-def build_engines(decoders):
+def build_engines(decoders, dense=False):
     from marie_tpu.ocr.util import (
         _craft_box_processor,
         _crnn_processor,
@@ -139,12 +216,19 @@ def build_engines(decoders):
     from marie_tpu.ocr.ocr_engine import PipelineOcrEngine
     from marie_tpu.ocr.voting_ocr_engine import VotingOcrEngine
 
-    box = _craft_box_processor()
+    box = _craft_box_processor(
+        max_components=DENSE_MAX_COMPONENTS if dense else 384
+    )
+    slots = dict(compact_slots=640) if dense else {}
     engines = {}
     if "greedy" in decoders:
-        engines["greedy"] = PipelineOcrEngine(box, _trocr_processor(beam_size=1))
+        engines["greedy"] = PipelineOcrEngine(
+            box, _trocr_processor(beam_size=1), **slots
+        )
     if "beam5" in decoders:
-        engines["beam5"] = PipelineOcrEngine(box, _trocr_processor(beam_size=5))
+        engines["beam5"] = PipelineOcrEngine(
+            box, _trocr_processor(beam_size=5), **slots
+        )
     if "voting" in decoders:
         engines["voting"] = VotingOcrEngine(
             box_processor=box,
@@ -210,9 +294,18 @@ def main() -> int:
         )
     print(f"stack: {stack}", file=sys.stderr, flush=True)
     table = {}
+    dense_engines = None
     for dist in filter(None, args.dists.split(",")) if _wanted("engines", True) else ():
         spec = DISTRIBUTIONS[dist]
         pages, truths = make_pages(args.pages, seed=args.seed, **spec)
+        dist_engines = engines
+        if spec.get("dense"):
+            if dense_engines is None:
+                dense_engines = build_engines(
+                    [d for d in args.decoders.split(",") if d != "voting"],
+                    dense=True,
+                )
+            dist_engines = dense_engines
         golden = [
             {
                 "meta": {"imageSize": {"width": PAGE_W, "height": PAGE_H}},
@@ -224,7 +317,7 @@ def main() -> int:
             }
             for truth in truths
         ]
-        for name, engine in engines.items():
+        for name, engine in dist_engines.items():
             results = engine.extract(pages)
             rep = compare_results(golden, results, iou_threshold=0.4)
             table[f"{dist}/{name}"] = {

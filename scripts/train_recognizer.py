@@ -21,6 +21,13 @@ def main() -> int:
     ap.add_argument("--rotate-deg", type=float, default=0.0,
                     help="baseline-tilt augmentation range (serving crops "
                          "off a rotated page carry the tilt)")
+    ap.add_argument("--text-mode", default="lexicon",
+                    choices=["lexicon", "open"],
+                    help="open = open-vocabulary mix (random n-grams, "
+                         "pseudo-words, codes, punctuation)")
+    ap.add_argument("--font-sizes", default="18,24,30",
+                    help="comma list of training font sizes (add 14 for "
+                         "dense-page small-glyph coverage)")
     args = ap.parse_args()
 
     from marie_tpu.models.configs import TrOCRConfig
@@ -39,6 +46,8 @@ def main() -> int:
         learning_rate=args.lr,
         rotate_deg=args.rotate_deg,
         checkpoint_path=args.out,
+        text_mode=args.text_mode,
+        font_sizes=tuple(int(s) for s in args.font_sizes.split(",")),
     )
     print(f"FINAL_CER={cer:.4f}")
     return 0

@@ -118,16 +118,34 @@ class TemplateMatcherClient(
         }
     }
 
-    /** Pull this executor's dict return out of parameters.__results__. */
+    /** Pull this executor's dict return out of parameters.__results__
+     *  (parameters is a google.protobuf.Struct on the wire). */
     private fun resultsOf(resp: Marie.DataRequestProto): Map<String, Any?>? {
-        val params = resp.parameters.toString(StandardCharsets.UTF_8)
-        val parsed = Json.parse(params) as? Map<*, *> ?: return null
-        val results = parsed["__results__"] as? Map<*, *> ?: return null
+        val params = StructJson.toMap(resp.parameters)
+        val results = params["__results__"] as? Map<*, *> ?: return null
         @Suppress("UNCHECKED_CAST")
         return results.values.firstOrNull() as? Map<String, Any?>
     }
 
     override fun close() = client.close()
+}
+
+/** google.protobuf.Struct -> plain Kotlin maps/lists/scalars. */
+internal object StructJson {
+    fun toMap(s: com.google.protobuf.Struct): Map<String, Any?> =
+        s.fieldsMap.mapValues { fromValue(it.value) }
+
+    private fun fromValue(v: com.google.protobuf.Value): Any? =
+        when (v.kindCase) {
+            com.google.protobuf.Value.KindCase.NULL_VALUE -> null
+            com.google.protobuf.Value.KindCase.BOOL_VALUE -> v.boolValue
+            com.google.protobuf.Value.KindCase.NUMBER_VALUE -> v.numberValue
+            com.google.protobuf.Value.KindCase.STRING_VALUE -> v.stringValue
+            com.google.protobuf.Value.KindCase.STRUCT_VALUE -> toMap(v.structValue)
+            com.google.protobuf.Value.KindCase.LIST_VALUE ->
+                v.listValue.valuesList.map { fromValue(it) }
+            else -> null
+        }
 }
 
 /** Minimal dependency-free JSON reader (objects → LinkedHashMap, arrays →

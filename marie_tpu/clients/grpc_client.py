@@ -91,9 +91,11 @@ class GRPCClient:
         chunks = chunk_docs(as_docarray(inputs), request_size)
         responses: List[DataRequest] = []
         async with self._channel() as ch:
+            from marie_tpu.types.request import to_request_list_bytes
+
             stub = ch.unary_unary(
                 _PROCESS_DATA,
-                request_serializer=lambda r: r.to_bytes(),
+                request_serializer=lambda r: to_request_list_bytes([r]),
                 response_deserializer=DataRequest.from_bytes,
             )
             for chunk in chunks:
@@ -180,9 +182,16 @@ class GRPCClient:
                 response_deserializer=lambda b: b,
             )
             raw = await stub(b"", timeout=timeout, metadata=self._metadata)
-        proto = marie_pb2.InfoProto()
+        proto = marie_pb2.JinaInfoProto()
         proto.ParseFromString(raw)
-        return json.loads(proto.jina.decode())
+
+        def _maybe_json(v):
+            try:
+                return json.loads(v)
+            except (ValueError, TypeError):
+                return v
+
+        return {k: _maybe_json(v) for k, v in proto.jina.items()}
 
     async def astream(
         self,
@@ -228,10 +237,12 @@ class GRPCClient:
 
         from marie_tpu.proto import marie_pb2
 
+        from google.protobuf import json_format as _json_format
+
         sreq = marie_pb2.SingleDocumentRequestProto()
         sreq.header.exec_endpoint = on
-        sreq.parameters = _json.dumps(parameters or {}).encode()
-        sreq.document = doc.to_json().encode()
+        _json_format.ParseDict(parameters or {}, sreq.parameters)
+        doc.to_docarray_proto(sreq.document)
         async with self._channel() as ch:
             stub = ch.unary_stream(
                 "/jina.JinaSingleDocumentRequestRPC/stream_doc",
@@ -241,7 +252,7 @@ class GRPCClient:
                 ),
             )
             async for resp in stub(sreq, timeout=timeout, metadata=self._metadata):
-                yield Document.from_json(resp.document.decode())
+                yield Document.from_docarray_proto(resp.document)
 
     async def aprofiling(self, timeout: Optional[float] = None) -> Dict[str, Any]:
         """Round-trip latency breakdown (reference ProfileMixin.profiling):
@@ -252,20 +263,24 @@ class GRPCClient:
         req = DataRequest.from_docs(DocumentArray(), endpoint="/")
         t0 = _time.perf_counter()
         async with self._channel() as ch:
+            from marie_tpu.types.request import to_request_list_bytes
+
             stub = ch.unary_unary(
                 _PROCESS_DATA,
-                request_serializer=lambda r: r.to_bytes(),
+                request_serializer=lambda r: to_request_list_bytes([r]),
                 response_deserializer=DataRequest.from_bytes,
             )
             # an error response still carries routes — profiling measures
             # latency, not endpoint success
             resp: DataRequest = await stub(req, timeout=timeout, metadata=self._metadata)
         total = _time.perf_counter() - t0
+        from marie_tpu.types.request import ts_iso
+
         routes = {}
         for r in resp.routes:
             try:
-                start = datetime.fromisoformat(r.start_time)
-                end = datetime.fromisoformat(r.end_time)
+                start = datetime.fromisoformat(ts_iso(r.start_time))
+                end = datetime.fromisoformat(ts_iso(r.end_time))
                 routes[r.executor] = (end - start).total_seconds()
             except ValueError:
                 routes[r.executor] = None

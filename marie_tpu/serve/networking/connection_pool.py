@@ -128,9 +128,11 @@ class GrpcConnectionPool:
             replica.in_flight += 1
             try:
                 channel = replica.get_channel()
+                from marie_tpu.types.request import to_request_list_bytes
+
                 stub = channel.unary_unary(
                     _PROCESS_DATA,
-                    request_serializer=lambda r: r.to_bytes(),
+                    request_serializer=lambda r: to_request_list_bytes([r]),
                     response_deserializer=DataRequest.from_bytes,
                 )
                 from marie_tpu.serve.instrumentation import tracing
@@ -271,10 +273,12 @@ class GrpcConnectionPool:
         raw = await stub(b"", timeout=timeout)
         proto = marie_pb2.EndpointsProto()
         proto.ParseFromString(raw)
+        from google.protobuf import json_format
+
         return {
             "endpoints": list(proto.endpoints),
             "write_endpoints": list(proto.write_endpoints),
-            "schemas": json.loads(proto.schemas.decode() or "{}"),
+            "schemas": json_format.MessageToDict(proto.schemas),
         }
 
     async def close(self) -> None:

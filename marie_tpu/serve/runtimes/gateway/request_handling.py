@@ -89,19 +89,20 @@ class GatewayRequestHandler:
                 f"unknown target_executor {target!r} (flow has {deployments})"
             )
 
+        from google.protobuf import json_format
+
         single = marie_pb2.SingleDocumentRequestProto()
         if req.request_id:
             single.header.request_id = req.request_id
         single.header.exec_endpoint = req.exec_endpoint
-        single.parameters = json.dumps(req.parameters or {}).encode()
+        json_format.ParseDict(req.parameters or {}, single.parameters)
         docs = req.docs
-        single.document = (
-            docs[0].to_json().encode() if len(docs) else b"{}"
-        )
+        if len(docs):
+            docs[0].to_docarray_proto(single.document)
         async for item in self.streamer.connection_pool.stream_single_doc(
             single, target, timeout=self.streamer.timeout
         ):
-            yield Document.from_json(item.document.decode())
+            yield Document.from_docarray_proto(item.document)
 
     # ------------------------------------------------------------------
     async def start_discovery(

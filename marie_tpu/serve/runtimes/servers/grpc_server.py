@@ -35,6 +35,14 @@ def _req_deserializer(data: bytes) -> DataRequest:
     return DataRequest.from_bytes(data)
 
 
+def _req_list_deserializer(data: bytes):
+    # process_data takes DataRequestListProto on the wire (reference
+    # jina.proto:169) — multiple requests reduce into one response
+    from marie_tpu.types.request import from_request_list_bytes
+
+    return from_request_list_bytes(data)
+
+
 def _req_serializer(req: DataRequest) -> bytes:
     return req.to_bytes()
 
@@ -119,20 +127,22 @@ class GRPCServer:
 
         from marie_tpu.serve.instrumentation import tracing
 
-        async def _traced_process(request: DataRequest, context) -> DataRequest:
+        async def _traced_process(requests, context) -> DataRequest:
             # adopt the caller's W3C traceparent (reference
             # _extract_tracing_context, worker request_handling.py:1158)
+            if isinstance(requests, DataRequest):
+                requests = [requests]
             parent = tracing.extract_metadata(context.invocation_metadata())
             with tracing.activate(parent):
                 with tracing.start_span(
                     f"rpc/{getattr(self.req_handler, 'name', 'handler')}",
-                    {"request_id": request.request_id,
-                     "endpoint": request.exec_endpoint},
+                    {"request_id": requests[0].request_id,
+                     "endpoint": requests[0].exec_endpoint},
                 ):
-                    return await self.req_handler.process_data([request])
+                    return await self.req_handler.process_data(requests)
 
-        async def process_data(request: DataRequest, context) -> DataRequest:
-            return await _traced_process(request, context)
+        async def process_data(requests, context) -> DataRequest:
+            return await _traced_process(requests, context)
 
         async def process_single_data(request: DataRequest, context) -> DataRequest:
             return await _traced_process(request, context)
@@ -159,16 +169,21 @@ class GRPCServer:
             eps = self.req_handler.endpoints()
             if inspect.isawaitable(eps):
                 eps = await eps  # head handlers proxy discovery to shards
+            from google.protobuf import json_format
+
             proto = marie_pb2.EndpointsProto()
             proto.endpoints.extend(eps["endpoints"])
             proto.write_endpoints.extend(eps.get("write_endpoints", []))
-            proto.schemas = json.dumps(eps.get("schemas", {})).encode()
+            json_format.ParseDict(eps.get("schemas", {}), proto.schemas)
             return proto.SerializeToString()
 
         async def status(request, context) -> bytes:
-            proto = marie_pb2.InfoProto()
-            proto.jina = json.dumps(self.req_handler.info()).encode()
-            proto.envs = b"{}"
+            # JinaInfoProto: map<string,string> (reference jina.proto:22-25)
+            proto = marie_pb2.JinaInfoProto()
+            for k, v in (self.req_handler.info() or {}).items():
+                proto.jina[str(k)] = (
+                    v if isinstance(v, str) else json.dumps(v)
+                )
             return proto.SerializeToString()
 
         async def dry_run(request, context) -> bytes:
@@ -186,6 +201,8 @@ class GRPCServer:
             """JinaSingleDocumentRequestRPC.stream_doc parity
             (jina.proto:186-191): one document in, a stream of processed
             documents out."""
+            from google.protobuf import json_format
+
             from marie_tpu.types.docs import Document, DocumentArray
 
             single = marie_pb2.SingleDocumentRequestProto()
@@ -195,11 +212,11 @@ class GRPCServer:
                 req.request_id = single.header.request_id
             if single.header.exec_endpoint:
                 req.exec_endpoint = single.header.exec_endpoint
-            if single.parameters:
-                req.parameters = json.loads(single.parameters.decode())
-            if single.document:
+            if len(single.parameters.fields):
+                req.parameters = json_format.MessageToDict(single.parameters)
+            if len(single.document.data):
                 req.docs = DocumentArray(
-                    [Document.from_json(single.document.decode())]
+                    [Document.from_docarray_proto(single.document)]
                 )
             handler_stream = getattr(
                 self.req_handler, "process_single_doc_stream", None
@@ -211,17 +228,17 @@ class GRPCServer:
                 async for doc in handler_stream(req):
                     out = marie_pb2.SingleDocumentRequestProto()
                     out.header.CopyFrom(req.proto.header)
-                    out.parameters = single.parameters
-                    out.document = doc.to_json().encode()
-                    yield out.SerializeToString()
+                    out.parameters.CopyFrom(single.parameters)
+                    doc.to_docarray_proto(out.document)
+                    yield out.SerializeToString(deterministic=True)
                 return
             resp = await _traced_process(req, context)
             for doc in resp.docs:
                 out = marie_pb2.SingleDocumentRequestProto()
                 out.header.CopyFrom(resp.proto.header)
-                out.parameters = single.parameters
-                out.document = doc.to_json().encode()
-                yield out.SerializeToString()
+                out.parameters.CopyFrom(single.parameters)
+                doc.to_docarray_proto(out.document)
+                yield out.SerializeToString(deterministic=True)
 
         async def snapshot(request: bytes, context) -> bytes:
             """JinaExecutorSnapshot parity: trigger executor snapshot."""
@@ -267,7 +284,7 @@ class GRPCServer:
                 return known
             proto = marie_pb2.RestoreSnapshotStatusProto()
             proto.id.value = rid.value
-            proto.status = marie_pb2.SnapshotStatusProto.NOT_FOUND
+            proto.status = marie_pb2.RestoreSnapshotStatusProto.NOT_FOUND
             return proto.SerializeToString()
 
         async def restore(request: bytes, context) -> bytes:
@@ -292,10 +309,10 @@ class GRPCServer:
                         f"snapshot directory"
                     )
                 self.req_handler.restore(resolved)
-                proto.status = marie_pb2.SnapshotStatusProto.SUCCEEDED
+                proto.status = marie_pb2.RestoreSnapshotStatusProto.SUCCEEDED
             except Exception as ex:  # noqa: BLE001
                 self.logger.error(f"restore failed: {ex!r}")
-                proto.status = marie_pb2.SnapshotStatusProto.FAILED
+                proto.status = marie_pb2.RestoreSnapshotStatusProto.FAILED
             self._record_status(
                 self._restore_status, proto.id.value,
                 bytes(proto.SerializeToString()),
@@ -332,7 +349,7 @@ class GRPCServer:
         services = {
             "jina.JinaDataRequestRPC": {
                 "process_data": unary(
-                    process_data, _req_deserializer, _req_serializer
+                    process_data, _req_list_deserializer, _req_serializer
                 ),
             },
             "jina.JinaSingleDataRequestRPC": {

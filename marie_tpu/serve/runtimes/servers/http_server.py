@@ -14,6 +14,7 @@ from typing import Optional
 from marie_tpu.logging_core import MarieLogger
 from marie_tpu.types.docs import DocumentArray
 from marie_tpu.types.request import DataRequest
+from marie_tpu.types.request import ts_iso as _ts_iso
 
 # liveness/readiness probes + metrics scrape stay open so orchestrators
 # and prometheus can see status (the reference serves metrics unguarded
@@ -114,7 +115,7 @@ class HTTPServer:
                 },
                 "parameters": resp.parameters,
                 "routes": [
-                    {"executor": r.executor, "startTime": r.start_time, "endTime": r.end_time}
+                    {"executor": r.executor, "startTime": _ts_iso(r.start_time), "endTime": _ts_iso(r.end_time)}
                     for r in resp.routes
                 ],
                 "data": resp.docs.to_dict(),

@@ -110,6 +110,10 @@ class Document(BaseDoc):
     matches: List["Document"] = Field(default_factory=list)
     scores: Dict[str, float] = Field(default_factory=dict)
     parent_id: Optional[str] = None
+    # fields of foreign (reference docarray) doc schemas that are not
+    # part of this Document — preserved so a DocProto decode→encode
+    # round trip is lossless (types/docarray_compat.py)
+    extra: Dict[str, Any] = Field(default_factory=dict)
 
     @field_validator("tensor", "embedding", mode="before")
     @classmethod
@@ -137,6 +141,58 @@ class Document(BaseDoc):
         if self.tags:
             bits.append(f"tags[{len(self.tags)}]")
         return f"<Document {' '.join(bits)}>"
+
+    # --- docarray-v2 protobuf interop (reference wire payloads) -------
+    def to_docarray_proto(self, dp=None):
+        """-> ``docarray.DocProto`` (reference DocListProto element)."""
+        from marie_tpu.types.docarray_compat import dict_to_docproto
+
+        d: Dict[str, Any] = {"id": self.id}
+        for name in ("text", "uri", "mime_type", "modality", "parent_id",
+                     "blob"):
+            v = getattr(self, name)
+            if v is not None:
+                d[name] = v
+        for name in ("tensor", "embedding"):
+            v = getattr(self, name)
+            if v is not None:
+                d[name] = v
+        if self.tags:
+            d["tags"] = self.tags
+        if self.scores:
+            d["scores"] = self.scores
+        if self.chunks:
+            d["chunks"] = [c.to_docarray_proto_dict() for c in self.chunks]
+        if self.matches:
+            d["matches"] = [m.to_docarray_proto_dict() for m in self.matches]
+        d.update(self.extra)
+        return dict_to_docproto(d, dp)
+
+    def to_docarray_proto_dict(self) -> Dict[str, Any]:
+        """Nested-doc form: the plain dict an enclosing DocProto embeds."""
+        from marie_tpu.types.docarray_compat import docproto_to_dict
+
+        return docproto_to_dict(self.to_docarray_proto())
+
+    @classmethod
+    def from_docarray_proto(cls, dp) -> "Document":
+        from marie_tpu.types.docarray_compat import docproto_to_dict
+
+        return cls.from_docarray_dict(docproto_to_dict(dp))
+
+    @classmethod
+    def from_docarray_dict(cls, d: Dict[str, Any]) -> "Document":
+        known, extra = {}, {}
+        for k, v in d.items():
+            if k in ("chunks", "matches") and isinstance(v, list):
+                known[k] = [cls.from_docarray_dict(i) for i in v]
+            elif k in cls.model_fields and k != "extra":
+                known[k] = v
+            else:
+                extra[k] = v
+        doc = cls(**known)
+        doc.extra = extra
+        return doc
 
 
 class DocumentArray:
@@ -228,6 +284,21 @@ class DocumentArray:
 
     def __repr__(self) -> str:
         return f"<DocumentArray ({len(self)} docs)>"
+
+    # --- docarray-v2 protobuf interop ---------------------------------
+    def to_docarray_proto(self, dlp=None):
+        """-> ``docarray.DocListProto`` (reference wire payload)."""
+        from marie_tpu.proto import docarray_pb2
+
+        if dlp is None:
+            dlp = docarray_pb2.DocListProto()
+        for doc in self._docs:
+            doc.to_docarray_proto(dlp.docs.add())
+        return dlp
+
+    @classmethod
+    def from_docarray_proto(cls, dlp, doc_cls=Document) -> "DocumentArray":
+        return cls([doc_cls.from_docarray_proto(d) for d in dlp.docs])
 
     @staticmethod
     def empty(n: int) -> "DocumentArray":

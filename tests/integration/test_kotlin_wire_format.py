@@ -27,11 +27,12 @@ def _kotlin_ndarray_json(img: np.ndarray) -> str:
 
 def _raw_request(docs_json: str, endpoint: str, params=None) -> DataRequest:
     req = DataRequest()
-    req.proto.docs = docs_json.encode()
-    req.proto.doc_count = docs_json.count('"tensor"')
+    req.proto.data.docs_bytes = docs_json.encode()
     req.exec_endpoint = endpoint
     if params:
-        req.proto.parameters = json.dumps(params).encode()
+        from google.protobuf import json_format
+
+        json_format.ParseDict(params, req.proto.parameters)
     return req
 
 

@@ -15,7 +15,11 @@ import grpc
 import pytest
 
 from marie_tpu.orchestrate.deployments import Deployment
+from google.protobuf import empty_pb2
+
 from marie_tpu.proto import marie_pb2
+
+_EMPTY = empty_pb2.Empty()
 from tests.integration.executors import EchoExecutor, SnapshotExecutor
 
 PROTO_PATH = "/root/repo/marie_tpu/proto/marie.proto"
@@ -29,7 +33,7 @@ def parse_services(path=PROTO_PATH):
     for svc_m in re.finditer(r"service\s+(\w+)\s*\{([^}]*)\}", src):
         svc, body = svc_m.groups()
         for rpc in re.finditer(
-            r"rpc\s+(\w+)\s*\((stream\s+)?(\w+)\)\s*returns\s*\((stream\s+)?(\w+)\)",
+            r"rpc\s+(\w+)\s*\((stream\s+)?([\w.]+)\)\s*returns\s*\((stream\s+)?([\w.]+)\)",
             body,
         ):
             method, req_stream, req_t, resp_stream, resp_t = rpc.groups()
@@ -55,19 +59,19 @@ def test_proto_declares_the_full_service_surface():
     assert "/jina.JinaExecutorRestoreProgress/restore_status" in services
     # request/response types all resolve to generated message classes
     for _, req_t, resp_t in services.values():
-        assert hasattr(marie_pb2, req_t), req_t
-        assert hasattr(marie_pb2, resp_t), resp_t
+        for t in (req_t, resp_t):
+            if t.startswith("google.protobuf."):
+                continue  # well-known types (Empty)
+            assert hasattr(marie_pb2, t.split(".")[-1]), t
 
 
 def _make_request(endpoint, texts):
     req = marie_pb2.DataRequestProto()
     req.header.request_id = "proto-roundtrip"
     req.header.exec_endpoint = endpoint
-    req.parameters = b"{}"
-    req.docs = json.dumps(
+    req.data.docs_bytes = json.dumps(
         [{"id": f"d{i}", "text": t} for i, t in enumerate(texts)]
     ).encode()
-    req.doc_count = len(texts)
     return req
 
 
@@ -95,17 +99,17 @@ def test_proto_derived_stubs_roundtrip_live_server():
                     )
 
                 # unary data plane
-                resp = await stub("/jina.JinaDataRequestRPC/process_data")(
-                    _make_request("/echo", ["hello", "proto"])
-                )
-                docs = json.loads(resp.docs)
+                lst = marie_pb2.DataRequestListProto()
+                lst.requests.append(_make_request("/echo", ["hello", "proto"]))
+                resp = await stub("/jina.JinaDataRequestRPC/process_data")(lst)
+                docs = json.loads(resp.data.docs_bytes)
                 assert [d["text"] for d in docs] == ["echo:hello", "echo:proto"]
                 assert resp.header.status.code == marie_pb2.StatusProto.SUCCESS
 
                 resp = await stub(
                     "/jina.JinaSingleDataRequestRPC/process_single_data"
                 )(_make_request("/echo", ["single"]))
-                assert json.loads(resp.docs)[0]["text"] == "echo:single"
+                assert json.loads(resp.data.docs_bytes)[0]["text"] == "echo:single"
 
                 # bidi stream
                 call = stub("/jina.JinaRPC/Call")(
@@ -113,28 +117,30 @@ def test_proto_derived_stubs_roundtrip_live_server():
                 )
                 texts = []
                 async for r in call:
-                    texts.extend(d["text"] for d in json.loads(r.docs))
+                    texts.extend(
+                        d["text"] for d in json.loads(r.data.docs_bytes)
+                    )
                 assert texts == ["echo:s0", "echo:s1", "echo:s2"]
 
                 # discovery / dry run / info
                 eps = await stub(
                     "/jina.JinaDiscoverEndpointsRPC/endpoint_discovery"
-                )(marie_pb2.Empty())
+                )(_EMPTY)
                 assert "/echo" in list(eps.endpoints)
 
                 st = await stub("/jina.JinaGatewayDryRunRPC/dry_run")(
-                    marie_pb2.Empty()
+                    _EMPTY
                 )
                 assert st.code == marie_pb2.StatusProto.SUCCESS
 
-                info = await stub("/jina.JinaInfoRPC/_status")(marie_pb2.Empty())
-                assert json.loads(info.jina)  # version table parses
+                info = await stub("/jina.JinaInfoRPC/_status")(_EMPTY)
+                assert dict(info.jina)  # version table parses
 
                 # single-document server stream
                 sreq = marie_pb2.SingleDocumentRequestProto()
                 sreq.header.exec_endpoint = "/echo"
-                sreq.parameters = b"{}"
-                sreq.document = json.dumps({"id": "d0", "text": "one"}).encode()
+                sreq.document.data["id"].text = "d0"
+                sreq.document.data["text"].text = "one"
                 sd = ch.unary_stream(
                     "/jina.JinaSingleDocumentRequestRPC/stream_doc",
                     request_serializer=lambda m: m.SerializeToString(),
@@ -144,7 +150,7 @@ def test_proto_derived_stubs_roundtrip_live_server():
                 )
                 stream_docs = [r async for r in sd(sreq)]
                 assert len(stream_docs) == 1
-                assert json.loads(stream_docs[0].document)["text"] == "echo:one"
+                assert stream_docs[0].document.data["text"].text == "echo:one"
 
         asyncio.run(drive())
 
@@ -161,7 +167,7 @@ def test_proto_derived_stubs_roundtrip_live_server():
                         marie_pb2.SnapshotStatusProto.FromString
                     ),
                 )
-                snap = await snap_stub(marie_pb2.Empty())
+                snap = await snap_stub(_EMPTY)
                 assert snap.status == marie_pb2.SnapshotStatusProto.SUCCEEDED
                 cmd = marie_pb2.RestoreSnapshotCommand()
                 cmd.snapshot_file = snap.snapshot_file
@@ -173,7 +179,9 @@ def test_proto_derived_stubs_roundtrip_live_server():
                     ),
                 )
                 rst = await rst_stub(cmd)
-                assert rst.status == marie_pb2.SnapshotStatusProto.SUCCEEDED
+                assert (
+                    rst.status == marie_pb2.RestoreSnapshotStatusProto.SUCCEEDED
+                )
 
                 # progress services report the recorded status by id,
                 # NOT_FOUND for unknown ids
@@ -205,11 +213,11 @@ def test_proto_derived_stubs_roundtrip_live_server():
                 rid.value = rst.id.value
                 assert (
                     await rst_prog(rid)
-                ).status == marie_pb2.SnapshotStatusProto.SUCCEEDED
+                ).status == marie_pb2.RestoreSnapshotStatusProto.SUCCEEDED
                 rid.value = "no-such-restore"
                 assert (
                     await rst_prog(rid)
-                ).status == marie_pb2.SnapshotStatusProto.NOT_FOUND
+                ).status == marie_pb2.RestoreSnapshotStatusProto.NOT_FOUND
 
         asyncio.run(drive_snapshot())
 

@@ -25,8 +25,8 @@ def _stream_doc_stub(ch):
 def _single_doc_request(endpoint, text):
     sreq = marie_pb2.SingleDocumentRequestProto()
     sreq.header.exec_endpoint = endpoint
-    sreq.parameters = b"{}"
-    sreq.document = json.dumps({"id": "d0", "text": text}).encode()
+    sreq.document.data["id"].text = "d0"
+    sreq.document.data["text"].text = text
     return sreq
 
 
@@ -40,7 +40,7 @@ def test_async_generator_endpoint_streams_incrementally():
                 arrivals = []
                 async for r in sd(_single_doc_request("/stream", "a b c d")):
                     arrivals.append(
-                        (time.perf_counter(), json.loads(r.document)["text"])
+                        (time.perf_counter(), r.document.data["text"].text)
                     )
                 return arrivals
 
@@ -60,7 +60,7 @@ def test_sync_generator_endpoint_streams():
             async with grpc.aio.insecure_channel(address) as ch:
                 sd = _stream_doc_stub(ch)
                 return [
-                    json.loads(r.document)["text"]
+                    r.document.data["text"].text
                     async for r in sd(_single_doc_request("/sync-stream", ""))
                 ]
 
@@ -78,7 +78,7 @@ def test_non_generator_endpoint_keeps_full_result_contract():
             async with grpc.aio.insecure_channel(address) as ch:
                 sd = _stream_doc_stub(ch)
                 return [
-                    json.loads(r.document)["text"]
+                    r.document.data["text"].text
                     async for r in sd(_single_doc_request("/echo", "one"))
                 ]
 

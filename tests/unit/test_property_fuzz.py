@@ -97,7 +97,9 @@ def test_merge_routes_union_by_executor(routes):
     for hops in routes:
         r = DataRequest.from_docs(DocumentArray(), endpoint="/")
         for h in hops:
-            r.add_route(h, "t0", "t1")
+            r.add_route(
+                h, "2026-08-19T00:00:00+00:00", "2026-08-19T00:00:01+00:00"
+            )
         reqs.append(r)
     own = list(routes[0])
     WorkerRequestHandler.merge_routes(reqs)

@@ -189,13 +189,15 @@ async def test_dead_letter_on_expiry(sched):
     conn = sched._conn()
     now = time.time()
     with conn:
-        rows = conn.execute(
+        rows = sched._exec(
+            conn,
             "SELECT id FROM job WHERE state='active' AND "
             "expire_in_seconds>0 AND started_on+expire_in_seconds<?",
             (now,),
         ).fetchall()
         for r in rows:
-            conn.execute(
+            sched._exec(
+                conn,
                 "UPDATE job SET state='expired', completed_on=? WHERE id=?",
                 (now, r["id"]),
             )
@@ -230,20 +232,21 @@ async def test_keep_until_blocks_archive(sched):
         sched.complete_job(got.id)
     conn = sched._conn()
     with conn:  # backdate both past the 1h archive threshold
-        conn.execute("UPDATE job SET completed_on=?", (time.time() - 7200,))
+        sched._exec(
+            conn, "UPDATE job SET completed_on=?", (time.time() - 7200,)
+        )
         now = time.time()
-        old = conn.execute(
+        old = sched._exec(
+            conn,
             "SELECT * FROM job WHERE state IN "
             "('completed','failed','cancelled','expired') "
             "AND completed_on < ? AND keep_until < ?",
             (now - 3600, now),
         ).fetchall()
         for r in old:
-            conn.execute(
-                "INSERT OR REPLACE INTO archive VALUES (?,?,?,?,?)",
-                (r["id"], r["name"], r["state"], r["data"], now),
-            )
-            conn.execute("DELETE FROM job WHERE id=?", (r["id"],))
+            sched._exec(conn, sched._archive_upsert_sql(),
+                        (r["id"], r["name"], r["state"], r["data"], now))
+            sched._exec(conn, "DELETE FROM job WHERE id=?", (r["id"],))
     assert await sched.get_job(keep_id) is not None
     assert await sched.get_job(gone_id) is None
 

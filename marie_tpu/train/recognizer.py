@@ -71,6 +71,8 @@ class SyntheticWordDataset:
         rotate_p: float = 0.35,
         lowres_p: float = 0.25,
         text_mode: str = "lexicon",
+        bold_p: float = 0.0,
+        shear_p: float = 0.0,
     ):
         self.cfg = config
         # "lexicon" = the round-1..3 domain-word distribution;
@@ -98,6 +100,15 @@ class SyntheticWordDataset:
         # probability lowres_p the crop is degraded by a 0.4–0.7×
         # down/up-scale round trip (oracle ood_lowres analog)
         self.lowres_p = lowres_p
+        # font-diversity augmentation: stroke-width synthetic BOLD and
+        # affine-shear synthetic ITALIC on the trained faces — covers
+        # unseen font *weights/slants* (e.g. the oracle's held-out
+        # DejaVuSerif-Bold) without ever rendering the held-out file.
+        # A char-level (open-vocab) reader cannot lexicon-correct on an
+        # unseen face the way the word-memorizing models did, so the
+        # glyph-shape coverage has to come from augmentation.
+        self.bold_p = bold_p
+        self.shear_p = shear_p
         self._fonts = self._load_fonts()
 
     _FONT_FILES = (
@@ -222,8 +233,26 @@ class SyntheticWordDataset:
         canvas = Image.new("RGB", (4 * self.w, 2 * self.h), (255, 255, 255))
         draw = ImageDraw.Draw(canvas)
         x0, y0 = 20, 20
-        draw.text((x0, y0), text, fill=(0, 0, 0), font=font)
-        bbox = draw.textbbox((x0, y0), text, font=font)
+        stroke = (
+            1 if self.bold_p > 0 and self.rng.random() < self.bold_p else 0
+        )
+        draw.text(
+            (x0, y0), text, fill=(0, 0, 0), font=font,
+            stroke_width=stroke, stroke_fill=(0, 0, 0),
+        )
+        bbox = draw.textbbox((x0, y0), text, font=font, stroke_width=stroke)
+        if self.shear_p > 0 and self.rng.random() < self.shear_p:
+            # synthetic italic: horizontal shear about the baseline
+            sh = float(self.rng.uniform(-0.25, 0.25))
+            canvas = canvas.transform(
+                canvas.size, Image.AFFINE, (1, sh, -sh * y0, 0, 1, 0),
+                resample=Image.BILINEAR, fillcolor=(255, 255, 255),
+            )
+            arr0 = np.asarray(canvas.convert("L"))
+            ys, xs = np.nonzero(arr0 < 160)
+            if len(ys):
+                bbox = (int(xs.min()), int(ys.min()),
+                        int(xs.max()) + 1, int(ys.max()) + 1)
         if self.rotate_deg > 0 and self.rng.random() < self.rotate_p:
             angle = float(self.rng.uniform(-self.rotate_deg, self.rotate_deg))
             cx, cy = (bbox[0] + bbox[2]) / 2.0, (bbox[1] + bbox[3]) / 2.0
@@ -323,6 +352,8 @@ def train_recognizer_device(
     refresh_every: int = 2000,
     text_mode: str = "lexicon",
     font_sizes: Tuple[int, ...] = (18, 24, 30),
+    bold_p: float = 0.0,
+    shear_p: float = 0.0,
 ):
     """Device-resident training: the synthetic dataset is rendered once,
     uploaded once (uint8), and every dispatch runs ``steps_per_dispatch``
@@ -338,7 +369,8 @@ def train_recognizer_device(
     model = TrOCRModel(config)
     dataset = SyntheticWordDataset(
         config, tokenizer, seed=seed, noise=0.0, rotate_deg=rotate_deg,
-        text_mode=text_mode, font_sizes=font_sizes,
+        text_mode=text_mode, font_sizes=font_sizes, bold_p=bold_p,
+        shear_p=shear_p,
     )
 
     logger.info(f"rendering {dataset_size} synthetic crops...")
@@ -403,7 +435,7 @@ def train_recognizer_device(
         ds = SyntheticWordDataset(
             config, tokenizer, seed=block_seed, noise=0.0,
             rotate_deg=rotate_deg, text_mode=text_mode,
-            font_sizes=font_sizes,
+            font_sizes=font_sizes, bold_p=bold_p, shear_p=shear_p,
         )
         imgs_l, toks_l = [], []
         for start in range(0, dataset_size, 512):

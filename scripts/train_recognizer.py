@@ -28,6 +28,10 @@ def main() -> int:
     ap.add_argument("--font-sizes", default="18,24,30",
                     help="comma list of training font sizes (add 14 for "
                          "dense-page small-glyph coverage)")
+    ap.add_argument("--bold-p", type=float, default=0.0,
+                    help="probability of stroke-width synthetic bold")
+    ap.add_argument("--shear-p", type=float, default=0.0,
+                    help="probability of affine-shear synthetic italic")
     args = ap.parse_args()
 
     from marie_tpu.models.configs import TrOCRConfig
@@ -48,6 +52,8 @@ def main() -> int:
         checkpoint_path=args.out,
         text_mode=args.text_mode,
         font_sizes=tuple(int(s) for s in args.font_sizes.split(",")),
+        bold_p=args.bold_p,
+        shear_p=args.shear_p,
     )
     print(f"FINAL_CER={cer:.4f}")
     return 0

@@ -195,8 +195,34 @@ class OverlayProcessor(JAMLCompatible):
             blended = blended.mean(axis=-1)
         return frame, (mask * 255).astype(np.uint8), blended.astype(np.uint8)
 
+    @staticmethod
+    def overlay_scores(frames) -> list:
+        """Cheap host-side dirtiness score per page: (colored_fraction,
+        midtone_fraction) on a 4× subsample.  Form overlays are colored
+        rules/boxes/stamps or gray shaded fills (train/overlay.py
+        ``_OVERLAY_COLORS``); a clean printed page is near-black glyphs
+        on near-white background with only antialiasing in between
+        (~1% midtones), so the thresholds in :meth:`segment_batch`
+        separate them with a wide margin.  Noisy/low-contrast scans score
+        dirty and go through the GAN — the safe direction (slower,
+        never worse)."""
+        scores = []
+        for f in frames:
+            s = np.asarray(f)[::4, ::4]
+            if s.ndim == 3:
+                mx = s.max(axis=-1).astype(np.int16)
+                mn = s.min(axis=-1).astype(np.int16)
+                colored = float((mx - mn > 24).mean())
+                gray = s.mean(axis=-1)
+            else:
+                colored = 0.0
+                gray = s
+            mid = float(((gray > 90) & (gray < 220)).mean())
+            scores.append((colored, mid))
+        return scores
+
     def segment_batch(
-        self, frames, chunk: int = 4, compute_dtype=None
+        self, frames, chunk: int = 4, compute_dtype=None, gate: str = "auto"
     ) -> list:
         """Clean a list of grayscale pages with batched device dispatch.
 
@@ -207,7 +233,16 @@ class OverlayProcessor(JAMLCompatible):
         and one download per group instead of per page (the per-page path
         measured 278 ms/page through the relay; the batch path is
         device-bound).  Mixed shapes / RGB input fall back per frame.
+
+        ``gate="auto"`` (default; ``MARIE_OVERLAY_GATE=off`` disables)
+        skips the GAN for pages with no overlay signature
+        (:meth:`overlay_scores`) — a clean page's dark-text blend is its
+        own text on white, so passing it through unchanged is
+        OCR-equivalent (the oracle's dirty-page CER-delta row runs the
+        gate and gates regressions).
         """
+        import os
+
         same_2d = frames and all(
             f.ndim == 2 and f.shape == frames[0].shape for f in frames
         )
@@ -215,6 +250,22 @@ class OverlayProcessor(JAMLCompatible):
             return [
                 self.segment_frame(f"b{i}", f)[2] for i, f in enumerate(frames)
             ]
+        if gate == "auto" and os.environ.get("MARIE_OVERLAY_GATE") != "off":
+            flags = [
+                colored > 0.001 or mid > 0.03
+                for colored, mid in self.overlay_scores(frames)
+            ]
+            if not all(flags):
+                out = [np.asarray(f) for f in frames]
+                dirty_idx = [i for i, d in enumerate(flags) if d]
+                if dirty_idx:
+                    cleaned = self.segment_batch(
+                        [frames[i] for i in dirty_idx], chunk=chunk,
+                        compute_dtype=compute_dtype, gate="off",
+                    )
+                    for i, c in zip(dirty_idx, cleaned):
+                        out[i] = c
+                return out
         h, w = frames[0].shape
         (_, _), scale = self.buckets.fit_with_scale(h, w)
         work = list(frames)

@@ -129,11 +129,19 @@ class ExtractPipeline(BasePipeline):
         # clamp oversized pages (reference ensure_max_page_size)
         frames = [ensure_max_page_size(f)[0] for f in frames]
 
-        # restore prior-run assets from primary storage (best-effort) and
-        # burst pages to numbered files (skip when counts match) —
-        # reference extract_pipeline.py:325-339
+        # restore prior-run assets from primary storage (best-effort) —
+        # must complete before _segment, whose resume logic reads the
+        # restored clean/ dir (reference extract_pipeline.py:325-339)
         restore_assets(ref_id, ref_type, root_asset_dir)
-        burst_frames(ref_id, frames, root_asset_dir)
+        # bursting pages to numbered files is pure host file IO consumed
+        # only by _pack_assets, so it runs on a thread OVERLAPPED with
+        # the device stages (overlay + OCR) below
+        import threading
+
+        burst_thread = threading.Thread(
+            target=burst_frames, args=(ref_id, frames, root_asset_dir)
+        )
+        burst_thread.start()
 
         if boundary_enabled and self.boundary_processor is not None:
             with TimeContext("boundary", self.logger):
@@ -173,6 +181,7 @@ class ExtractPipeline(BasePipeline):
 
         with TimeContext("render", self.logger):
             self._render_artifacts(frames, ocr_results, root_asset_dir)
+        burst_thread.join()  # pack consumes the burst/ dir
         self._pack_assets(clean_frames, metadata, root_asset_dir, ref_id)
         metadata["assets"] = self._asset_listing(root_asset_dir)
         # mirror the asset tree to primary storage so a future run of the

@@ -354,6 +354,7 @@ def train_recognizer_device(
     font_sizes: Tuple[int, ...] = (18, 24, 30),
     bold_p: float = 0.0,
     shear_p: float = 0.0,
+    init_params=None,
 ):
     """Device-resident training: the synthetic dataset is rendered once,
     uploaded once (uint8), and every dispatch runs ``steps_per_dispatch``
@@ -391,11 +392,17 @@ def train_recognizer_device(
         optax.clip_by_global_norm(1.0), optax.adamw(schedule, weight_decay=0.01)
     )
 
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(seed),
-        jnp.zeros((1, *config.encoder.image_size, 3), jnp.float32),
-        jnp.zeros((1, config.decoder.max_len - 1), jnp.int32),
-    )
+    if init_params is not None:
+        # warm start from an existing (same-architecture) checkpoint:
+        # inherits its font/style robustness while the new text
+        # distribution teaches char-level reading
+        params = jax.device_put(init_params)
+    else:
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, *config.encoder.image_size, 3), jnp.float32),
+            jnp.zeros((1, config.decoder.max_len - 1), jnp.int32),
+        )
     opt_state = jax.jit(optimizer.init)(params)
 
     # NOTE: the dataset arrays must be jit ARGUMENTS — captured closures

@@ -10,6 +10,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _init_params(name):
+    if not name:
+        return None
+    from marie_tpu.registry.checkpoints import load_params
+    from marie_tpu.registry.zoo import zoo_checkpoint
+
+    ckpt = zoo_checkpoint(name)
+    if ckpt is None:
+        raise SystemExit(f"--init-from checkpoint not found: {name}")
+    return load_params(ckpt)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=12000)
@@ -32,6 +44,9 @@ def main() -> int:
                     help="probability of stroke-width synthetic bold")
     ap.add_argument("--shear-p", type=float, default=0.0,
                     help="probability of affine-shear synthetic italic")
+    ap.add_argument("--init-from", type=str, default=None,
+                    help="zoo checkpoint name to warm-start from "
+                         "(same architecture)")
     args = ap.parse_args()
 
     from marie_tpu.models.configs import TrOCRConfig
@@ -54,6 +69,7 @@ def main() -> int:
         font_sizes=tuple(int(s) for s in args.font_sizes.split(",")),
         bold_p=args.bold_p,
         shear_p=args.shear_p,
+        init_params=_init_params(args.init_from),
     )
     print(f"FINAL_CER={cer:.4f}")
     return 0

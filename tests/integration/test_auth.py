@@ -117,8 +117,8 @@ def test_restore_path_confined():
                 return proto.status
 
         assert asyncio.run(drive("/etc/passwd")) == (
-            marie_pb2.SnapshotStatusProto.FAILED
+            marie_pb2.RestoreSnapshotStatusProto.FAILED
         )
         assert asyncio.run(drive("/tmp/marie/snapshots/../../etc/passwd")) == (
-            marie_pb2.SnapshotStatusProto.FAILED
+            marie_pb2.RestoreSnapshotStatusProto.FAILED
         )

@@ -118,7 +118,10 @@ async def test_snapshot_restore_rpc_roundtrip(tmp_path):
             raw = await restore_stub(cmd.SerializeToString())
             rstatus = marie_pb2.RestoreSnapshotStatusProto()
             rstatus.ParseFromString(raw)
-            assert rstatus.status == marie_pb2.SnapshotStatusProto.SUCCEEDED
+            assert (
+                rstatus.status
+                == marie_pb2.RestoreSnapshotStatusProto.SUCCEEDED
+            )
             assert handler.executor.counter == 2
     finally:
         await server.shutdown()

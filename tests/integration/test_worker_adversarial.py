@@ -82,7 +82,9 @@ def test_route_records_start_and_end_times():
     assert len(resp.routes) == 1
     r = resp.routes[0]
     assert r.executor == "adv-echo"
-    assert r.start_time and r.end_time and r.start_time <= r.end_time
+    start = r.start_time.ToDatetime()
+    end = r.end_time.ToDatetime()
+    assert r.start_time.seconds and start <= end
 
 
 def test_dict_results_accumulate_per_executor():
@@ -135,10 +137,10 @@ def test_matrix_merge_routes_dedupes_by_executor():
     deduped by executor (reference merge_routes, request_handling.py:855)."""
     handler = WorkerRequestHandler(uses=EchoExecutor, name="adv-echo")
     r1 = _req(texts=("x",), ids=("i1",))
-    r1.add_route("upstream-a", "t0", "t1")
+    r1.add_route("upstream-a", "2026-08-19T00:00:00+00:00", "2026-08-19T00:00:01+00:00")
     r2 = _req(texts=("y",), ids=("i2",))
-    r2.add_route("upstream-b", "t0", "t1")
-    r2.add_route("upstream-a", "t0", "t1")  # duplicate executor
+    r2.add_route("upstream-b", "2026-08-19T00:00:00+00:00", "2026-08-19T00:00:01+00:00")
+    r2.add_route("upstream-a", "2026-08-19T00:00:00+00:00", "2026-08-19T00:00:01+00:00")  # duplicate executor
     resp = asyncio.run(handler.process_data([r1, r2]))
     names = [r.executor for r in resp.routes]
     assert names.count("upstream-a") == 1

@@ -45,6 +45,20 @@ def run_server(
     os.makedirs("/tmp/marie", exist_ok=True)
     os.environ.setdefault("MARIE_JOB_KV", "/tmp/marie/kv.db")
 
+    # cold-start killers (VERDICT r3 #6): persistent HLO cache + eager
+    # deserialization of AOT-pinned serving executables, BEFORE the flow
+    # spawns workers — the first request must not pay compile/load
+    try:
+        from marie_tpu.utils.jax_cache import enable_persistent_cache
+        from marie_tpu.utils.program_zoo import prewarm
+
+        enable_persistent_cache()
+        n = prewarm()
+        if n:
+            logger.info(f"program zoo pre-warmed {n} executables")
+    except Exception as ex:  # noqa: BLE001 — warm-up is best-effort
+        logger.warning(f"program-zoo prewarm skipped: {ex!r}")
+
     if uses:
         _setup_auth(uses)
         flow = Flow.load_config(uses, context=dict(os.environ))

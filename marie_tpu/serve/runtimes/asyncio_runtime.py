@@ -49,7 +49,18 @@ class AsyncNewLoopRuntime:
                 name=name,
             )
         proto = (protocols[0] if protocols else protocol).lower()
-        cls = {"grpc": GRPCServer, "http": HTTPServer, "websocket": WebSocketServer}.get(proto)
+        cls = {
+            "grpc": GRPCServer, "http": HTTPServer,
+            "websocket": WebSocketServer,
+        }.get(proto)
+        if cls is None and proto in ("sagemaker", "azure"):
+            from marie_tpu.serve.runtimes.servers.cloud_http import (
+                AzureHTTPServer,
+                SagemakerHTTPServer,
+            )
+
+            cls = {"sagemaker": SagemakerHTTPServer,
+                   "azure": AzureHTTPServer}[proto]
         if cls is None:
             raise ValueError(f"unknown protocol {proto!r}")
         return cls(self.req_handler, port=port, host=host, name=name)

@@ -19,7 +19,7 @@ from marie_tpu.types.request import ts_iso as _ts_iso
 # liveness/readiness probes + metrics scrape stay open so orchestrators
 # and prometheus can see status (the reference serves metrics unguarded
 # on a dedicated port_monitoring)
-_OPEN_PATHS = {"/", "/health", "/health/status", "/dry_run", "/metrics"}
+_OPEN_PATHS = {"/", "/health", "/health/status", "/dry_run", "/metrics", "/ping"}
 
 
 def make_auth_middleware():
@@ -64,6 +64,37 @@ class HTTPServer:
         self.cors = cors
         self.name = name
 
+    async def dispatch_payload(self, body: dict):
+        """``/post``-schema dict -> handler -> json response (shared by
+        the cloud app variants, servers/cloud_http.py)."""
+        from aiohttp import web
+
+        endpoint = body.get("execEndpoint", body.get("exec_endpoint", "/"))
+        docs_raw = body.get("data", [])
+        req = DataRequest.from_docs(
+            DocumentArray.from_dict(docs_raw) if docs_raw else DocumentArray(),
+            endpoint=endpoint,
+            parameters=body.get("parameters") or {},
+            target_executor=body.get("targetExecutor", "") or "",
+        )
+        resp = await self.req_handler.process_data([req])
+        payload = {
+            "header": {
+                "requestId": resp.request_id,
+                "execEndpoint": resp.exec_endpoint,
+                "status": _status_dict(resp),
+            },
+            "parameters": resp.parameters,
+            "routes": [
+                {"executor": r.executor, "startTime": _ts_iso(r.start_time),
+                 "endTime": _ts_iso(r.end_time)}
+                for r in resp.routes
+            ],
+            "data": resp.docs.to_dict(),
+        }
+        code = 500 if resp.is_error() else 200
+        return web.json_response(payload, status=code)
+
     async def setup_server(self) -> None:
         from aiohttp import web
 
@@ -98,30 +129,7 @@ class HTTPServer:
                 return web.json_response(
                     {"error": "invalid JSON body"}, status=400
                 )
-            endpoint = body.get("execEndpoint", body.get("exec_endpoint", "/"))
-            docs_raw = body.get("data", [])
-            req = DataRequest.from_docs(
-                DocumentArray.from_dict(docs_raw) if docs_raw else DocumentArray(),
-                endpoint=endpoint,
-                parameters=body.get("parameters") or {},
-                target_executor=body.get("targetExecutor", "") or "",
-            )
-            resp = await self.req_handler.process_data([req])
-            payload = {
-                "header": {
-                    "requestId": resp.request_id,
-                    "execEndpoint": resp.exec_endpoint,
-                    "status": _status_dict(resp),
-                },
-                "parameters": resp.parameters,
-                "routes": [
-                    {"executor": r.executor, "startTime": _ts_iso(r.start_time), "endTime": _ts_iso(r.end_time)}
-                    for r in resp.routes
-                ],
-                "data": resp.docs.to_dict(),
-            }
-            code = 500 if resp.is_error() else 200
-            return web.json_response(payload, status=code)
+            return await self.dispatch_payload(body)
 
         async def post_stream(request):
             """NDJSON streaming of one-doc-in/N-docs-out requests: each

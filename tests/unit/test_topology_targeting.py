@@ -21,7 +21,10 @@ class RecordingPool:
         req = requests[0]
         for d in req.docs:
             d.tags["path"] = d.tags.get("path", "") + f">{deployment}"
-        req.add_route(deployment, "t0", "t1")
+        req.add_route(
+            deployment, "2026-08-19T00:00:00+00:00",
+            "2026-08-19T00:00:01+00:00",
+        )
         return req
 
 

@@ -61,6 +61,17 @@ async def watch(server: str = "127.0.0.1:8080", interval: float = 2.0) -> None:
 
 def main(argv=None) -> int:
     server = argv[0] if argv else "127.0.0.1:8080"
+    # interactive terminals get the curses TUI (job selection + result
+    # viewer, marie_tpu_server/ctl.py — the reference's `marie server
+    # watch` Textual console); pipes/CI fall back to this plain poller
+    if sys.stdout.isatty():
+        try:
+            from marie_tpu_server.ctl import run_tui
+
+            run_tui(server)
+            return 0
+        except Exception:  # noqa: BLE001 — no curses/terminal: fall back
+            pass
     try:
         asyncio.run(watch(server))
     except KeyboardInterrupt:

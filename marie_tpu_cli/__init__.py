@@ -186,14 +186,54 @@ def _hub(args) -> int:
         # `hub://name[:version]`
         return _parse(ref if ref.startswith("hub://") else f"hub://{ref}")
 
+    # docker://-prefixed refs go to an OCI registry (hub_docker.py —
+    # reference hubble docker-image hub; registry/creds from
+    # MARIE_REGISTRY / MARIE_REGISTRY_USER / MARIE_REGISTRY_PASSWORD)
+    def _registry_client():
+        from marie_tpu.hub_docker import RegistryClient
+
+        url = os.environ.get("MARIE_REGISTRY")
+        if not url:
+            raise SystemExit(
+                "docker:// hub refs need MARIE_REGISTRY (registry URL)"
+            )
+        return RegistryClient(
+            url,
+            username=os.environ.get("MARIE_REGISTRY_USER"),
+            password=os.environ.get("MARIE_REGISTRY_PASSWORD"),
+        )
+
     hub = ExecutorHub()
     cmd = args.hub_cmd
     if cmd == "push":
         name = args.name or os.path.basename(os.path.abspath(args.path))
+        if name.startswith("docker://"):
+            from marie_tpu.hub_docker import push_executor_image
+
+            digest, _ = push_executor_image(
+                _registry_client(), args.path, name[len("docker://"):],
+                tag=args.version,
+            )
+            print(f"pushed {name}:{args.version} {digest}")
+            return 0
         bundle = hub.push(args.path, name=name, version=args.version)
         print(f"pushed {name}:{args.version} -> {bundle}")
         return 0
     if cmd == "pull":
+        if args.ref.startswith("docker://"):
+            from marie_tpu.hub_docker import pull_executor_image
+
+            body = args.ref[len("docker://"):]
+            image, _, tag = body.partition(":")
+            dest = os.path.join(
+                os.path.expanduser("~/.marie/hub-images"),
+                image.replace("/", "__"), tag or "latest",
+            )
+            pull_executor_image(
+                _registry_client(), image, tag or "latest", dest
+            )
+            print(dest)
+            return 0
         name, version = parse_hub_ref(args.ref)
         installed = hub.pull(name, version)
         print(installed)

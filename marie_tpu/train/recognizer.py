@@ -162,13 +162,13 @@ class SyntheticWordDataset:
     def _random_text_open(self) -> str:
         rng = self.rng
         r = rng.random()
-        if r < 0.22:  # random letter n-gram — pure char-level signal
+        if r < 0.18:  # random letter n-gram — pure char-level signal
             n = int(rng.integers(1, 13))
             core = "".join(
                 chr(97 + int(c)) for c in rng.integers(0, 26, n)
             )
             text = self._case(core)
-        elif r < 0.42:  # pronounceable pseudo-word (2-5 syllables)
+        elif r < 0.34:  # pronounceable pseudo-word (2-5 syllables)
             n = int(rng.integers(1, 5))
             core = "".join(
                 str(rng.choice(_SYLLABLES)) for _ in range(n + 1)
@@ -233,9 +233,11 @@ class SyntheticWordDataset:
         canvas = Image.new("RGB", (4 * self.w, 2 * self.h), (255, 255, 255))
         draw = ImageDraw.Draw(canvas)
         x0, y0 = 20, 20
-        stroke = (
-            1 if self.bold_p > 0 and self.rng.random() < self.bold_p else 0
-        )
+        stroke = 0
+        if self.bold_p > 0 and self.rng.random() < self.bold_p:
+            # real bold weights scale with glyph size: ~1px extra stroke
+            # per 24px of font (DejaVu bold stems are ~1.5x regular)
+            stroke = 1 if font.size < 24 or self.rng.random() < 0.5 else 2
         draw.text(
             (x0, y0), text, fill=(0, 0, 0), font=font,
             stroke_width=stroke, stroke_fill=(0, 0, 0),

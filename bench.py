@@ -570,6 +570,18 @@ def main():
         box, icr, upload_format=upload_format, compact_slots=160
     )
 
+    # cold first page: the latency a user sees on the first request of a
+    # fresh process (VERDICT r3 #6) — measured BEFORE any warmup, so it
+    # pays exactly the psize=1 program compiles/loads it needs, nothing
+    # else.  The subsequent warmup covers the remaining ladder shapes.
+    t0 = time.time()
+    engine.extract(make_pages(1, seed=321))
+    cold_first_page_s = time.time() - t0
+    print(
+        f"cold first page {cold_first_page_s:.1f}s", file=sys.stderr,
+        flush=True,
+    )
+
     warm = make_pages(N_WARMUP_PAGES, seed=123)
     t0 = time.time()
     # warm ONLY the smallest overflow bucket: each cached executable
@@ -722,6 +734,7 @@ def main():
             "words_per_sec": round(n_words / dt, 1),
             "p50_page_latency_ms": round(dt / N_BENCH_PAGES * 1000, 1),
             "compile_s": round(compile_s, 1),
+            "cold_first_page_s": round(cold_first_page_s, 1),
             "recognizer": (
                 f"{rec_name} greedy bf16 (synthetic-trained ckpt)"
                 if trained

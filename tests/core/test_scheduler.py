@@ -274,7 +274,9 @@ async def test_schedule_fires_and_dedupes_within_minute(sched):
     sched.schedule("nightly", "* * * * *", data={"task": "sweep"})
     assert [s["name"] for s in sched.schedules()] == ["nightly"]
 
-    now = time.time()
+    # pin to the start of a minute: with wall-clock `now`, now+1 can
+    # cross a minute boundary and double-fire (flake under load)
+    now = float((int(time.time()) // 60) * 60 + 1)
     assert sched._run_schedules(now) == 1
     # same minute: no double fire
     assert sched._run_schedules(now + 1) == 0

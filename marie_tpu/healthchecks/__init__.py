@@ -62,6 +62,30 @@ class ScriptHealthIndicator(HealthIndicator):
             return {"name": self.name, "status": "DOWN", "error": repr(ex)}
 
 
+class SqlHealthIndicator(HealthIndicator):
+    """``SELECT 1`` over an injected DB-API connection factory
+    (reference ``marie/healthchecks/sql`` probe)."""
+
+    def __init__(self, name: str, connection_factory: Callable):
+        super().__init__(name)
+        self.connection_factory = connection_factory
+
+    async def check(self) -> Dict[str, Any]:
+        try:
+            conn = self.connection_factory()
+            try:
+                cur = conn.cursor() if hasattr(conn, "cursor") else conn
+                cur.execute("SELECT 1")
+                row = cur.fetchone()
+                ok = row is not None
+            finally:
+                if hasattr(conn, "close"):
+                    conn.close()
+            return {"name": self.name, "status": "UP" if ok else "DOWN"}
+        except Exception as ex:  # noqa: BLE001
+            return {"name": self.name, "status": "DOWN", "error": repr(ex)}
+
+
 async def run_health_checks(indicators: List[HealthIndicator]) -> Dict[str, Any]:
     results = await asyncio.gather(*(i.check() for i in indicators))
     overall = "UP" if all(r["status"] == "UP" for r in results) else "DOWN"

@@ -174,6 +174,20 @@ class TrOCRConfig:
         )
 
     @staticmethod
+    def fast_v3_g2_d6() -> "TrOCRConfig":
+        """fast_v3_g2 with a 6-layer decoder (4 -> 6): open-vocabulary
+        char-level reading needs more decoder capacity than lexicon
+        recall (r4 gate runs plateaued at serif/mono CER ~0.006-0.010);
+        the GQA-2 cross-KV saving (3x less per-step HBM) pays for the
+        extra layers' compute, so decode cost stays at or below the
+        serving fast_v2's."""
+        base = TrOCRConfig.fast_v3_g2()
+        return TrOCRConfig(
+            encoder=base.encoder,
+            decoder=dataclasses.replace(base.decoder, num_layers=6),
+        )
+
+    @staticmethod
     def tiny() -> "TrOCRConfig":
         """CPU-test preset."""
         return TrOCRConfig(

@@ -573,7 +573,14 @@ def fused_ocr_pages(
         pages = jnp.asarray(pages)
         clip_whs = jnp.asarray(clip_whs, jnp.float32)
 
-    return _fused_pages_compact(
+    # route through the AOT program zoo: a cold process deserializes the
+    # pinned executable (~0.01 s measured on-chip) instead of paying
+    # compile+load (~1 s cached, minutes uncached through the relay).
+    # Dynamic positions: craft_vars(1), trocr_params(3), pages(4),
+    # clip_whs(5), n_real(6) — everything else is static_argnames.
+    from marie_tpu.utils.program_zoo import zoo_call
+
+    all_args = (
         bp.model, craft_vars, op.model, trocr_params, pages, clip_whs,
         jnp.int32(n_real),
         bp.text_threshold, bp.low_text, bp.link_threshold,
@@ -581,6 +588,18 @@ def fused_ocr_pages(
         bp.max_components, bp.box_source, int(total_slots),
         op.crop_h, op.crop_w, op.compute_dtype, op.decode_steps,
         bool(pallas_crop), pack_bits,
+    )
+    static_repr = (
+        f"{type(bp.model).__name__}{bp.model.cfg}|"
+        f"{type(op.model).__name__}{op.model.cfg}|"
+        f"{bp.text_threshold}|{bp.low_text}|{bp.link_threshold}|"
+        f"{bp.min_area}|{bp.box_expand}|{bp.max_components}|"
+        f"{bp.box_source}|{total_slots}|{op.crop_h}|{op.crop_w}|"
+        f"{op.compute_dtype}|{op.decode_steps}|{pallas_crop}|{pack_bits}"
+    )
+    return zoo_call(
+        "fused_pages_compact", _fused_pages_compact, all_args,
+        dynamic_idx=(1, 3, 4, 5, 6), static_repr=static_repr,
     )
 
 

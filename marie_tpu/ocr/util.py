@@ -19,7 +19,8 @@ def _trocr_processor(beam_size: int = 1):
     # presets never appear here — a future commit of a rejected name
     # must not silently ship it (ADVICE r3).  MARIE_RECOGNIZER pins any
     # KNOWN preset checkpoint explicitly (experiments, ops rollback).
-    known = {"trocr-fast3g2ov-synth": TrOCRConfig.fast_v3_g2,
+    known = {"trocr-fast3g2d6ov-synth": TrOCRConfig.fast_v3_g2_d6,
+             "trocr-fast3g2ov-synth": TrOCRConfig.fast_v3_g2,
              "trocr-fast3g2-synth": TrOCRConfig.fast_v3_g2,
              "trocr-fast3-synth": TrOCRConfig.fast_v3,
              "trocr-fast2ov-synth": TrOCRConfig.fast_v2,
@@ -27,7 +28,8 @@ def _trocr_processor(beam_size: int = 1):
              "trocr-fast-synth": TrOCRConfig.fast}
     # slots above the live default are ONLY ever created by the
     # promotion gate's --require-eval A/B (scripts/promote_checkpoint.py)
-    ladder = [("trocr-fast3g2ov-synth", TrOCRConfig.fast_v3_g2),
+    ladder = [("trocr-fast3g2d6ov-synth", TrOCRConfig.fast_v3_g2_d6),
+              ("trocr-fast3g2ov-synth", TrOCRConfig.fast_v3_g2),
               ("trocr-fast2ov-synth", TrOCRConfig.fast_v2),
               ("trocr-fast2-synth", TrOCRConfig.fast_v2),
               ("trocr-fast-synth", TrOCRConfig.fast)]

@@ -54,6 +54,7 @@ def _abstractify(tree) -> str:
     leaves = jax.tree_util.tree_leaves(tree)
     return ";".join(
         f"{getattr(x, 'shape', ())}/{getattr(x, 'dtype', type(x).__name__)}"
+        f"/{getattr(x, 'sharding', '')}"
         for x in leaves
     )
 
@@ -151,6 +152,54 @@ def load_or_compile(
     if save:
         save_compiled(key, compiled)
     return compiled
+
+
+_MEMO: dict = {}
+
+
+def zoo_call(
+    name: str,
+    jitted: Callable,
+    all_args: Tuple[Any, ...],
+    dynamic_idx: Tuple[int, ...],
+    static_repr: str = "",
+):
+    """Serving-path entry: execute ``jitted(*all_args)`` through an
+    AOT-pinned executable when possible.
+
+    ``dynamic_idx`` names the positions of the NON-static arguments (a
+    ``jax.stages.Compiled`` is called with dynamic args only).  Process
+    memo -> zoo deserialize (0.01 s on-chip for a probe program) ->
+    compile via the persistent HLO cache (+save).  Any failure falls
+    back to the plain jit call.
+
+    OPT-IN (``MARIE_PROGRAM_ZOO_ENABLE=1``): on the axon RELAY backend
+    serializing the real fused executable produced no zoo entry and the
+    explicit lower/compile path measured far slower than plain jit
+    dispatch in the same window (first page 34.7 s plain vs 317 s
+    through this path, zoo dir empty afterwards) — the serving default
+    stays plain jit until serialize works on the target backend.  The
+    CPU/direct-TPU round trip is proven by tests/unit/test_program_zoo.py.
+    """
+    if not os.environ.get("MARIE_PROGRAM_ZOO_ENABLE"):
+        return jitted(*all_args)
+    memo_key = None
+    try:
+        dyn = tuple(all_args[i] for i in dynamic_idx)
+        memo_key = (name, static_repr, _abstractify(dyn))
+        compiled = _MEMO.get(memo_key)
+        if compiled is None:
+            key = key_for(name, dyn, static=static_repr)
+            compiled = load_compiled(key)
+            if compiled is None:
+                compiled = jitted.lower(*all_args).compile()
+                save_compiled(key, compiled)
+            _MEMO[memo_key] = compiled
+        return compiled(*dyn)
+    except Exception as ex:  # noqa: BLE001 — never fail the serving path
+        logger.warning(f"zoo_call({name}) fell back to jit: {ex!r}")
+        _MEMO.pop(memo_key, None)
+        return jitted(*all_args)
 
 
 def prewarm(fns: Optional[dict] = None) -> int:

@@ -29,7 +29,7 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--preset", type=str, default="fast",
-                    choices=["fast", "fast2", "fast3", "fast3g2", "tiny"])
+                    choices=["fast", "fast2", "fast3", "fast3g2", "fast3g2d6", "tiny"])
     ap.add_argument("--rotate-deg", type=float, default=0.0,
                     help="baseline-tilt augmentation range (serving crops "
                          "off a rotated page carry the tilt)")
@@ -57,6 +57,7 @@ def main() -> int:
     config = {"fast": TrOCRConfig.fast, "fast2": TrOCRConfig.fast_v2,
               "fast3": TrOCRConfig.fast_v3,
               "fast3g2": TrOCRConfig.fast_v3_g2,
+              "fast3g2d6": TrOCRConfig.fast_v3_g2_d6,
               "tiny": TrOCRConfig.tiny}[args.preset]()
     _, _, cer = train_recognizer_device(
         config=config,

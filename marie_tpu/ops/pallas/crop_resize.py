@@ -47,6 +47,7 @@ def _kernel(
     bh_ref,  # scalar-prefetch [N] f32
     x0_ref,  # scalar-prefetch [N] f32
     effw_ref,  # scalar-prefetch [N] f32
+    xstep_ref,  # scalar-prefetch [N] f32: x sampling step (squeeze-aware)
     pages_ref,  # [P, H, W] uint8 (ANY/HBM)
     out_ref,  # [1, out_h, out_w] f32
     slab_ref,  # scratch [2, WINDOW, W] uint8
@@ -119,7 +120,9 @@ def _kernel(
     # horizontal interpolation matrix M [W, out_w]
     wi = jax.lax.broadcasted_iota(jnp.int32, (w, out_w), 0).astype(jnp.float32)
     j = jax.lax.broadcasted_iota(jnp.int32, (w, out_w), 1).astype(jnp.float32)
-    sx = jnp.clip(x0 + (j + 0.5) * step - 0.5, 0.0, w - 1.0)
+    # x-step widens when the aspect-preserved width would overflow out_w
+    # (squeeze-on-overflow — matches preprocess/ops.crop_resize_pages)
+    sx = jnp.clip(x0 + (j + 0.5) * xstep_ref[i] - 0.5, 0.0, w - 1.0)
     x0i = jnp.floor(sx)
     lx = sx - x0i
     x1i = jnp.minimum(x0i + 1.0, w - 1.0)
@@ -162,7 +165,7 @@ def crop_resize_pallas(
     row_block = row_start // _ROW_ALIGN
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # pages stay in HBM
@@ -191,6 +194,7 @@ def crop_resize_pallas(
         bh.astype(jnp.float32),
         x0.astype(jnp.float32),
         eff_w.astype(jnp.float32),
+        jnp.maximum(bh / out_h, bw / out_w).astype(jnp.float32),
         pages,
     )
     return crops, eff_w.astype(jnp.int32)

@@ -97,7 +97,11 @@ def crop_resize(
         # 2*out_w columns and blend along x — bit-identical values,
         # ~100x less gather work (measured 5.2s -> see bench breakdown).
         sy = jnp.clip(b_y0 + ys_frac * b_bh - 0.5, 0.0, h - 1.0)  # [out_h]
-        step = b_bh / out_h  # = 1/scale
+        # x step widens when the aspect-preserved width would overflow
+        # out_w: the word SQUEEZES to fit instead of truncating its tail
+        # (the recognizer trains on squeezed renders — a truncated crop
+        # loses glyphs outright: mono 'statement' read as 'statemen')
+        step = jnp.maximum(b_bh / out_h, b_bw / out_w)
         sx = jnp.clip(b_x0 + xs_idx * step - 0.5, 0.0, w - 1.0)  # [out_w]
 
         y0i = jnp.floor(sy).astype(jnp.int32)
@@ -164,9 +168,11 @@ def crop_resize_pages(
     xs_idx = jnp.arange(out_w, dtype=jnp.float32) + 0.5
     interleaved = chans is not None and chans > 1
 
-    def one(pidx, b_x0, b_y0, b_bh, b_eff):
+    def one(pidx, b_x0, b_y0, b_bh, b_bw, b_eff):
         sy = jnp.clip(b_y0 + ys_frac * b_bh - 0.5, 0.0, h - 1.0)
-        step = b_bh / out_h
+        # squeeze-on-overflow (see crop_resize): wide words compress to
+        # out_w instead of losing their tail past the encoder width
+        step = jnp.maximum(b_bh / out_h, b_bw / out_w)
         sx = jnp.clip(b_x0 + xs_idx * step - 0.5, 0.0, w - 1.0)
 
         y0i = jnp.floor(sy).astype(jnp.int32)
@@ -193,7 +199,7 @@ def crop_resize_pages(
             pad_mask = jnp.arange(out_w)[None, :] >= b_eff
         return jnp.where(pad_mask, 255.0, vals)
 
-    crops = jax.vmap(one)(page_idx.astype(jnp.int32), x0, y0, bh, eff_w)
+    crops = jax.vmap(one)(page_idx.astype(jnp.int32), x0, y0, bh, bw, eff_w)
     if chans == 1:
         crops = crops[..., None]
     return crops / 255.0, eff_w.astype(jnp.int32)

@@ -92,3 +92,30 @@ def test_prepare_page():
     assert out["rgb"].shape == (128, 96, 3)
     assert out["gray"].shape == (128, 96)
     assert bool(out["ink"][55, 45])
+
+
+def test_crop_resize_squeezes_overflow_width():
+    # A box whose aspect-preserved width exceeds out_w must SQUEEZE to
+    # fit (training-render semantics) — not truncate its tail.  Dark ink
+    # at the box's right edge must survive into the crop.
+    page = np.full((100, 200, 3), 1.0, np.float32)
+    page[40:48, 10:170] = 0.8           # box h=8 w=160
+    page[40:48, 160:170] = 0.0          # black tail marker
+    boxes = jnp.array([[10.0, 40.0, 170.0, 48.0]])
+    # scale = 16/8 = 2 -> aspect width 320 > out_w 64 -> squeeze
+    crops, eff_w = crop_resize(jnp.asarray(page), boxes, out_h=16, out_w=64)
+    got = np.asarray(crops[0])
+    assert int(eff_w[0]) == 64
+    # tail marker lands in the last ~6% of columns and is dark
+    assert got[8, 62, 0] < 0.2, got[8, 55:64, 0]
+    # and the page-variant keeps identical semantics
+    from marie_tpu.preprocess.ops import crop_resize_pages
+
+    page_u8 = (page * 255).astype(np.uint8)
+    crops2, eff_w2 = crop_resize_pages(
+        jnp.asarray(page_u8)[None], jnp.zeros((1,), jnp.int32),
+        boxes, 16, 64,
+    )
+    got2 = np.asarray(crops2[0])
+    assert int(eff_w2[0]) == 64
+    assert got2[8, 62, 0] < 0.2

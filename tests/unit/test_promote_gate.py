@@ -47,6 +47,46 @@ def test_guard_rejects_per_dist_regression(gate):
     assert ok2
 
 
+def test_detector_detail_carries_detection_metrics(gate):
+    table = {
+        "in_dist/greedy": {"cer": 0.0, "detection_recall": 1.0, "detection_iou": 0.8},
+        "ood_dense/greedy": {"cer": 0.85, "detection_recall": 0.72, "detection_iou": 0.7},
+    }
+    _, detail = gate.score("detector", table)
+    assert detail["ood_dense"] == {"cer": 0.85, "recall": 0.72, "iou": 0.7}
+
+
+def test_detector_guard_ignores_blind_recognizer_cer_noise(gate):
+    """CER noise on rows the current recognizer cannot read (CER > 0.1)
+    must not veto a detection improvement; recall regressions must."""
+    cur = {
+        "in_dist": {"cer": 0.0, "recall": 1.0, "iou": 0.8},
+        "ood_lexicon": {"cer": 0.8329, "recall": 0.98, "iou": 0.7},
+    }
+    cand_noise = {
+        "in_dist": {"cer": 0.0, "recall": 1.0, "iou": 0.8},
+        "ood_lexicon": {"cer": 0.8399, "recall": 0.99, "iou": 0.7},
+    }
+    ok, regress = gate.guard_ok("detector", cur, cand_noise, max_regress=0.005)
+    assert ok, regress
+
+    cand_recall_drop = {
+        "in_dist": {"cer": 0.0, "recall": 0.95, "iou": 0.8},
+        "ood_lexicon": {"cer": 0.8329, "recall": 0.98, "iou": 0.7},
+    }
+    ok, regress = gate.guard_ok("detector", cur, cand_recall_drop, max_regress=0.005)
+    assert not ok and "in_dist/recall" in regress
+
+    cand_readable_cer_regress = {
+        "in_dist": {"cer": 0.02, "recall": 1.0, "iou": 0.8},
+        "ood_lexicon": {"cer": 0.8329, "recall": 0.98, "iou": 0.7},
+    }
+    ok, regress = gate.guard_ok(
+        "detector", cur, cand_readable_cer_regress, max_regress=0.005
+    )
+    assert not ok and "in_dist/cer" in regress
+
+
 def test_boundary_score_prefers_iou_and_recovery(gate):
     better = {"model/boundary": {
         "mean_quad_iou": 0.95, "corner_mae_px": 1.0, "cer_after_fit_to_page": 0.01,

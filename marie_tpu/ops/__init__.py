@@ -20,6 +20,7 @@ from marie_tpu.ops.box_ops import (
 from marie_tpu.ops.connected_components import (
     component_boxes,
     component_boxes_reduce,
+    component_boxes_reduce2,
     connected_components,
 )
 from marie_tpu.ops.ctc import ctc_greedy_decode
@@ -43,6 +44,7 @@ __all__ = [
     "connected_components",
     "component_boxes",
     "component_boxes_reduce",
+    "component_boxes_reduce2",
     "deform_conv2d",
     "ctc_greedy_decode",
 ]

@@ -158,6 +158,75 @@ def component_boxes_reduce(
 
 
 @partial(jax.jit, static_argnames=("max_components",))
+def component_boxes_reduce2(
+    labels: jnp.ndarray,
+    scores: jnp.ndarray | None = None,
+    max_components: int = 256,
+):
+    """Two-stage projection variant of :func:`component_boxes_reduce` —
+    identical outputs, smaller live intermediates.
+
+    The one-stage reduce materialises an [H·W, K] intermediate (the
+    ``where``-masked broadcast) before each reduction — ~300 MB per stat
+    pass at the production 512×384 grid with K=384, which makes the stage
+    HBM-bound (measured ~20× above its VPU-compute floor).  Here every
+    stat is computed from ROW/COLUMN projections of the membership
+    predicate: reduce over one spatial axis first (the [H, W, K] compare
+    fuses into that reduction), so nothing larger than [max(H, W), K]
+    ever lives in memory:
+
+      x0/x1  from  colhit[w, k]  = any_h  match
+      y1     from  rowhit[h, k]  = any_w  match    (y0 is free: labels are
+                                                    min linear indices)
+      area   from  colcnt[w, k]  = sum_h  match
+      score  from  rowmax[h, k]  = max_w  masked score
+    """
+    h, w = labels.shape
+    n = h * w
+    flat = labels.reshape(-1)
+    lin = jnp.arange(n, dtype=jnp.int32)
+
+    is_rep = (flat == lin) & (flat >= 0)
+    rep_rank = jnp.where(is_rep, lin, n)
+    neg_top, _ = jax.lax.top_k(-rep_rank, max_components)
+    rep_sorted = -neg_top  # [K] ascending label ids (n where empty)
+    valid = rep_sorted < n
+
+    match = labels[:, :, None] == rep_sorted[None, None, :]  # fused per pass
+
+    colhit = jnp.any(match, axis=0)  # [W, K]
+    xs = jnp.arange(w, dtype=jnp.float32)[:, None]
+    big = jnp.float32(n)
+    x0 = jnp.min(jnp.where(colhit, xs, big), axis=0)
+    x1 = jnp.max(jnp.where(colhit, xs, -1.0), axis=0)
+
+    rowhit = jnp.any(match, axis=1)  # [H, K]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    y1 = jnp.max(jnp.where(rowhit, ys, -1.0), axis=0)
+    y0 = (rep_sorted // w).astype(jnp.float32)
+
+    colcnt = jnp.sum(match, axis=0, dtype=jnp.int32)  # [W, K]
+    areas = jnp.sum(colcnt, axis=0)
+
+    boxes = jnp.stack([x0, y0, x1 + 1.0, y1 + 1.0], axis=-1)
+    boxes = jnp.where(valid[:, None], boxes, 0.0)
+
+    if scores is not None:
+        sc = scores.astype(jnp.float32)[:, :, None]
+        rowmax = jnp.max(jnp.where(match, sc, 0.0), axis=1)  # [H, K]
+        smax = jnp.where(valid, jnp.max(rowmax, axis=0), 0.0)
+    else:
+        smax = valid.astype(jnp.float32)
+
+    return {
+        "boxes": boxes.astype(jnp.float32),
+        "areas": jnp.where(valid, areas, 0),
+        "scores": smax.astype(jnp.float32),
+        "valid": valid,
+    }
+
+
+@partial(jax.jit, static_argnames=("max_components",))
 def component_boxes(
     labels: jnp.ndarray,
     scores: jnp.ndarray | None = None,

@@ -1,10 +1,12 @@
 """On-chip probes for the round-4 device-efficiency pass (VERDICT r3 #1/#6).
 
-1. CC+stats variants at production shapes (stride-2 heatmap of the
-   512x384 bucket = 256x192 grid, K=384): `component_boxes` (sort+
-   segmented-scan) vs `component_boxes_reduce` ([N,K] broadcast
-   reductions) — r3 shipped `reduce` everywhere; the [N,K]=49k x 384
-   materialisation is suspected to be the 3.05 ms/page CC cost.
+1. CC+stats variants at production shapes — the fused OCR program runs
+   CC on the stride-2 heatmap of the 1024x768 page bucket = 512x384
+   grid, K=384.  Variants: `component_boxes` (sort + segmented scans),
+   `component_boxes_reduce` ([N, K] broadcast reductions — r3 default),
+   `component_boxes_reduce2` (row/col projections, intermediates capped
+   at [max(H, W), K]).  Timed single and batch-16 (the fused shape),
+   plus the label-prop itself.
 2. AOT program-zoo deserialize+load vs persistent-cache compile+load
    for a mid-size program (the cold-start lever).
 
@@ -32,24 +34,20 @@ def timed(fn, n=3):
     return best
 
 
-def main() -> int:
-    from marie_tpu.utils.jax_cache import enable_persistent_cache
-
-    enable_persistent_cache()
+def probe_cc_shape(h, w, k, blobs):
     import jax
     import jax.numpy as jnp
 
     from marie_tpu.ops.connected_components import (
         component_boxes,
         component_boxes_reduce,
+        component_boxes_reduce2,
         connected_components,
     )
 
-    h, w, k = 256, 192, 384
     rng = np.random.default_rng(0)
-    # text-like mask: ~140 word blobs
     mask = np.zeros((h, w), bool)
-    for _ in range(140):
+    for _ in range(blobs):
         y, x = rng.integers(0, h - 4), rng.integers(0, w - 14)
         mask[y : y + 3, x : x + int(rng.integers(4, 14))] = True
     mask_d = jnp.asarray(mask)
@@ -57,41 +55,53 @@ def main() -> int:
 
     labels = connected_components(mask_d)
     t_cc = timed(lambda: connected_components(mask_d))
-    t_sort = timed(lambda: component_boxes(labels, scores, k)["boxes"])
-    t_reduce = timed(
-        lambda: component_boxes_reduce(labels, scores, k)["boxes"]
-    )
-    a = jax.device_get(component_boxes(labels, scores, k))
-    b = jax.device_get(component_boxes_reduce(labels, scores, k))
-    same = all(
-        np.allclose(a[f], b[f], atol=1e-5)
-        for f in ("boxes", "areas", "scores")
-    ) and np.array_equal(a["valid"], b["valid"])
-    print(
-        f"CC grid {h}x{w} K={k}: label-prop {t_cc*1e3:.2f} ms | "
-        f"stats sort={t_sort*1e3:.2f} ms reduce={t_reduce*1e3:.2f} ms | "
-        f"outputs identical: {same}"
-    )
+    variants = {
+        "sort": component_boxes,
+        "reduce": component_boxes_reduce,
+        "reduce2": component_boxes_reduce2,
+    }
+    ref = jax.device_get(component_boxes(labels, scores, k))
+    line = [f"CC grid {h}x{w} K={k}: label-prop {t_cc*1e3:.2f} ms |"]
+    for name, fn in variants.items():
+        t = timed(lambda fn=fn: fn(labels, scores, k)["boxes"])
+        out = jax.device_get(fn(labels, scores, k))
+        same = all(
+            np.allclose(ref[f], out[f], atol=1e-5)
+            for f in ("boxes", "areas", "scores")
+        ) and np.array_equal(ref["valid"], out["valid"])
+        line.append(f"{name}={t*1e3:.2f} ms (match={same})")
+    print(" ".join(line), flush=True)
 
-    # batch-of-16 version (the fused program shape)
+    # batch-of-16 (the fused program shape): label-prop + stats together
     lab16 = jnp.stack([labels] * 16)
     sc16 = jnp.stack([scores] * 16)
-    vb_sort = jax.jit(
-        lambda l, s: jax.vmap(lambda a_, b_: component_boxes(a_, b_, k))(l, s)[
-            "boxes"
-        ]
+    m16 = jnp.stack([mask_d] * 16)
+    t_cc16 = timed(
+        lambda: jax.jit(jax.vmap(connected_components))(m16)
     )
-    vb_red = jax.jit(
-        lambda l, s: jax.vmap(
-            lambda a_, b_: component_boxes_reduce(a_, b_, k)
-        )(l, s)["boxes"]
-    )
-    t16_sort = timed(lambda: vb_sort(lab16, sc16))
-    t16_red = timed(lambda: vb_red(lab16, sc16))
-    print(
-        f"batch16 stats: sort={t16_sort*1e3:.2f} ms ({t16_sort/16*1e3:.2f}"
-        f" ms/page) reduce={t16_red*1e3:.2f} ms ({t16_red/16*1e3:.2f} ms/page)"
-    )
+    parts = [
+        f"batch16: label-prop {t_cc16*1e3:.2f} ms ({t_cc16/16*1e3:.2f} ms/pg) |"
+    ]
+    for name, fn in variants.items():
+        vb = jax.jit(
+            lambda l, s, fn=fn: jax.vmap(lambda a_, b_: fn(a_, b_, k))(l, s)[
+                "boxes"
+            ]
+        )
+        t = timed(lambda vb=vb: vb(lab16, sc16))
+        parts.append(f"{name}={t*1e3:.2f} ms ({t/16*1e3:.2f} ms/pg)")
+    print(" ".join(parts), flush=True)
+
+
+def main() -> int:
+    from marie_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+
+    for h, w, blobs in ((256, 192, 140), (512, 384, 280)):
+        probe_cc_shape(h, w, 384, blobs)
 
     # --- AOT deserialize vs cached compile ------------------------------
     from marie_tpu.utils import program_zoo as pz
@@ -124,4 +134,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    sys.exit(main())

@@ -86,7 +86,7 @@ def test_component_boxes():
 def test_component_boxes_reduce_matches_sort():
     """The sort-free variant must be output-identical to the sort-based
     one on random blob masks (incl. the >max_components drop rule)."""
-    from marie_tpu.ops import component_boxes_reduce
+    from marie_tpu.ops import component_boxes_reduce, component_boxes_reduce2
 
     rng = np.random.default_rng(11)
     mask = np.zeros((64, 96), bool)
@@ -98,10 +98,15 @@ def test_component_boxes_reduce_matches_sort():
     for k in (8, 64):  # k=8 forces the drop-by-label-order path
         a = component_boxes(labels, jnp.array(scores), max_components=k)
         b = component_boxes_reduce(labels, jnp.array(scores), max_components=k)
+        c = component_boxes_reduce2(labels, jnp.array(scores), max_components=k)
         for field in ("boxes", "areas", "scores", "valid"):
             np.testing.assert_allclose(
                 np.asarray(a[field]), np.asarray(b[field]), atol=1e-6,
                 err_msg=field,
+            )
+            np.testing.assert_allclose(
+                np.asarray(a[field]), np.asarray(c[field]), atol=1e-6,
+                err_msg="reduce2/" + field,
             )
 
 

@@ -23,9 +23,37 @@ import jax.numpy as jnp
 from marie_tpu.boxes.box_processor import BoxProcessor
 from marie_tpu.models.configs import CraftConfig
 from marie_tpu.models.craft import CRAFT
-from marie_tpu.ops import component_boxes_reduce, connected_components
+from marie_tpu.ops import (
+    component_boxes,
+    component_boxes_reduce,
+    component_boxes_reduce2,
+    connected_components,
+)
 from marie_tpu.preprocess import BucketSpec, pad_to
 from marie_tpu.preprocess.ops import normalize_page
+
+
+def _cc_stats_fn():
+    """Selected component-stats kernel (all three produce identical
+    outputs — parity pinned by ``test_ops_roi_cc.py``).
+
+    ``MARIE_CC_STATS``: ``reduce`` (default — [N, K] masked
+    broadcast-reductions), ``reduce2`` (row/col-projection stats,
+    nothing bigger than [max(H, W), K] lives in HBM), or ``sort``
+    (full-pixel 4-operand sort + segmented scans; wins only for huge
+    K).  The default follows scripts/probe_cc.py on the serving chip.
+    """
+    import os
+
+    name = os.environ.get("MARIE_CC_STATS", _CC_STATS_DEFAULT)
+    return {
+        "reduce": component_boxes_reduce,
+        "reduce2": component_boxes_reduce2,
+        "sort": component_boxes,
+    }.get(name, component_boxes_reduce)
+
+
+_CC_STATS_DEFAULT = "reduce"
 
 
 def _detect_core(
@@ -95,12 +123,14 @@ def _detect_core(
         mask = (region > low_text) | (affinity > link_threshold)
         scores = region
         stride = model.cfg.out_stride
-    # sort-free box stats: top_k reps + masked broadcast-reductions beat
-    # the 4-operand full-pixel sort at the production K (<=1024 slots on a
-    # 512x384 grid); outputs identical (test_ops_roi_cc.py parity test)
+    # sort-free box stats: top_k reps + masked reductions beat the
+    # 4-operand full-pixel sort at the production K (<=1024 slots on a
+    # 512x384 grid); outputs identical (test_ops_roi_cc.py parity test);
+    # kernel variant selectable via MARIE_CC_STATS (_cc_stats_fn)
+    cc_stats = _cc_stats_fn()
     labels = jax.vmap(connected_components)(mask)
     stats = jax.vmap(
-        lambda l, s: component_boxes_reduce(l, s, max_components=max_components)
+        lambda l, s: cc_stats(l, s, max_components=max_components)
     )(labels, scores)
     stats["stride"] = jnp.full((pages_u8.shape[0],), stride, jnp.int32)
     return stats

@@ -46,9 +46,11 @@ def rolling_word_ids(tokens: jnp.ndarray, vocab_size: int,
     RollingWordTokenizer: h = Σ (tok+1)·31^pos over non-pad chars)."""
     s = tokens.shape[-1]
     # 31^pos mod 2^32, precomputed as constants — fully vectorized
-    pows = np.ones((s,), np.uint32)
-    for i in range(1, s):
-        pows[i] = np.uint32(pows[i - 1] * np.uint32(31))
+    # (python-int arithmetic masked to 32 bits: numpy scalar multiply
+    # would emit an overflow RuntimeWarning on the intended wraparound)
+    pows = np.array(
+        [pow(31, i, 1 << 32) for i in range(s)], dtype=np.uint32
+    )
     mask = tokens != pad_id
     contrib = jnp.where(
         mask, (tokens.astype(jnp.uint32) + 1) * jnp.asarray(pows), 0

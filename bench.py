@@ -527,15 +527,31 @@ def main():
         detector_desc = "craft-base fwd + on-device CC (ink boxes)"
     # use the in-repo synthetic-trained checkpoint when present — turns the
     # CER/IoU columns into real quality numbers instead of random-weight
-    # noise.  Ladder mirrors ocr/util._trocr_processor: fast_v2 (20-token
-    # full-height patches) when trained, else fast; MARIE_RECOGNIZER pins.
+    # noise.  Ladder mirrors ocr/util._trocr_processor: GATE-GREEN slots
+    # only (staged/rejected presets never appear — ADVICE r3); the
+    # open-vocab GQA-2 d6 slot exists only if the promotion gate created
+    # it.  MARIE_RECOGNIZER pins any slot explicitly.
     zoo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "model_zoo")
-    rec_ladder = [("trocr-fast3-synth", TrOCRConfig.fast_v3, "trocr-fast3"),
-                  ("trocr-fast2-synth", TrOCRConfig.fast_v2, "trocr-fast2"),
-                  ("trocr-fast-synth", TrOCRConfig.fast, "trocr-fast")]
+    rec_ladder = [
+        ("trocr-fast3g2d6ov-synth", TrOCRConfig.fast_v3_g2_d6,
+         "trocr-fast3g2d6ov"),
+        ("trocr-fast3g2ov-synth", TrOCRConfig.fast_v3_g2, "trocr-fast3g2ov"),
+        ("trocr-fast2ov-synth", TrOCRConfig.fast_v2, "trocr-fast2ov"),
+        ("trocr-fast2-synth", TrOCRConfig.fast_v2, "trocr-fast2"),
+        ("trocr-fast-synth", TrOCRConfig.fast, "trocr-fast"),
+    ]
     rec_prefer = os.environ.get("MARIE_RECOGNIZER")
     if rec_prefer:
-        rec_ladder = [l for l in rec_ladder if l[0] == rec_prefer] + rec_ladder
+        # experiments may pin presets that are not ladder-eligible
+        known_pins = {
+            "trocr-fast3g2-synth": (TrOCRConfig.fast_v3_g2, "trocr-fast3g2"),
+            "trocr-fast3-synth": (TrOCRConfig.fast_v3, "trocr-fast3"),
+        }
+        pinned = [l for l in rec_ladder if l[0] == rec_prefer]
+        if not pinned and rec_prefer in known_pins:
+            cfg_fn, desc = known_pins[rec_prefer]
+            pinned = [(rec_prefer, cfg_fn, desc)]
+        rec_ladder = pinned + rec_ladder
     params = None
     trained = False
     rec_cfg, rec_name = TrOCRConfig.fast(), "trocr-fast"

@@ -538,6 +538,14 @@ def train_recognizer_device(
             f"step {done}/{steps} loss={float(mean_loss):.4f} "
             f"({(time.time() - t0) / done:.3f}s/step)"
         )
+        # periodic checkpoint at every dataset refresh boundary: a relay
+        # outage mid-run must not cost the whole training (a 48k-step run
+        # is ~50 min of chip time on this link)
+        if checkpoint_path and refresh_every and done >= next_refresh:
+            from marie_tpu.registry.checkpoints import save_params
+
+            save_params(jax.device_get(params), checkpoint_path)
+            logger.info(f"periodic checkpoint at step {done}")
 
     # eval on CLEAN renders (no lowres degradation) — the training-time
     # augmentation must not blur the reported number

@@ -37,11 +37,13 @@ def _cc_stats_fn():
     """Selected component-stats kernel (all three produce identical
     outputs — parity pinned by ``test_ops_roi_cc.py``).
 
-    ``MARIE_CC_STATS``: ``reduce`` (default — [N, K] masked
-    broadcast-reductions), ``reduce2`` (row/col-projection stats,
-    nothing bigger than [max(H, W), K] lives in HBM), or ``sort``
-    (full-pixel 4-operand sort + segmented scans; wins only for huge
-    K).  The default follows scripts/probe_cc.py on the serving chip.
+    ``MARIE_CC_STATS``: ``reduce2`` (default — row/col-projection stats,
+    nothing bigger than [max(H, W), K] lives in HBM; scripts/probe_cc.py
+    on the serving chip at the production shape, 512x384 grid K=384
+    batch-16: 2.06 ms/page vs 2.88 ``reduce`` and 23.75 ``sort``),
+    ``reduce`` ([N, K] masked broadcast-reductions; wins for single
+    small grids), or ``sort`` (full-pixel 4-operand sort + segmented
+    scans; wins only for huge K).
     """
     import os
 
@@ -50,10 +52,10 @@ def _cc_stats_fn():
         "reduce": component_boxes_reduce,
         "reduce2": component_boxes_reduce2,
         "sort": component_boxes,
-    }.get(name, component_boxes_reduce)
+    }.get(name, component_boxes_reduce2)
 
 
-_CC_STATS_DEFAULT = "reduce"
+_CC_STATS_DEFAULT = "reduce2"
 
 
 def _detect_core(

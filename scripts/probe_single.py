@@ -53,7 +53,7 @@ def probe(engine, page, label, n=5):
         fused_dispatch_stream,
         handle_page_count,
     )
-    from marie_tpu.document.ocr_processor import PSMode
+    from marie_tpu.enums import PSMode
 
     engine.extract([page])  # warm/compile
     tot, disp, coll = [], [], []

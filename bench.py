@@ -582,8 +582,11 @@ def main():
     # ~140 words/page, the global budget still clears it with margin and
     # the encoder+decode cost scales linearly in rows; overflow (rare)
     # finishes through the per-page tail path
+    # MARIE_BENCH_PB overrides the page-group size (A/B: bigger groups
+    # amortize the relay's per-program dispatch cost over more pages)
     engine = PipelineOcrEngine(
-        box, icr, upload_format=upload_format, compact_slots=160
+        box, icr, upload_format=upload_format, compact_slots=160,
+        page_fuse_batch=int(os.environ.get("MARIE_BENCH_PB", "16")),
     )
 
     # cold first page: the latency a user sees on the first request of a

@@ -11,12 +11,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _init_params(name):
+    """Resolve --init-from as a zoo slot name OR a checkpoint path."""
     if not name:
         return None
     from marie_tpu.registry.checkpoints import load_params
     from marie_tpu.registry.zoo import zoo_checkpoint
 
-    ckpt = zoo_checkpoint(name)
+    ckpt = name if os.path.isdir(name) else zoo_checkpoint(name)
     if ckpt is None:
         raise SystemExit(f"--init-from checkpoint not found: {name}")
     return load_params(ckpt)

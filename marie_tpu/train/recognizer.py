@@ -438,16 +438,27 @@ def train_recognizer_device(
         shear_p=shear_p,
     )
 
+    def render_block_np(block_seed):
+        """Host-side render of one dataset block (numpy only — safe to
+        run on a prefetch thread; the main thread does the upload)."""
+        ds = SyntheticWordDataset(
+            config, tokenizer, seed=block_seed, noise=0.0,
+            rotate_deg=rotate_deg, text_mode=text_mode,
+            font_sizes=font_sizes, bold_p=bold_p, shear_p=shear_p,
+        )
+        imgs_l, toks_l = [], []
+        for start in range(0, dataset_size, 512):
+            n = min(512, dataset_size - start)
+            images, tokens, _ = ds.sample(n)
+            imgs_l.append((images * 255).astype(np.uint8))
+            toks_l.append(tokens)
+        return np.concatenate(imgs_l), np.concatenate(toks_l)
+
     logger.info(f"rendering {dataset_size} synthetic crops...")
     t0 = time.time()
-    imgs_list, toks_list = [], []
-    for start in range(0, dataset_size, 512):
-        n = min(512, dataset_size - start)
-        images, tokens, _ = dataset.sample(n)
-        imgs_list.append((images * 255).astype(np.uint8))
-        toks_list.append(tokens)
-    data_imgs = jnp.asarray(np.concatenate(imgs_list))
-    data_toks = jnp.asarray(np.concatenate(toks_list))
+    imgs_np, toks_np = render_block_np(seed)
+    data_imgs = jnp.asarray(imgs_np)
+    data_toks = jnp.asarray(toks_np)
     logger.info(f"dataset rendered+uploaded in {time.time() - t0:.1f}s")
 
     warmup = max(steps // 10, 1)
@@ -502,22 +513,21 @@ def train_recognizer_device(
         )
         return params, opt_state, losses.mean()
 
-    def render_block(block_seed):
-        ds = SyntheticWordDataset(
-            config, tokenizer, seed=block_seed, noise=0.0,
-            rotate_deg=rotate_deg, text_mode=text_mode,
-            font_sizes=font_sizes, bold_p=bold_p, shear_p=shear_p,
-        )
-        imgs_l, toks_l = [], []
-        for start in range(0, dataset_size, 512):
-            n = min(512, dataset_size - start)
-            images, tokens, _ = ds.sample(n)
-            imgs_l.append((images * 255).astype(np.uint8))
-            toks_l.append(tokens)
-        return (
-            jnp.asarray(np.concatenate(imgs_l)),
-            jnp.asarray(np.concatenate(toks_l)),
-        )
+    # Dataset refreshes are prefetched: a single background thread
+    # renders block N+1 (pure numpy/PIL host work) while the device
+    # trains on block N, so the chip never idles on the host renderer
+    # (serial refreshes cost ~64 s each — more than the device time of
+    # the 2000 steps between them on this link).  Seeds key off the
+    # refresh BOUNDARY step, so the sample stream is identical to the
+    # old serial schedule.
+    from concurrent.futures import ThreadPoolExecutor
+
+    prefetch = ThreadPoolExecutor(1) if refresh_every else None
+    pending = (
+        prefetch.submit(render_block_np, seed + 1 + refresh_every)
+        if prefetch and steps > refresh_every
+        else None
+    )
 
     t0 = time.time()
     key = jax.random.PRNGKey(seed + 1)
@@ -526,8 +536,13 @@ def train_recognizer_device(
     while done < steps:
         if refresh_every and done >= next_refresh:
             # fresh synthetic samples — effectively infinite data
-            data_imgs, data_toks = render_block(seed + 1 + done)
+            imgs_np, toks_np = pending.result()
+            data_imgs, data_toks = jnp.asarray(imgs_np), jnp.asarray(toks_np)
             next_refresh += refresh_every
+            if steps > next_refresh:
+                pending = prefetch.submit(
+                    render_block_np, seed + 1 + next_refresh
+                )
             logger.info(f"dataset refreshed at step {done}")
         key, sub = jax.random.split(key)
         params, opt_state, mean_loss = run_block(
@@ -546,6 +561,9 @@ def train_recognizer_device(
 
             save_params(jax.device_get(params), checkpoint_path)
             logger.info(f"periodic checkpoint at step {done}")
+
+    if prefetch:
+        prefetch.shutdown(wait=False)
 
     # eval on CLEAN renders (no lowres degradation) — the training-time
     # augmentation must not blur the reported number

@@ -117,8 +117,28 @@ def score(kind: str, table: dict):
     raise ValueError(kind)
 
 
-def guard_ok(kind: str, cur_detail, cand_detail, max_regress: float):
-    """No single oracle row may regress beyond max_regress."""
+def guard_ok(
+    kind: str, cur_detail, cand_detail, max_regress: float,
+    guard_floor: float = 0.01,
+):
+    """Per-distribution guardrails, measured against
+    ``max(incumbent, guard_floor)``.
+
+    The floor exists because a flat incumbent-relative veto structurally
+    entrenches overfit incumbents: a lexicon-memorizing checkpoint scores
+    ~0 CER on its home distributions, so ANY candidate — including one
+    whose aggregate score is 30x better because it can actually read
+    novel words — loses to a hair-width regression on a memorized row
+    (round-4 postmortem: v6 rejected at 0.0054 vs a 0.005 tolerance
+    while cutting ood_lexicon CER 0.84 -> 0.009).  With the floor, a
+    candidate may sit anywhere below ``guard_floor + max_regress`` on a
+    row regardless of how perfectly the incumbent memorized it; rows
+    where the incumbent is genuinely above the floor remain
+    incumbent-relative.  The aggregate-score requirement
+    (``cand_score > cur_score + min_gain`` in ``main``) still has to
+    hold — the floor only stops single-row vetoes below the capability
+    bar, it never promotes a worse-overall checkpoint.
+    """
     if kind == "detector":
         # A detector is judged on what it controls: per-distribution
         # detection recall must hold, and end-to-end CER may only gate on
@@ -130,18 +150,19 @@ def guard_ok(kind: str, cur_detail, cand_detail, max_regress: float):
             cand = cand_detail.get(d, {"cer": 1.0, "recall": 0.0, "iou": 0.0})
             if cand["recall"] < cur["recall"] - max_regress:
                 bad[f"{d}/recall"] = round(cand["recall"] - cur["recall"], 4)
-            if cur["cer"] <= 0.1 and cand["cer"] > cur["cer"] + max_regress:
+            if (
+                cur["cer"] <= 0.1
+                and cand["cer"] > max(cur["cer"], guard_floor) + max_regress
+            ):
                 bad[f"{d}/cer"] = round(cand["cer"] - cur["cer"], 4)
         return not bad, bad
     if kind == "recognizer":
-        return all(
-            cand_detail.get(d, 1.0) <= cer + max_regress
-            for d, cer in cur_detail.items()
-        ), {
+        bad = {
             d: round(cand_detail.get(d, 1.0) - cer, 4)
             for d, cer in cur_detail.items()
-            if cand_detail.get(d, 1.0) > cer + max_regress
+            if cand_detail.get(d, 1.0) > max(cer, guard_floor) + max_regress
         }
+        return not bad, bad
     return True, {}
 
 
@@ -156,6 +177,12 @@ def main() -> int:
     ap.add_argument(
         "--max-regress", type=float, default=0.005,
         help="max per-distribution CER regression tolerated",
+    )
+    ap.add_argument(
+        "--guard-floor", type=float, default=0.01,
+        help="capability floor for guardrails: a row only vetoes when the "
+        "candidate exceeds max(incumbent, floor) + max_regress (see "
+        "guard_ok docstring for why a flat veto is wrong)",
     )
     ap.add_argument("--eval-timeout", type=int, default=2400)
     ap.add_argument(
@@ -200,7 +227,8 @@ def main() -> int:
             print(f"candidate-eval failed, rolled back: {ex}", file=sys.stderr)
             return 4
         ok, regressions = guard_ok(
-            args.kind, cur_detail, cand_detail, args.max_regress
+            args.kind, cur_detail, cand_detail, args.max_regress,
+            args.guard_floor,
         )
         verdict = {
             "kind": args.kind, "target": args.target, "new_slot": True,
@@ -254,7 +282,8 @@ def main() -> int:
         return 4
 
     ok, regressions = guard_ok(
-        args.kind, cur_detail, cand_detail, args.max_regress
+        args.kind, cur_detail, cand_detail, args.max_regress,
+        args.guard_floor,
     )
     verdict = {
         "kind": args.kind,

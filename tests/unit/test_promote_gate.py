@@ -39,12 +39,46 @@ def test_recognizer_score_is_negative_mean_cer(gate):
 
 def test_guard_rejects_per_dist_regression(gate):
     cur = {"in_dist": 0.0, "ood_rotate": 0.02}
-    cand = {"in_dist": 0.011, "ood_rotate": 0.0}  # mean improves, in_dist regresses
+    cand = {"in_dist": 0.02, "ood_rotate": 0.0}  # mean improves, in_dist regresses
     ok, regress = gate.guard_ok("recognizer", cur, cand, max_regress=0.005)
     assert not ok
     assert "in_dist" in regress
     ok2, _ = gate.guard_ok("recognizer", cur, cand, max_regress=0.02)
     assert ok2
+
+
+def test_guard_floor_tolerates_hairline_regression_vs_memorizer(gate):
+    """The round-4 v6 postmortem: an incumbent that memorized its home
+    distributions (CER ~0) must not veto a vastly-better candidate over a
+    hairline row below the capability floor — but a row genuinely above
+    floor + max_regress still vetoes."""
+    cur = {"dist_serif": 0.0, "ood_lexicon": 0.84}
+    # candidate reads novel words, pays 0.0054 on the memorized row:
+    cand = {"dist_serif": 0.0054, "ood_lexicon": 0.009}
+    ok, regress = gate.guard_ok("recognizer", cur, cand, max_regress=0.005)
+    assert ok, regress  # 0.0054 <= max(0.0, floor=0.01) + 0.005
+
+    # above floor + tolerance the veto still bites
+    cand_bad = {"dist_serif": 0.016, "ood_lexicon": 0.009}
+    ok, regress = gate.guard_ok("recognizer", cur, cand_bad, max_regress=0.005)
+    assert not ok and "dist_serif" in regress
+
+    # rows where the incumbent is above the floor stay incumbent-relative
+    cur2 = {"ood_noise": 0.05}
+    ok, regress = gate.guard_ok(
+        "recognizer", cur2, {"ood_noise": 0.054}, max_regress=0.005
+    )
+    assert ok
+    ok, regress = gate.guard_ok(
+        "recognizer", cur2, {"ood_noise": 0.06}, max_regress=0.005
+    )
+    assert not ok and "ood_noise" in regress
+
+    # floor can be disabled for strict incumbent-relative gating
+    ok, regress = gate.guard_ok(
+        "recognizer", cur, cand, max_regress=0.005, guard_floor=0.0
+    )
+    assert not ok and "dist_serif" in regress
 
 
 def test_detector_detail_carries_detection_metrics(gate):

@@ -432,11 +432,6 @@ def train_recognizer_device(
     tokenizer = CharTokenizer()
     assert config.decoder.vocab_size >= tokenizer.vocab_size
     model = TrOCRModel(config)
-    dataset = SyntheticWordDataset(
-        config, tokenizer, seed=seed, noise=0.0, rotate_deg=rotate_deg,
-        text_mode=text_mode, font_sizes=font_sizes, bold_p=bold_p,
-        shear_p=shear_p,
-    )
 
     def render_block_np(block_seed):
         """Host-side render of one dataset block (numpy only — safe to
@@ -518,8 +513,8 @@ def train_recognizer_device(
     # trains on block N, so the chip never idles on the host renderer
     # (serial refreshes cost ~64 s each — more than the device time of
     # the 2000 steps between them on this link).  Seeds key off the
-    # refresh BOUNDARY step, so the sample stream is identical to the
-    # old serial schedule.
+    # refresh BOUNDARY step (matches the old serial schedule whenever
+    # steps_per_dispatch divides refresh_every, as in the defaults).
     from concurrent.futures import ThreadPoolExecutor
 
     prefetch = ThreadPoolExecutor(1) if refresh_every else None
@@ -563,7 +558,11 @@ def train_recognizer_device(
             logger.info(f"periodic checkpoint at step {done}")
 
     if prefetch:
-        prefetch.shutdown(wait=False)
+        # cancel any unconsumed render: without this a non-daemon worker
+        # keeps producing ~64 s of discarded data and delays process exit
+        if pending is not None:
+            pending.cancel()
+        prefetch.shutdown(wait=False, cancel_futures=True)
 
     # eval on CLEAN renders (no lowres degradation) — the training-time
     # augmentation must not blur the reported number

@@ -27,6 +27,7 @@ from marie_tpu.ops import (
     component_boxes,
     component_boxes_reduce,
     component_boxes_reduce2,
+    component_boxes_runs,
     connected_components,
 )
 from marie_tpu.preprocess import BucketSpec, pad_to
@@ -34,16 +35,18 @@ from marie_tpu.preprocess.ops import normalize_page
 
 
 def _cc_stats_fn():
-    """Selected component-stats kernel (all three produce identical
-    outputs — parity pinned by ``test_ops_roi_cc.py``).
+    """Selected component-stats kernel (all variants produce identical
+    outputs — parity pinned by ``test_ops_roi_cc.py``; ``runs`` is
+    identical whenever rows hold <= its per-row run budget, which a
+    48-slot budget guarantees for document layouts).
 
-    ``MARIE_CC_STATS``: ``reduce2`` (default — row/col-projection stats,
-    nothing bigger than [max(H, W), K] lives in HBM; scripts/probe_cc.py
-    on the serving chip at the production shape, 512x384 grid K=384
-    batch-16: 2.06 ms/page vs 2.88 ``reduce`` and 23.75 ``sort``),
-    ``reduce`` ([N, K] masked broadcast-reductions; wins for single
-    small grids), or ``sort`` (full-pixel 4-operand sort + segmented
-    scans; wins only for huge K).
+    ``MARIE_CC_STATS``: ``runs`` (default — per-row run compaction then
+    a K-way test over runs instead of pixels; scripts/probe_cc.py on
+    the serving chip at the production shape, 512x384 grid K=384
+    batch-16: 0.93 ms/page), ``reduce2`` (row/col-projection stats,
+    2.06 ms/page at the same shape), ``reduce`` ([N, K] masked
+    broadcast-reductions, 2.88), or ``sort`` (full-pixel 4-operand
+    sort + segmented scans, 23.75; wins only for huge K).
     """
     import os
 
@@ -51,11 +54,12 @@ def _cc_stats_fn():
     return {
         "reduce": component_boxes_reduce,
         "reduce2": component_boxes_reduce2,
+        "runs": component_boxes_runs,
         "sort": component_boxes,
-    }.get(name, component_boxes_reduce2)
+    }.get(name, component_boxes_runs)
 
 
-_CC_STATS_DEFAULT = "reduce2"
+_CC_STATS_DEFAULT = "runs"
 
 
 def _detect_core(

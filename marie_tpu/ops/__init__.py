@@ -21,6 +21,7 @@ from marie_tpu.ops.connected_components import (
     component_boxes,
     component_boxes_reduce,
     component_boxes_reduce2,
+    component_boxes_runs,
     connected_components,
 )
 from marie_tpu.ops.ctc import ctc_greedy_decode
@@ -45,6 +46,7 @@ __all__ = [
     "component_boxes",
     "component_boxes_reduce",
     "component_boxes_reduce2",
+    "component_boxes_runs",
     "deform_conv2d",
     "ctc_greedy_decode",
 ]

@@ -226,6 +226,90 @@ def component_boxes_reduce2(
     }
 
 
+@partial(jax.jit, static_argnames=("max_components", "max_runs_per_row"))
+def component_boxes_runs(
+    labels: jnp.ndarray,
+    scores: jnp.ndarray | None = None,
+    max_components: int = 256,
+    max_runs_per_row: int = 48,
+):
+    """Run-compaction variant of :func:`component_boxes_reduce2` —
+    identical outputs whenever every row intersects at most
+    ``max_runs_per_row`` components (rows beyond that drop their
+    rightmost runs, shrinking the affected boxes).
+
+    reduce2's cost is the K-way membership test at every PIXEL:
+    H·W·K compare+select per stat pass (~75M at the production
+    512×384/K=384 shape).  But after CC every contiguous masked run in a
+    row belongs to ONE component, so the pixel grid first compacts to
+    per-row runs (stage 1: H·W·R work against the run budget R ≪ K),
+    and the K-way test then runs over H·R runs instead of H·W pixels
+    (stage 2: H·R·K) — ~4× fewer compare+select ops at R=48 and far
+    smaller live intermediates.  Stage-1 tensors are laid out [H, R, W]
+    so every reduction runs along the 384-wide lane axis.
+    """
+    h, w = labels.shape
+    n = h * w
+    flat = labels.reshape(-1)
+    lin = jnp.arange(n, dtype=jnp.int32)
+
+    is_rep = (flat == lin) & (flat >= 0)
+    rep_rank = jnp.where(is_rep, lin, n)
+    neg_top, _ = jax.lax.top_k(-rep_rank, max_components)
+    rep_sorted = -neg_top  # [K] ascending label ids (n where empty)
+    valid = rep_sorted < n
+
+    # stage 1: compact each row's masked pixels into per-run stats.
+    mask = labels >= 0
+    left = jnp.pad(mask[:, :-1], ((0, 0), (1, 0)), constant_values=False)
+    run_of_pixel = jnp.cumsum((mask & ~left).astype(jnp.int32), axis=1) - 1
+    r = max_runs_per_row
+    # [H, R, W] membership — fused into each reduction below
+    memb = mask[:, None, :] & (
+        run_of_pixel[:, None, :] == jnp.arange(r, dtype=jnp.int32)[None, :, None]
+    )
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    bigf = jnp.float32(n)
+    x0r = jnp.min(jnp.where(memb, xs, bigf), axis=2).reshape(-1)  # [H*R]
+    x1r = jnp.max(jnp.where(memb, xs, -1.0), axis=2).reshape(-1)
+    cntr = jnp.sum(memb, axis=2, dtype=jnp.int32).reshape(-1)
+    labr = jnp.min(
+        jnp.where(memb, labels[:, None, :], n), axis=2
+    ).reshape(-1)  # a run is one component: min == its label
+    ysr = jnp.broadcast_to(
+        jnp.arange(h, dtype=jnp.float32)[:, None], (h, r)
+    ).reshape(-1)
+
+    # stage 2: K-way membership over runs (empty runs carry label n,
+    # which only matches EMPTY rep slots — masked off via ``valid``).
+    match = labr[:, None] == rep_sorted[None, :]  # [H*R, K]
+    x0 = jnp.min(jnp.where(match, x0r[:, None], bigf), axis=0)
+    x1 = jnp.max(jnp.where(match, x1r[:, None], -1.0), axis=0)
+    y1 = jnp.max(jnp.where(match, ysr[:, None], -1.0), axis=0)
+    y0 = (rep_sorted // w).astype(jnp.float32)  # labels are min linear idx
+    areas = jnp.sum(jnp.where(match, cntr[:, None], 0), axis=0)
+
+    boxes = jnp.stack([x0, y0, x1 + 1.0, y1 + 1.0], axis=-1)
+    boxes = jnp.where(valid[:, None], boxes, 0.0)
+
+    if scores is not None:
+        scr = jnp.max(
+            jnp.where(memb, scores.astype(jnp.float32)[:, None, :], 0.0), axis=2
+        ).reshape(-1)
+        smax = jnp.where(
+            valid, jnp.max(jnp.where(match, scr[:, None], 0.0), axis=0), 0.0
+        )
+    else:
+        smax = valid.astype(jnp.float32)
+
+    return {
+        "boxes": boxes.astype(jnp.float32),
+        "areas": jnp.where(valid, areas, 0).astype(jnp.int32),
+        "scores": smax.astype(jnp.float32),
+        "valid": valid,
+    }
+
+
 @partial(jax.jit, static_argnames=("max_components",))
 def component_boxes(
     labels: jnp.ndarray,

@@ -42,6 +42,7 @@ def probe_cc_shape(h, w, k, blobs):
         component_boxes,
         component_boxes_reduce,
         component_boxes_reduce2,
+        component_boxes_runs,
         connected_components,
     )
 
@@ -59,6 +60,7 @@ def probe_cc_shape(h, w, k, blobs):
         "sort": component_boxes,
         "reduce": component_boxes_reduce,
         "reduce2": component_boxes_reduce2,
+        "runs": component_boxes_runs,
     }
     ref = jax.device_get(component_boxes(labels, scores, k))
     line = [f"CC grid {h}x{w} K={k}: label-prop {t_cc*1e3:.2f} ms |"]

@@ -84,9 +84,13 @@ def test_component_boxes():
 
 
 def test_component_boxes_reduce_matches_sort():
-    """The sort-free variant must be output-identical to the sort-based
+    """The sort-free variants must be output-identical to the sort-based
     one on random blob masks (incl. the >max_components drop rule)."""
-    from marie_tpu.ops import component_boxes_reduce, component_boxes_reduce2
+    from marie_tpu.ops import (
+        component_boxes_reduce,
+        component_boxes_reduce2,
+        component_boxes_runs,
+    )
 
     rng = np.random.default_rng(11)
     mask = np.zeros((64, 96), bool)
@@ -99,6 +103,7 @@ def test_component_boxes_reduce_matches_sort():
         a = component_boxes(labels, jnp.array(scores), max_components=k)
         b = component_boxes_reduce(labels, jnp.array(scores), max_components=k)
         c = component_boxes_reduce2(labels, jnp.array(scores), max_components=k)
+        d = component_boxes_runs(labels, jnp.array(scores), max_components=k)
         for field in ("boxes", "areas", "scores", "valid"):
             np.testing.assert_allclose(
                 np.asarray(a[field]), np.asarray(b[field]), atol=1e-6,
@@ -108,6 +113,46 @@ def test_component_boxes_reduce_matches_sort():
                 np.asarray(a[field]), np.asarray(c[field]), atol=1e-6,
                 err_msg="reduce2/" + field,
             )
+            np.testing.assert_allclose(
+                np.asarray(a[field]), np.asarray(d[field]), atol=1e-6,
+                err_msg="runs/" + field,
+            )
+
+
+def test_component_boxes_runs_tight_budget():
+    """The runs kernel stays exact at a per-row budget equal to the
+    actual run count, and at a single-run budget degrades by dropping
+    the RIGHTMOST runs of over-budget rows (never corrupting kept ones)."""
+    from marie_tpu.ops import component_boxes_reduce2, component_boxes_runs
+
+    mask = np.zeros((8, 64), bool)
+    # 4 runs on every row: worst case for the budget
+    for i in range(4):
+        mask[:, i * 16 + 2 : i * 16 + 9] = True
+    mask[3, :] = False  # a gap row splits each stripe into two components
+    scores = (np.random.default_rng(0).random((8, 64)) * mask).astype(
+        np.float32
+    )
+    labels = connected_components(jnp.array(mask))
+    want = component_boxes_reduce2(labels, jnp.array(scores), max_components=16)
+    got = component_boxes_runs(
+        labels, jnp.array(scores), max_components=16, max_runs_per_row=4
+    )
+    for field in ("boxes", "areas", "scores", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(want[field]), np.asarray(got[field]), atol=1e-6,
+            err_msg=field,
+        )
+    # budget 1: only the leftmost run of each row survives; the first
+    # component keeps its exact box, later ones lose area but stay valid
+    tight = component_boxes_runs(
+        labels, jnp.array(scores), max_components=16, max_runs_per_row=1
+    )
+    wv = np.asarray(want["valid"])
+    np.testing.assert_allclose(
+        np.asarray(tight["boxes"])[0], np.asarray(want["boxes"])[0]
+    )
+    assert (np.asarray(tight["valid"]) == wv).all()
 
 
 def test_ctc_greedy_decode():

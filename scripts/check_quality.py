@@ -212,6 +212,7 @@ def build_engines(decoders, dense=False):
         _craft_box_processor,
         _crnn_processor,
         _trocr_processor,
+        _upload_format,
     )
     from marie_tpu.ocr.ocr_engine import PipelineOcrEngine
     from marie_tpu.ocr.voting_ocr_engine import VotingOcrEngine
@@ -219,7 +220,10 @@ def build_engines(decoders, dense=False):
     box = _craft_box_processor(
         max_components=DENSE_MAX_COMPONENTS if dense else 384
     )
+    # measure the SERVING upload packing (u4 default, MARIE_UPLOAD_FORMAT
+    # pins u8/u2/u1) — the oracle's CER/recall gate the packing choice
     slots = dict(compact_slots=640) if dense else {}
+    slots["upload_format"] = _upload_format()
     engines = {}
     if "greedy" in decoders:
         engines["greedy"] = PipelineOcrEngine(

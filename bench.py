@@ -395,6 +395,8 @@ def _bench_full_pipeline(engine, pages):
                 "pages": n,
                 "assets": len(meta.get("assets", [])),
                 "pass_times_s": [round(t, 2) for t in times],
+                # per-stage wall split of the LAST pass (VERDICT r4 #5)
+                "stage_times_s": meta.get("stage_times_s", {}),
             }
         }
     finally:

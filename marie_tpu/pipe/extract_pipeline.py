@@ -9,6 +9,8 @@ reference's ``runtime_conf`` shape (``page_classifier.enabled`` …).
 """
 
 import os
+import threading
+import time
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 import numpy as np
@@ -136,8 +138,6 @@ class ExtractPipeline(BasePipeline):
         # bursting pages to numbered files is pure host file IO consumed
         # only by _pack_assets, so it runs on a thread OVERLAPPED with
         # the device stages (overlay + OCR) below
-        import threading
-
         burst_thread = threading.Thread(
             target=burst_frames, args=(ref_id, frames, root_asset_dir)
         )
@@ -152,18 +152,40 @@ class ExtractPipeline(BasePipeline):
                     frames[i] = res.get("aligned", f)
                 metadata["boundary"] = boundary_meta
 
+        stage_times: Dict[str, float] = {}
+        metadata["stage_times_s"] = stage_times
+
         clean_frames = frames
         if cleaner_enabled and self.overlay_processor is not None:
-            clean_frames = self._segment(ref_id, frames, root_asset_dir)
+            with TimeContext("segment", self.logger) as tc:
+                clean_frames = self._segment(ref_id, frames, root_asset_dir)
+            stage_times["segment"] = round(tc.duration, 4)
 
-        with TimeContext("ocr", self.logger):
+        with TimeContext("ocr", self.logger) as tc:
             ocr_results = self.ocr_engine.extract(
                 clean_frames, pms_mode, coordinate_format
             )
+        stage_times["ocr"] = round(tc.duration, 4)
         metadata["ocr"] = ocr_results
 
+        # rendering consumes only (frames, ocr_results) and writes its own
+        # asset subdirs, so it runs on a thread OVERLAPPED with template
+        # matching + classify/index (device stages) — the serial chain
+        # was the config-5 wall-clock cap after the burst/pack fixes
+        render_err: List[BaseException] = []
+
+        def _render():
+            try:
+                self._render_artifacts(frames, ocr_results, root_asset_dir)
+            except BaseException as exc:  # noqa: BLE001 — re-raised on join
+                render_err.append(exc)
+
+        render_t0 = time.perf_counter()
+        render_thread = threading.Thread(target=_render, name="render")
+        render_thread.start()
+
         if self.template_matcher is not None and flag("template_matching", True):
-            with TimeContext("template-matching", self.logger):
+            with TimeContext("template-matching", self.logger) as tc:
                 matches = self.template_matcher.match(clean_frames)
                 metadata["template_matching"] = [
                     {
@@ -174,19 +196,29 @@ class ExtractPipeline(BasePipeline):
                     }
                     for m in matches
                 ]
+            stage_times["template_matching"] = round(tc.duration, 4)
 
-        self.execute_classifier_and_indexer_pipeline(
-            frames, ocr_results, metadata, classifier_enabled, indexer_enabled
-        )
+        with TimeContext("classify-index", self.logger) as tc:
+            self.execute_classifier_and_indexer_pipeline(
+                frames, ocr_results, metadata, classifier_enabled,
+                indexer_enabled,
+            )
+        stage_times["classify_index"] = round(tc.duration, 4)
 
-        with TimeContext("render", self.logger):
-            self._render_artifacts(frames, ocr_results, root_asset_dir)
+        render_thread.join()
+        if render_err:
+            raise render_err[0]
+        stage_times["render_wall"] = round(time.perf_counter() - render_t0, 4)
         burst_thread.join()  # pack consumes the burst/ dir
-        self._pack_assets(clean_frames, metadata, root_asset_dir, ref_id)
-        metadata["assets"] = self._asset_listing(root_asset_dir)
+        with TimeContext("pack", self.logger) as tc:
+            self._pack_assets(clean_frames, metadata, root_asset_dir, ref_id)
+            metadata["assets"] = self._asset_listing(root_asset_dir)
+        stage_times["pack"] = round(tc.duration, 4)
         # mirror the asset tree to primary storage so a future run of the
         # same ref can restore + skip (reference extract_pipeline.py:385)
-        store_assets(ref_id, ref_type, root_asset_dir)
+        with TimeContext("store", self.logger) as tc:
+            store_assets(ref_id, ref_type, root_asset_dir)
+        stage_times["store"] = round(tc.duration, 4)
         return metadata
 
     # ------------------------------------------------------------------

@@ -230,9 +230,12 @@ class CraftConfig:
 
     @property
     def out_stride(self) -> int:
-        """Heatmap-grid to page-pixel factor."""
-        s = 2 * self.stem_stride
-        return s // 2 if self.head_d2s else s
+        """Heatmap-grid to page-pixel factor.
+
+        The sub-pixel head's depth-to-space factor equals
+        ``stem_stride``, so any d2s config lands back on the stride-2
+        grid the recognizer's crop framing needs."""
+        return 2 if self.head_d2s else 2 * self.stem_stride
 
     @staticmethod
     def base() -> "CraftConfig":
@@ -260,6 +263,16 @@ class CraftConfig:
         the heatmap still comes out at stride 2 — box framing quality of
         `fast` at close to `fast_s2` speed."""
         return CraftConfig(base_channels=32, stem_stride=2, head_d2s=True)
+
+    @staticmethod
+    def fast_s4d4() -> "CraftConfig":
+        """4x space-to-depth stem + 4x sub-pixel head: the conv stack
+        runs TWO levels coarser than `fast` (stage1 at /4 with 48 input
+        channels — MXU-friendly lane fill vs 3), while the 4x4-phase
+        depth-to-space head still emits the stride-2 heatmap grid.
+        Speed candidate for the serving detector; quality must clear the
+        promotion gate like any other checkpoint."""
+        return CraftConfig(base_channels=32, stem_stride=4, head_d2s=True)
 
     @staticmethod
     def tiny() -> "CraftConfig":

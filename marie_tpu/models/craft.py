@@ -74,15 +74,16 @@ class CRAFT(nn.Module):
     @nn.compact
     def __call__(self, images: Array, train: bool = False) -> Array:
         c = self.cfg.base_channels
-        if self.cfg.stem_stride == 2:
-            # space-to-depth stem: [B,H,W,C] -> [B,H/2,W/2,4C]; stage1
-            # then runs at /2 — no information loss, 4x fewer positions
+        f = self.cfg.stem_stride
+        if f > 1:
+            # space-to-depth stem: [B,H,W,C] -> [B,H/f,W/f,f*f*C]; stage1
+            # then runs at /f — no information loss, f^2 fewer positions
             # for the memory-bound full-res stage (the whole network and
-            # the output grid shift one level: out stride 2 -> 4)
+            # the output grid shift log2(f) levels)
             b, h, w, ch = images.shape
-            images = images.reshape(b, h // 2, 2, w // 2, 2, ch)
+            images = images.reshape(b, h // f, f, w // f, f, ch)
             images = images.transpose(0, 1, 3, 2, 4, 5).reshape(
-                b, h // 2, w // 2, 4 * ch
+                b, h // f, w // f, f * f * ch
             )
         s1 = VGGStage(c, 2, name="stage1")(images, train)  # /1
         x = nn.max_pool(s1, (2, 2), strides=(2, 2))
@@ -103,13 +104,14 @@ class CRAFT(nn.Module):
         h = ConvBNRelu(c // 2 or 1, name="head2")(h, train)
         nc = self.cfg.num_classes
         if self.cfg.head_d2s:
-            # sub-pixel head: 2x2 phase maps, depth-to-space one level
-            # finer (keeps stride-2 box framing over an s2d-stem trunk)
-            out = nn.Conv(nc * 4, (1, 1), name="head_out")(h)
+            # sub-pixel head: f x f phase maps, depth-to-space back down
+            # to the stride-2 grid (keeps stride-2 box framing over an
+            # s2d-stem trunk; f = stem_stride so the shifts cancel)
+            out = nn.Conv(nc * f * f, (1, 1), name="head_out")(h)
             b, hh, ww, _ = out.shape
-            out = out.reshape(b, hh, ww, 2, 2, nc)
+            out = out.reshape(b, hh, ww, f, f, nc)
             out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
-                b, 2 * hh, 2 * ww, nc
+                b, f * hh, f * ww, nc
             )
         else:
             out = nn.Conv(nc, (1, 1), name="head_out")(h)

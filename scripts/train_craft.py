@@ -13,7 +13,8 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument(
-        "--preset", choices=("base", "fast", "fast_s2", "fast_s2d2", "tiny"),
+        "--preset",
+        choices=("base", "fast", "fast_s2", "fast_s2d2", "fast_s4d4", "tiny"),
         default="base",
         help="CraftConfig preset (fast = 32ch serving trunk; fast_s2 = "
         "space-to-depth stem, stride-4 heatmap)",

@@ -128,6 +128,27 @@ def test_craft_shapes():
     assert float(jnp.min(hm)) >= 0.0 and float(jnp.max(hm)) <= 1.0
 
 
+def test_craft_s2d_presets_keep_stride2_grid():
+    """Every d2s preset must land on the stride-2 heatmap grid the
+    recognizer's crop framing needs, regardless of stem factor."""
+    from marie_tpu.models.craft import CRAFT
+
+    for cfg in (CraftConfig.fast_s2d2(), CraftConfig.fast_s4d4()):
+        assert cfg.out_stride == 2
+        model = CRAFT(
+            CraftConfig(
+                base_channels=8,
+                stem_stride=cfg.stem_stride,
+                head_d2s=True,
+            )
+        )
+        page = jnp.zeros((1, 128, 128, 3))
+        variables = model.init(jax.random.PRNGKey(0), page)
+        hm = model.apply(variables, page)
+        assert hm.shape == (1, 64, 64, 2), (cfg.stem_stride, hm.shape)
+        assert float(jnp.min(hm)) >= 0.0 and float(jnp.max(hm)) <= 1.0
+
+
 def test_crnn_shapes():
     from marie_tpu.models.crnn import CRNN
 

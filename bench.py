@@ -182,6 +182,12 @@ def stage_breakdown(box, icr, pages, upload_format="u8"):
 
         upload_np = pack1(batch_np)
         packed = 1
+    elif (upload_format == "u1d" and batch_np.ndim == 3
+            and batch_np.shape[-1] % 8 == 0):
+        from marie_tpu.utils.pack4 import pack1d
+
+        upload_np = pack1d(batch_np)
+        packed = 1
     clip = jnp.asarray(
         [[p[2][1] * p[1], p[2][0] * p[1]] for p in preps], jnp.float32
     )
@@ -728,7 +734,8 @@ def main():
         if up and dev:
             page_mb = (
                 PAGE_H * PAGE_W
-                * {"u4": 0.5, "u2": 0.25, "u1": 0.125}.get(upload_format, 1.0)
+                * {"u4": 0.5, "u2": 0.25, "u1": 0.125,
+                   "u1d": 0.125}.get(upload_format, 1.0)
                 / 1e6
             )
             pipeline = {

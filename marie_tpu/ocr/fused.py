@@ -684,6 +684,18 @@ def _upload_group(preps, group, page_batch, upload_format: str = "u8",
 
         stack = pack1(stack)
         packed = 1
+    elif (
+        upload_format == "u1d"
+        and stack.ndim == 3
+        and stack.shape[-1] % 8 == 0
+    ):
+        # ordered-dither 1-bit: same wire format/device unpack as u1,
+        # but gray levels survive as spatial bit density (hard-threshold
+        # u1 measured CER +0.064 on anti-aliased serif-bold pages)
+        from marie_tpu.utils.pack4 import pack1d
+
+        stack = pack1d(stack)
+        packed = 1
     t2 = _time.time() if trace else 0.0
     clip_np = np.asarray(
         [[preps[k][2][1] * preps[k][1], preps[k][2][0] * preps[k][1]]

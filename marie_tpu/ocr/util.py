@@ -57,8 +57,10 @@ def _upload_format() -> str:
     half the host->device bytes at <= 8/255 per-pixel error, measured
     CER-identical across the 8-distribution oracle).  ``MARIE_UPLOAD_FORMAT``
     pins u8 (lossless), u2 (quarter bytes, worst-case CER +0.0003 on
-    the oracle, the bench default) or u1 (eighth bytes, binarized —
-    the relay-robustness floor; gate on the oracle before pinning)."""
+    the oracle, the bench default), u1 (eighth bytes, hard-threshold
+    binarized — measured CER +0.064 on serif-bold, NOT gateable) or u1d
+    (eighth bytes, ordered-dither binarized — gate on the oracle before
+    pinning)."""
     import os
 
     return os.environ.get("MARIE_UPLOAD_FORMAT", "u4")

@@ -45,6 +45,11 @@ def _load():
                 fn.argtypes = [
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t
                 ]
+            lib.pack1d.restype = None
+            lib.pack1d.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_size_t, ctypes.c_size_t,
+            ]
             _lib = lib
     return _lib
 
@@ -133,6 +138,59 @@ def pack1(pages: np.ndarray) -> np.ndarray:
         out = np.packbits(bits.reshape(bits.shape[:-1] + (-1, 8)),
                           axis=-1, bitorder="big").reshape(out.shape)
     return out
+
+
+# 8x8 Bayer matrix (standard ordered-dither index pattern)
+_BAYER8 = np.array(
+    [
+        [0, 32, 8, 40, 2, 34, 10, 42],
+        [48, 16, 56, 24, 50, 18, 58, 26],
+        [12, 44, 4, 36, 14, 46, 6, 38],
+        [60, 28, 52, 20, 62, 30, 54, 22],
+        [3, 35, 11, 43, 1, 33, 9, 41],
+        [51, 19, 59, 27, 49, 17, 57, 25],
+        [15, 47, 7, 39, 13, 45, 5, 37],
+        [63, 31, 55, 23, 61, 29, 53, 21],
+    ],
+    np.uint8,
+)
+#: per-position thresholds in 0..255 ((b + 0.5) * 4 - 0.5 rounded)
+_BAYER8_T = (_BAYER8.astype(np.uint16) * 4 + 1).astype(np.uint8)
+
+
+def pack1d(pages: np.ndarray) -> np.ndarray:
+    """[..., H, W] uint8 (W % 8 == 0) -> [..., H, W//8] 1-bit packed with
+    ORDERED (8x8 Bayer) dithering.
+
+    Same eighth-of-the-bytes wire format as :func:`pack1`, but gray
+    levels survive as spatial bit density instead of dying at a hard
+    128 threshold: the recognizer's bilinear crop resampling and the
+    detector's stride-2 stem average the dither back into approximate
+    grayscale.  The hard-threshold ``u1`` measured CER +0.064 on the
+    anti-aliased serif-bold oracle row; this variant exists to win that
+    back while keeping the 1-bit upload floor."""
+    pages = np.ascontiguousarray(pages, dtype=np.uint8)
+    if pages.shape[-1] % 8:
+        raise ValueError(f"last dim must be divisible by 8, got {pages.shape}")
+    h, w = pages.shape[-2], pages.shape[-1]
+    try:
+        out = np.empty(pages.shape[:-1] + (w // 8,), np.uint8)
+        _load().pack1d(
+            pages.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            pages.size // (h * w),
+            h,
+            w,
+        )
+        return out
+    except (OSError, subprocess.CalledProcessError, AttributeError):
+        thresh = np.tile(
+            _BAYER8_T, ((h + 7) // 8, (w + 7) // 8)
+        )[:h, :w]
+        bits = (pages > thresh).astype(np.uint8)
+        return np.packbits(
+            bits.reshape(bits.shape[:-1] + (-1, 8)), axis=-1, bitorder="big"
+        ).reshape(pages.shape[:-1] + (w // 8,))
 
 
 def unpack1_host(packed: np.ndarray) -> np.ndarray:

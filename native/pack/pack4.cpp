@@ -88,4 +88,39 @@ void unpack1(const uint8_t* src, uint8_t* dst, size_t n_octets) {
   }
 }
 
+// pack1d — 8-bit -> 1-bit with ORDERED (8x8 Bayer) dithering.
+// bit = v > bayer_threshold[row%8, col%8]; gray survives as spatial bit
+// density (the device-side bilinear crop resampling averages it back).
+// Same big-endian-in-byte wire layout as pack1.  Thresholds are
+// (bayer_index * 4 + 1), matching marie_tpu/utils/pack4.py _BAYER8_T.
+static const uint8_t kBayerT[8][8] = {
+    {1, 129, 33, 161, 9, 137, 41, 169},
+    {193, 65, 225, 97, 201, 73, 233, 105},
+    {49, 177, 17, 145, 57, 185, 25, 153},
+    {241, 113, 209, 81, 249, 121, 217, 89},
+    {13, 141, 45, 173, 5, 133, 37, 165},
+    {205, 77, 237, 109, 197, 69, 229, 101},
+    {61, 189, 29, 157, 53, 181, 21, 149},
+    {253, 125, 221, 93, 245, 117, 213, 85},
+};
+
+void pack1d(const uint8_t* src, uint8_t* dst, size_t n_pages, size_t h,
+            size_t w) {
+  size_t w8 = w / 8;
+  for (size_t p = 0; p < n_pages; p++) {
+    for (size_t r = 0; r < h; r++) {
+      const uint8_t* row = src + (p * h + r) * w;
+      uint8_t* out = dst + (p * h + r) * w8;
+      const uint8_t* t = kBayerT[r & 7];
+      for (size_t c = 0; c < w8; c++) {
+        uint32_t v = 0;
+        for (int j = 0; j < 8; j++) {
+          v = (v << 1) | (row[8 * c + j] > t[j] ? 1u : 0u);
+        }
+        out[c] = (uint8_t)v;
+      }
+    }
+  }
+}
+
 }  // extern "C"

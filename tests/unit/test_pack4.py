@@ -114,6 +114,51 @@ def test_u1_numpy_fallback_matches_native():
     assert np.array_equal(native, fallback)
 
 
+def test_u1d_dither_preserves_mean_gray():
+    from marie_tpu.utils.pack4 import pack1d, unpack1_host
+
+    # a flat mid-gray page: hard-threshold u1 collapses it to all-white;
+    # ordered dither must keep the reconstructed MEAN near the input
+    for gray, tol in ((64, 6), (128, 6), (192, 6)):
+        pages = np.full((1, 32, 64), gray, np.uint8)
+        u = unpack1_host(pack1d(pages))
+        assert set(np.unique(u)) <= {0, 255}
+        mean = float(u.mean())
+        assert abs(mean - gray) <= tol * 4, (gray, mean)
+
+
+def test_u1d_numpy_fallback_matches_native():
+    import ctypes
+
+    import pytest
+
+    from marie_tpu.utils import pack4 as mod
+
+    try:
+        lib = mod._load()
+    except Exception as ex:  # noqa: BLE001
+        pytest.skip(f"native pack lib unavailable: {ex}")
+    rng = np.random.default_rng(13)
+    pages = np.ascontiguousarray(
+        rng.integers(0, 256, (3, 16, 64), dtype=np.uint8)
+    )
+    h, w = pages.shape[-2:]
+    native = np.empty(pages.shape[:-1] + (w // 8,), np.uint8)
+    lib.pack1d(
+        pages.ctypes.data_as(ctypes.c_void_p),
+        native.ctypes.data_as(ctypes.c_void_p),
+        pages.size // (h * w),
+        h,
+        w,
+    )
+    thresh = np.tile(mod._BAYER8_T, ((h + 7) // 8, (w + 7) // 8))[:h, :w]
+    bits = (pages > thresh).astype(np.uint8)
+    fallback = np.packbits(
+        bits.reshape(bits.shape[:-1] + (-1, 8)), axis=-1, bitorder="big"
+    ).reshape(native.shape)
+    assert np.array_equal(native, fallback)
+
+
 def test_u1_bad_width_rejected():
     import pytest
     from marie_tpu.utils.pack4 import pack1

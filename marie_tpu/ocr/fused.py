@@ -764,15 +764,13 @@ def fused_dispatch_stream(box_processor, ocr_processor, images,
     def _work():
         try:
             for group in groups:
-                if len(group) == 1 and chain is None:
-                    # single-page fast path (the chained path runs every
-                    # group through the compact program so
-                    # classification/NER coverage is uniform)
-                    k = group[0]
-                    padded, scale, (h, w) = preps[k]
-                    q.put(("ok", _dispatch_prepped(
-                        bp, op, padded, scale, (h, w), rec_slots)))
-                    continue
+                # single pages route through the SAME compact program
+                # family as batches (psize=1 ladder rung): the old
+                # `_fused_page` fast path uploaded the page UNPACKED
+                # (4-8x the bytes of the packed formats — measured 57.5
+                # ms single-page p50 on a 24 MB/s relay window, mostly
+                # wire time) and added a whole extra executable to the
+                # cold-start/compile-cache budget
                 batch, clip, psize, packed, mesh_used = _upload_group(
                     preps, group, page_batch, upload_format, mesh
                 )

@@ -73,6 +73,7 @@ class SyntheticWordDataset:
         text_mode: str = "lexicon",
         bold_p: float = 0.0,
         shear_p: float = 0.0,
+        dither_p: float = 0.0,
     ):
         self.cfg = config
         # "lexicon" = the round-1..3 domain-word distribution;
@@ -109,6 +110,13 @@ class SyntheticWordDataset:
         # glyph-shape coverage has to come from augmentation.
         self.bold_p = bold_p
         self.shear_p = shear_p
+        # 1-bit-upload augmentation: with probability dither_p the crop
+        # is ordered-dither binarized at SOURCE resolution with a random
+        # Bayer-grid phase (serving's u1d upload dithers the whole page,
+        # so a crop sees the 8x8 pattern at an arbitrary offset) before
+        # the final resize averages it back toward gray.  A model that
+        # never saw dither measures u1d CER +0.043 on serif-bold.
+        self.dither_p = dither_p
         self._fonts = self._load_fonts()
 
     _FONT_FILES = (
@@ -344,6 +352,19 @@ class SyntheticWordDataset:
                 (max(1, int(tw0 * f)), max(1, int(th0 * f))), Image.BILINEAR
             )
             tight = small.resize((tw0, th0), Image.BILINEAR)
+        if self.dither_p > 0 and self.rng.random() < self.dither_p:
+            from marie_tpu.utils.pack4 import _BAYER8_T
+
+            g = np.asarray(tight.convert("L"))
+            gh, gw = g.shape
+            oy = int(self.rng.integers(0, 8))
+            ox = int(self.rng.integers(0, 8))
+            thresh = np.tile(
+                np.roll(_BAYER8_T, (oy, ox), axis=(0, 1)),
+                ((gh + 7) // 8, (gw + 7) // 8),
+            )[:gh, :gw]
+            bits = ((g > thresh).astype(np.uint8) * 255)
+            tight = Image.merge("RGB", [Image.fromarray(bits)] * 3)
         tw, th = tight.size
         scale = self.h / max(th, 1)
         new_w = max(1, min(int(round(tw * scale)), self.w))
@@ -418,6 +439,7 @@ def train_recognizer_device(
     font_sizes: Tuple[int, ...] = (18, 24, 30),
     bold_p: float = 0.0,
     shear_p: float = 0.0,
+    dither_p: float = 0.0,
     init_params=None,
 ):
     """Device-resident training: the synthetic dataset is rendered once,
@@ -440,6 +462,7 @@ def train_recognizer_device(
             config, tokenizer, seed=block_seed, noise=0.0,
             rotate_deg=rotate_deg, text_mode=text_mode,
             font_sizes=font_sizes, bold_p=bold_p, shear_p=shear_p,
+            dither_p=dither_p,
         )
         imgs_l, toks_l = [], []
         for start in range(0, dataset_size, 512):

@@ -45,6 +45,9 @@ def main() -> int:
                     help="probability of stroke-width synthetic bold")
     ap.add_argument("--shear-p", type=float, default=0.0,
                     help="probability of affine-shear synthetic italic")
+    ap.add_argument("--dither-p", type=float, default=0.0,
+                    help="probability of ordered-dither binarization "
+                         "(u1d 1-bit upload robustness)")
     ap.add_argument("--init-from", type=str, default=None,
                     help="zoo checkpoint name to warm-start from "
                          "(same architecture)")
@@ -71,6 +74,7 @@ def main() -> int:
         font_sizes=tuple(int(s) for s in args.font_sizes.split(",")),
         bold_p=args.bold_p,
         shear_p=args.shear_p,
+        dither_p=args.dither_p,
         init_params=_init_params(args.init_from),
     )
     print(f"FINAL_CER={cer:.4f}")

@@ -491,6 +491,7 @@ def main():
     prefer = os.environ.get("MARIE_BENCH_DETECTOR")
     ladder = [
         ("craft-s2d2-synth", CraftConfig.fast_s2d2()),
+        ("craft-s4d4-synth", CraftConfig.fast_s4d4()),
         ("craft-fast-synth", CraftConfig.fast()),
         ("craft-synth", CraftConfig.base()),
     ]
@@ -523,8 +524,9 @@ def main():
             param_dtype="bfloat16",
         )
         variant = "base" if craft_cfg.base_channels != 32 else (
-            ("s2d2" if craft_cfg.head_d2s else "s2")
-            if craft_cfg.stem_stride == 2 else "fast"
+            (f"s{craft_cfg.stem_stride}d{craft_cfg.stem_stride}"
+             if craft_cfg.head_d2s else f"s{craft_cfg.stem_stride}")
+            if craft_cfg.stem_stride > 1 else "fast"
         )
         detector_desc = (
             f"craft-{variant} TRAINED heatmap + on-device CC"

@@ -80,6 +80,7 @@ def _craft_box_processor(max_components: int = 384):
     import os as _os
 
     ladder = [("craft-s2d2-synth", CraftConfig.fast_s2d2()),
+              ("craft-s4d4-synth", CraftConfig.fast_s4d4()),
               ("craft-fast-synth", CraftConfig.fast()),
               ("craft-synth", CraftConfig.base())]
     prefer = _os.environ.get("MARIE_DETECTOR")

@@ -63,45 +63,39 @@ def main() -> int:
     from marie_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    # the oracle's own dense engine (max_components=768, 640 compact
+    # slots): every program is already in the persistent cache from the
+    # quality runs; jitted programs are weight-agnostic, so a stage
+    # checkpoint swaps in via `variables` with zero recompiles
+    from scripts.check_quality import build_engines
+
+    engine = build_engines(["greedy"], dense=True)["greedy"]
+    box = engine.box_processor
     if args.detector:
-        # load an arbitrary zoo/stage dir directly (the serving ladder
-        # only resolves gate-green slot names)
-        from marie_tpu.boxes.craft_box_processor import BoxProcessorCraft
-        from marie_tpu.models.configs import CraftConfig
-        from marie_tpu.preprocess import BucketSpec
+        import jax
+        import jax.numpy as jnp
+
         from marie_tpu.registry.checkpoints import load_params
-        from scripts.probe_detector_speed import CONFIGS
+        from marie_tpu.utils.dtype import cast_floats
 
-        cfg_name = next(
-            (v for k, v in CONFIGS.items() if args.detector.startswith(k)),
-            "fast_s2d2",
-        )
-        box = BoxProcessorCraft(
-            config=getattr(CraftConfig, cfg_name)(),
-            variables=load_params(
-                os.path.join(
-                    os.path.dirname(os.path.dirname(
-                        os.path.abspath(__file__))),
-                    "model_zoo", args.detector,
-                )
-            ),
-            box_source="heatmap", text_threshold=0.6, low_text=0.4,
-            max_components=args.max_components,
-            bucket_spec=BucketSpec(shapes=((PAGE_H, PAGE_W),)),
-            param_dtype="bfloat16",
-        )
-    else:
-        from marie_tpu.ocr.util import _craft_box_processor
-
-        box = _craft_box_processor(max_components=args.max_components)
+        # same bf16 cast + device commit as the processor's own init —
+        # a dtype mismatch would silently retrace every program
+        box.variables = jax.device_put(cast_floats(load_params(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "model_zoo", args.detector,
+            )
+        ), jnp.bfloat16))
     spec = DISTRIBUTIONS["ood_dense"]
     pages, truths = make_pages(args.pages, seed=11, **spec)
 
     total = {"truth": 0, "matched": 0, "merged_members": 0, "missed": 0,
              "framing": 0, "boxes": 0}
+    results = engine.extract(pages)
     for k, (page, truth) in enumerate(zip(pages, truths)):
-        boxes, scores = box.detect_words(page)
-        boxes = np.asarray(boxes, np.float32)
+        boxes = np.asarray(
+            [w["box"] for w in results[k]["words"]], np.float32
+        ).reshape(-1, 4)
         n_det = len(boxes)
         tboxes = [t[1] for t in truth]
         # greedy IoU>=0.4 matching (compare_results semantics)

@@ -125,8 +125,25 @@ def _detect_core(
         # CC at the native heatmap grid: pooling a stride-2 heatmap to
         # stride 4 merges adjacent words (recall 0.99 -> 0.74), but a
         # model TRAINED at stride 4 (s2d stem, CraftConfig.fast_s2)
-        # keeps the shrunk-region separation in its own grid
-        mask = (region > low_text) | (affinity > link_threshold)
+        # keeps the shrunk-region separation in its own grid.
+        #
+        # REGION-ONLY mask by default (round 5): this repo's region
+        # target is the whole shrunk WORD box (craft.py trainer), not
+        # the reference's per-character gaussians — words are single
+        # components without any affinity help.  Including affinity in
+        # the mask adds one band component per inter-word gap, DOUBLING
+        # component count: a 555-word dense page emits ~1100 components,
+        # overflows the 768 budget, and the min-linear-index top-k then
+        # truncates the BOTTOM of the page (measured ood_dense recall
+        # 0.767 with zero merges/zero framing errors — pure truncation).
+        # MARIE_CC_MASK=region+affinity restores the old mask (the HLO
+        # differs, so compile-cache entries never cross).
+        import os as _os
+
+        if _os.environ.get("MARIE_CC_MASK") == "region+affinity":
+            mask = (region > low_text) | (affinity > link_threshold)
+        else:
+            mask = region > low_text
         scores = region
         stride = model.cfg.out_stride
     # sort-free box stats: top_k reps + masked reductions beat the

@@ -139,11 +139,20 @@ def main() -> int:
         total["missed"] += missed
         total["framing"] += framing
         total["boxes"] += n_det
+        # spatial signature of the losses: top-k budget truncation (the
+        # stats keep components by min-linear-index order) would cluster
+        # misses at the page BOTTOM; heatmap-confidence losses scatter
+        miss_y = sorted(
+            tb[1] for ti, tb in enumerate(tboxes) if ti not in matched_t
+        )
+        hist = np.histogram(
+            miss_y, bins=8, range=(0, PAGE_H)
+        )[0].tolist() if miss_y else []
         print(
             f"page {k}: truth={len(tboxes)} det_boxes={n_det} "
             f"matched={len(matched_t)} merged_members={merged} "
             f"missed={missed} framing={framing} "
-            f"budget={args.max_components}",
+            f"budget={args.max_components} miss_y_hist={hist}",
             flush=True,
         )
     r = total["matched"] / max(total["truth"], 1)

@@ -71,8 +71,10 @@ def _dit_detect_jit(model, variables, page_u8, text_threshold, low_text,
     rgb = normalize_page(page_u8)
     heat = model.apply(variables, rgb[None])[0]
     region = heat[..., 0]
-    affinity = heat[..., 1]
-    mask = (region > low_text) | (affinity > low_text)
+    # region-only CC (round 5): the region target is the whole shrunk
+    # word box; affinity bands only eat the component budget (see
+    # craft_box_processor._detect_core)
+    mask = region > low_text
     labels = connected_components(mask)
     return component_boxes(labels, region, max_components=max_components)
 

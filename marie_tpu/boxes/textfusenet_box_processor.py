@@ -33,15 +33,17 @@ def _tfn_detect_jit(model, variables, page_u8, word_threshold, low_text,
     rgb = normalize_page(page_u8)
     out = model.apply(variables, rgb[None])
     word_region = out["word"][0, ..., 0]
-    word_affinity = out["word"][0, ..., 1]
     char_map = out["char"][0, ..., 0]
 
-    # word candidates: region|affinity CC (CRAFT post-processing shape).
+    # word candidates: region CC (CRAFT post-processing shape).
     # Maps are at cfg.head_stride; the fuse module pools stride-4 P3
     # features, so component boxes convert to stride-4 units before
     # fusion (to_p3 = head_stride/4; 1.0 for the classic head).
     to_p3 = cfg.head_stride / 4.0
-    wmask = (word_region > low_text) | (word_affinity > low_text)
+    # region-only CC (round 5): the word-region target is the whole
+    # shrunk word box, so affinity adds only inter-word band components
+    # that eat the max_words budget (see craft_box_processor._detect_core)
+    wmask = word_region > low_text
     wstats = component_boxes(
         connected_components(wmask), word_region,
         max_components=cfg.max_words,

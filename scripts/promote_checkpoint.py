@@ -45,23 +45,42 @@ KINDS = {
 }
 
 
-def run_oracle(kind: str, pages: int, seed: int, timeout_s: int):
+def run_oracle(kind: str, pages: int, seed: int, timeout_s: int,
+               attempts: int = 2):
+    """Eval oracle with retry: the TPU relay in this environment has
+    outage windows where every RPC parks in futex_wait until the window
+    shifts (r4 postmortem: >50 min) — one timed-out subprocess must not
+    fail a whole promotion (the eval is deterministic, a retry in a
+    better window measures the same numbers)."""
     spec = KINDS[kind]
     cmd = [
         sys.executable, ORACLE,
         "--pages", str(pages), "--seed", str(seed),
         "--decoders", spec["decoders"], "--only", spec["only"],
     ]
-    proc = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
-    )
-    if proc.returncode != 0:
-        raise RuntimeError(
-            f"oracle rc={proc.returncode}: {proc.stderr[-2000:]}"
-        )
-    # the JSON table is the last stdout block (stderr carries progress)
-    payload = json.loads(proc.stdout[proc.stdout.index("{"):])
-    return payload["quality"]
+    last = None
+    for k in range(attempts):
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=timeout_s,
+                cwd=REPO,
+            )
+        except subprocess.TimeoutExpired as ex:
+            last = ex
+            print(
+                f"oracle attempt {k + 1}/{attempts} timed out after "
+                f"{timeout_s}s (relay outage window?); retrying",
+                file=sys.stderr, flush=True,
+            )
+            continue
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"oracle rc={proc.returncode}: {proc.stderr[-2000:]}"
+            )
+        # the JSON table is the last stdout block (stderr carries progress)
+        payload = json.loads(proc.stdout[proc.stdout.index("{"):])
+        return payload["quality"]
+    raise RuntimeError(f"oracle timed out {attempts}x: {last!r}")
 
 
 def score(kind: str, table: dict):

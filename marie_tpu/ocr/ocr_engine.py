@@ -94,6 +94,11 @@ class PipelineOcrEngine(OcrEngine):
         self.rec_slots = rec_slots
         self.compact_slots = compact_slots
 
+    #: consumers (ExtractPipeline) may pass ``on_result_group`` /
+    #: ``group_size`` to :meth:`extract` — the flag lets them feature-test
+    #: without isinstance checks against this module
+    supports_result_stream = True
+
     def extract(
         self,
         frames,
@@ -150,13 +155,24 @@ class PipelineOcrEngine(OcrEngine):
                 # overlaps BOTH the device executing groups i+1.. and the
                 # uploader thread shipping them — a 3-stage software
                 # pipeline: upload | compute | collect.
-                pages = []
+                #
+                # ``on_result_group`` (ExtractPipeline streaming): each
+                # group's ASSEMBLED results are handed over as soon as
+                # they exist, so CPU-bound renderers run while the device
+                # executes later groups.  ``group_size`` shrinks the page
+                # group for this call only (a 16-page bundle at the
+                # engine's pb=16 is ONE group — nothing to stream).
+                on_result_group = kwargs.get("on_result_group")
+                group_size = kwargs.get("group_size") or getattr(
+                    self, "page_fuse_batch", 1
+                )
+                results = []
                 for handle in fused_dispatch_stream(
                     self.box_processor,
                     self.ocr_processor,
                     frames,
                     rec_slots=getattr(self, "rec_slots", 256),
-                    page_batch=getattr(self, "page_fuse_batch", 1),
+                    page_batch=group_size,
                     compact_slots=getattr(self, "compact_slots", 192),
                     upload_format=getattr(self, "upload_format", "u8"),
                     mesh=getattr(self, "mesh", None),
@@ -168,41 +184,22 @@ class PipelineOcrEngine(OcrEngine):
                     ),
                 ):
                     n = handle_page_count(handle)
-                    pages.extend(
-                        fused_collect_many(
-                            self.box_processor,
-                            self.ocr_processor,
-                            [handle],
-                            [pms_mode] * n,
+                    start = len(results)
+                    group_pages = fused_collect_many(
+                        self.box_processor,
+                        self.ocr_processor,
+                        [handle],
+                        [pms_mode] * n,
+                    )
+                    for j, page in enumerate(group_pages):
+                        results.append(
+                            self._assemble_fused_result(
+                                frames[start + j], start + j, page,
+                                coordinate_format,
+                            )
                         )
-                    )
-                results = []
-                for i, (frame, page) in enumerate(zip(frames, pages)):
-                    boxes, scores, lines, line_bboxes, words, extra = page
-                    result = assemble_page_result(
-                        (frame.shape[0], frame.shape[1]), boxes, lines, words
-                    )
-                    if coordinate_format == CoordinateFormat.XYXY:
-                        for word in result["words"]:
-                            x, y, w, h = word["box"]
-                            word["box"] = [x, y, x + w, y + h]
-                    result["meta"]["page"] = i
-                    result["meta"]["lines"] = _tolist(lines)
-                    result["meta"]["lines_bboxes"] = _tolist(line_bboxes)
-                    result["meta"]["format"] = coordinate_format.name.lower()
-                    if extra is not None and "classification" in extra:
-                        cls = dict(extra["classification"])
-                        labels = getattr(self.classifier, "labels", None)
-                        if labels and cls["label_id"] < len(labels):
-                            cls["label"] = labels[cls["label_id"]]
-                        result["classification"] = cls
-                        ner_labels = getattr(self.indexer, "labels", None)
-                        if ner_labels:
-                            for word in result["words"]:
-                                lid = word.get("ner_label_id")
-                                if lid is not None and lid < len(ner_labels):
-                                    word["ner_label"] = ner_labels[lid]
-                    results.append(result)
+                    if on_result_group is not None:
+                        on_result_group(results[start:], start)
                 return results
 
         per_page = []
@@ -317,6 +314,38 @@ class PipelineOcrEngine(OcrEngine):
             result["meta"]["format"] = coordinate_format.name.lower()
             results.append(result)
         return results
+
+    def _assemble_fused_result(
+        self, frame, index: int, page, coordinate_format: CoordinateFormat
+    ) -> Dict[str, Any]:
+        """One fused-path page tuple -> the reference result schema."""
+        from marie_tpu.document.ocr_processor import assemble_page_result
+
+        boxes, scores, lines, line_bboxes, words, extra = page
+        result = assemble_page_result(
+            (frame.shape[0], frame.shape[1]), boxes, lines, words
+        )
+        if coordinate_format == CoordinateFormat.XYXY:
+            for word in result["words"]:
+                x, y, w, h = word["box"]
+                word["box"] = [x, y, x + w, y + h]
+        result["meta"]["page"] = index
+        result["meta"]["lines"] = _tolist(lines)
+        result["meta"]["lines_bboxes"] = _tolist(line_bboxes)
+        result["meta"]["format"] = coordinate_format.name.lower()
+        if extra is not None and "classification" in extra:
+            cls = dict(extra["classification"])
+            labels = getattr(self.classifier, "labels", None)
+            if labels and cls["label_id"] < len(labels):
+                cls["label"] = labels[cls["label_id"]]
+            result["classification"] = cls
+            ner_labels = getattr(self.indexer, "labels", None)
+            if ner_labels:
+                for word in result["words"]:
+                    lid = word.get("ner_label_id")
+                    if lid is not None and lid < len(ner_labels):
+                        word["ner_label"] = ner_labels[lid]
+        return result
 
     def _extract_regions(
         self, frames, pms_mode, coordinate_format, regions, queue_id, **kwargs

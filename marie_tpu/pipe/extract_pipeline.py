@@ -161,28 +161,100 @@ class ExtractPipeline(BasePipeline):
                 clean_frames = self._segment(ref_id, frames, root_asset_dir)
             stage_times["segment"] = round(tc.duration, 4)
 
-        with TimeContext("ocr", self.logger) as tc:
-            ocr_results = self.ocr_engine.extract(
-                clean_frames, pms_mode, coordinate_format
-            )
-        stage_times["ocr"] = round(tc.duration, 4)
-        metadata["ocr"] = ocr_results
+        # results.tif encodes ONCE from the in-memory clean frames on a
+        # thread overlapped with OCR (pack previously encoded the same
+        # pixels TWICE — save_frames_as_tiff + merge_tiff(clean/) PNG
+        # re-reads — for ~0.2 s of the 16-page config-5 wall); pack
+        # hardlinks the delivery names to it
+        tif_err: List[BaseException] = []
 
-        # rendering consumes only (frames, ocr_results) and writes its own
-        # asset subdirs, so it runs on a thread OVERLAPPED with template
-        # matching + classify/index (device stages) — the serial chain
-        # was the config-5 wall-clock cap after the burst/pack fixes
-        render_err: List[BaseException] = []
-
-        def _render():
+        def _results_tif():
             try:
-                self._render_artifacts(frames, ocr_results, root_asset_dir)
+                from marie_tpu.utils.docs import save_frames_as_tiff
+
+                save_frames_as_tiff(
+                    clean_frames, os.path.join(root_asset_dir, "results.tif")
+                )
+            except BaseException as exc:  # noqa: BLE001 — re-checked in pack
+                tif_err.append(exc)
+
+        tif_thread = threading.Thread(target=_results_tif, name="results-tif")
+        tif_thread.start()
+
+        # STREAMING OCR -> render: the engine hands over each page-group's
+        # assembled results as soon as they exist, so the CPU-bound
+        # renderers (JPEG/zlib/XML on this 1-core host) run while the
+        # device executes later groups.  The render consumer thread is
+        # CPU-bound; it only genuinely overlaps the DEVICE-bound OCR
+        # waits — which is exactly the serialization that capped config-5
+        # (r4: ocr 18 + render 9 + pack 11 ms/page, strictly serial).
+        render_err: List[BaseException] = []
+        render_done = threading.Event()
+        import queue as _queue
+
+        render_q: "_queue.Queue" = _queue.Queue()
+
+        def _render_consumer():
+            try:
+                renderers = self._renderer_instances(root_asset_dir)
+                for r, out in renderers:
+                    r.begin(out)
+                while True:
+                    item = render_q.get()
+                    if item is None:
+                        break
+                    chunk_frames, chunk_results, start = item
+                    chunk_results = self._xywh_copy(chunk_results)
+                    for r, out in renderers:
+                        r.feed(chunk_frames, chunk_results, start)
+                for r, out in renderers:
+                    r.finish()
             except BaseException as exc:  # noqa: BLE001 — re-raised on join
                 render_err.append(exc)
+            finally:
+                render_done.set()
 
-        render_t0 = time.perf_counter()
-        render_thread = threading.Thread(target=_render, name="render")
+        render_thread = threading.Thread(
+            target=_render_consumer, name="render"
+        )
         render_thread.start()
+
+        streaming = bool(
+            getattr(self.ocr_engine, "supports_result_stream", False)
+        )
+        try:
+            with TimeContext("ocr", self.logger) as tc:
+                if streaming:
+                    chunk = int(os.environ.get("MARIE_PIPE_OCR_CHUNK", "8"))
+                    fed = [0]  # pages already handed to the render queue
+
+                    def _on_group(res, start):
+                        render_q.put(
+                            (frames[start:start + len(res)], res, start)
+                        )
+                        fed[0] = start + len(res)
+
+                    ocr_results = self.ocr_engine.extract(
+                        clean_frames, pms_mode, coordinate_format,
+                        on_result_group=_on_group,
+                        group_size=chunk,
+                    )
+                    if fed[0] < len(ocr_results):
+                        # engine took a non-streaming internal path (the
+                        # fused single-program prerequisites were not met)
+                        render_q.put((
+                            frames[fed[0]:], ocr_results[fed[0]:], fed[0]
+                        ))
+                else:
+                    ocr_results = self.ocr_engine.extract(
+                        clean_frames, pms_mode, coordinate_format
+                    )
+                    render_q.put((frames, ocr_results, 0))
+            stage_times["ocr"] = round(tc.duration, 4)
+        finally:
+            render_q.put(None)  # always unblock the consumer
+        metadata["ocr"] = ocr_results
+        render_t0 = time.perf_counter()
 
         if self.template_matcher is not None and flag("template_matching", True):
             with TimeContext("template-matching", self.logger) as tc:
@@ -208,8 +280,13 @@ class ExtractPipeline(BasePipeline):
         render_thread.join()
         if render_err:
             raise render_err[0]
+        # the tail the render thread ran PAST the device stages — with
+        # streaming this approaches the final group's render + combine
         stage_times["render_wall"] = round(time.perf_counter() - render_t0, 4)
         burst_thread.join()  # pack consumes the burst/ dir
+        tif_thread.join()
+        if tif_err:  # fall back to an in-pack encode
+            self.logger.warning(f"results.tif thread failed: {tif_err[0]!r}")
         with TimeContext("pack", self.logger) as tc:
             self._pack_assets(clean_frames, metadata, root_asset_dir, ref_id)
             metadata["assets"] = self._asset_listing(root_asset_dir)
@@ -273,13 +350,15 @@ class ExtractPipeline(BasePipeline):
         import json
         import shutil
 
-        from marie_tpu.utils.archive import merge_tiff, merge_zip
+        from marie_tpu.utils.archive import merge_zip
         from marie_tpu.utils.docs import save_frames_as_tiff
 
         try:
-            save_frames_as_tiff(
-                frames, os.path.join(root_asset_dir, "results.tif")
-            )
+            results_tif = os.path.join(root_asset_dir, "results.tif")
+            if not os.path.exists(results_tif):
+                # the streaming pipeline pre-encodes this on a thread
+                # overlapped with OCR; this is the fallback
+                save_frames_as_tiff(frames, results_tif)
             with open(os.path.join(root_asset_dir, "results.json"), "w") as fp:
                 json.dump(metadata.get("ocr", []), fp, default=str)
 
@@ -304,13 +383,12 @@ class ExtractPipeline(BasePipeline):
                 except OSError:
                     shutil.copy(src, dst)
 
-            clean_dir = os.path.join(root_asset_dir, "clean")
             clean_tif = os.path.join(assets_dir, f"{prefix}.tif.clean")
-            if merge_tiff(clean_dir, clean_tif) == 0:
-                # no overlay stage ran — the processed pages stand in
-                _link_or_copy(
-                    os.path.join(root_asset_dir, "results.tif"), clean_tif
-                )
+            # results.tif is encoded from the CLEAN frames (the same
+            # pixels clean/ holds when the overlay stage ran), so the
+            # delivery clean tif is a hardlink, not a second packbits
+            # encode over PNG re-reads (~0.2 s/16 pages on this host)
+            _link_or_copy(results_tif, clean_tif)
             _link_or_copy(
                 clean_tif, os.path.join(assets_dir, f"{prefix}.tif")
             )
@@ -346,13 +424,44 @@ class ExtractPipeline(BasePipeline):
         }
 
     # ------------------------------------------------------------------
-    def _render_artifacts(self, frames, ocr_results, root_asset_dir: str) -> None:
-        # Renderers only read the results EXCEPT check_format_xywh's
-        # in-place xyxy->xywh conversion.  The engine serves xywh, so the
-        # common path needs no copy at all; convert ONCE on a private
-        # copy when a result is xyxy instead of deepcopying per renderer
-        # (4 deepcopies of nested word dicts profiled at ~49 ms/page of
-        # the config-5 wall).
+    def _renderer_instances(self, root_asset_dir: str):
+        """(renderer, output_path) pairs for the enabled artifact set."""
+        out = []
+        if "text" in self.renderers:
+            from marie_tpu.renderer import TextRenderer
+
+            out.append((
+                TextRenderer({"preserve_interword_spaces": True}),
+                os.path.join(root_asset_dir, "results.txt"),
+            ))
+        if "pdf" in self.renderers:
+            from marie_tpu.renderer import PdfRenderer
+
+            out.append((
+                PdfRenderer(), os.path.join(root_asset_dir, "results.pdf")
+            ))
+        if "blobs" in self.renderers:
+            from marie_tpu.renderer import BlobRenderer
+
+            out.append((
+                BlobRenderer(), os.path.join(root_asset_dir, "blobs")
+            ))
+        if "adlib" in self.renderers:
+            from marie_tpu.renderer import AdlibRenderer
+
+            out.append((
+                AdlibRenderer(), os.path.join(root_asset_dir, "adlib")
+            ))
+        return out
+
+    @staticmethod
+    def _xywh_copy(ocr_results):
+        """Renderers only read the results EXCEPT check_format_xywh's
+        in-place xyxy->xywh conversion.  The engine serves xywh, so the
+        common path needs no copy at all; convert ONCE on a private
+        copy when a result is xyxy instead of deepcopying per renderer
+        (4 deepcopies of nested word dicts profiled at ~49 ms/page of
+        the config-5 wall)."""
         if any(
             r.get("meta", {}).get("format") == "xyxy" for r in ocr_results
         ):
@@ -363,34 +472,12 @@ class ExtractPipeline(BasePipeline):
             ocr_results = copy.deepcopy(ocr_results)
             for r in ocr_results:
                 ResultRenderer.check_format_xywh(r)
-        if "text" in self.renderers:
-            from marie_tpu.renderer import TextRenderer
+        return ocr_results
 
-            TextRenderer({"preserve_interword_spaces": True}).render(
-                frames, ocr_results,
-                os.path.join(root_asset_dir, "results.txt"),
-            )
-        if "pdf" in self.renderers:
-            from marie_tpu.renderer import PdfRenderer
-
-            PdfRenderer().render(
-                frames, ocr_results,
-                os.path.join(root_asset_dir, "results.pdf"),
-            )
-        if "blobs" in self.renderers:
-            from marie_tpu.renderer import BlobRenderer
-
-            BlobRenderer().render(
-                frames, ocr_results,
-                os.path.join(root_asset_dir, "blobs"),
-            )
-        if "adlib" in self.renderers:
-            from marie_tpu.renderer import AdlibRenderer
-
-            AdlibRenderer().render(
-                frames, ocr_results,
-                os.path.join(root_asset_dir, "adlib"),
-            )
+    def _render_artifacts(self, frames, ocr_results, root_asset_dir: str) -> None:
+        ocr_results = self._xywh_copy(ocr_results)
+        for renderer, out in self._renderer_instances(root_asset_dir):
+            renderer.render(frames, ocr_results, out)
 
     @staticmethod
     def _asset_listing(root_asset_dir: str) -> List[str]:

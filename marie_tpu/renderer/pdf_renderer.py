@@ -58,12 +58,47 @@ class PdfRenderer(ResultRenderer):
         return "PdfRenderer"
 
     def render_page(self, image: np.ndarray, result: Dict[str, Any], page_index: int):
-        self.check_format_xywh(result, True)
-        return (image, result)
-
-    def write(self, pages: List[Tuple[np.ndarray, Dict[str, Any]]], output_filename: str) -> None:
+        """ALL the per-page CPU cost lives here (JPEG encode + content
+        stream deflate) so the incremental ``feed`` path renders pages
+        while the device executes later OCR groups; ``write`` only
+        assembles pre-encoded blobs into the object graph."""
         from PIL import Image
 
+        self.check_format_xywh(result, True)
+        image = np.asarray(image)
+        h, w = image.shape[0], image.shape[1]
+        # image XObject (JPEG).  NOTE: a DeviceGray 1-channel encode
+        # was A/B-tested here and is a net LOSS (PIL encodes L ~2x
+        # slower than RGB at ~4% size difference — 4:2:0 chroma on
+        # flat channels is near-free), so pages embed as RGB.
+        pil = Image.fromarray(
+            image if image.ndim == 3 else np.stack([image] * 3, -1)
+        )
+        buf = io.BytesIO()
+        pil.convert("RGB").save(buf, format="JPEG", quality=80)
+        jpg = buf.getvalue()
+
+        # content stream: draw image full page, then invisible text
+        ops = [f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()]
+        ops.append(b"BT 3 Tr")
+        for word in result.get("words", []):
+            x, y, bw, bh = word["box"]
+            font_size = max(float(bh), 1.0)
+            ty = h - y - bh  # PDF origin is bottom-left
+            text = _esc(str(word["text"]))
+            if not text:
+                continue
+            # horizontal squeeze so the glyphs span the box width
+            est_w = 0.5 * font_size * max(len(text), 1)
+            tz = max(min(100.0 * bw / est_w, 500.0), 10.0)
+            ops.append(
+                f"/F1 {font_size:.1f} Tf {tz:.0f} Tz 1 0 0 1 {x:.1f} {ty:.1f} Tm ({text}) Tj".encode()
+            )
+        ops.append(b"ET")
+        comp = zlib.compress(b"\n".join(ops))
+        return (w, h, jpg, comp)
+
+    def write(self, pages: List[Tuple[int, int, bytes, bytes]], output_filename: str) -> None:
         pdf = _PdfBuilder()
         catalog_id = pdf.add(b"")  # placeholder: 1
         pages_id = pdf.add(b"")  # placeholder: 2
@@ -72,18 +107,7 @@ class PdfRenderer(ResultRenderer):
         )
 
         page_ids = []
-        for image, result in pages:
-            h, w = image.shape[0], image.shape[1]
-            # image XObject (JPEG).  NOTE: a DeviceGray 1-channel encode
-            # was A/B-tested here and is a net LOSS (PIL encodes L ~2x
-            # slower than RGB at ~4% size difference — 4:2:0 chroma on
-            # flat channels is near-free), so pages embed as RGB.
-            pil = Image.fromarray(
-                image if image.ndim == 3 else np.stack([image] * 3, -1)
-            )
-            buf = io.BytesIO()
-            pil.convert("RGB").save(buf, format="JPEG", quality=80)
-            jpg = buf.getvalue()
+        for w, h, jpg, comp in pages:
             img_id = pdf.add(
                 (
                     f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
@@ -93,26 +117,6 @@ class PdfRenderer(ResultRenderer):
                 + jpg
                 + b"\nendstream"
             )
-
-            # content stream: draw image full page, then invisible text
-            ops = [f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()]
-            ops.append(b"BT 3 Tr")
-            for word in result.get("words", []):
-                x, y, bw, bh = word["box"]
-                font_size = max(float(bh), 1.0)
-                ty = h - y - bh  # PDF origin is bottom-left
-                text = _esc(str(word["text"]))
-                if not text:
-                    continue
-                # horizontal squeeze so the glyphs span the box width
-                est_w = 0.5 * font_size * max(len(text), 1)
-                tz = max(min(100.0 * bw / est_w, 500.0), 10.0)
-                ops.append(
-                    f"/F1 {font_size:.1f} Tf {tz:.0f} Tz 1 0 0 1 {x:.1f} {ty:.1f} Tm ({text}) Tj".encode()
-                )
-            ops.append(b"ET")
-            content = b"\n".join(ops)
-            comp = zlib.compress(content)
             content_id = pdf.add(
                 f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
                 + comp

@@ -44,6 +44,30 @@ class ResultRenderer(ABC):
     @abstractmethod
     def write(self, pages: List[Any], output_filename: str) -> None: ...
 
+    # -- incremental API -------------------------------------------------
+    # ExtractPipeline streams OCR results per page-group so the CPU-bound
+    # per-page rendering (``render_page``) runs while the device executes
+    # later groups; ``finish`` pays only the final combine/write.  The
+    # default implementation works for every renderer whose per-page cost
+    # lives in ``render_page`` (all in-tree renderers after the
+    # PdfRenderer encode move).
+    def begin(self, output_filename: str) -> None:
+        self._inc_out = output_filename
+        self._inc_pages: List[Any] = []
+
+    def feed(
+        self,
+        frames: List[np.ndarray],
+        results: List[Dict[str, Any]],
+        start_index: int = 0,
+    ) -> None:
+        for k, (img, res) in enumerate(zip(frames, results)):
+            self._inc_pages.append(self.render_page(img, res, start_index + k))
+
+    def finish(self) -> None:
+        self.write(self._inc_pages, self._inc_out)
+        self._inc_pages = []
+
     @staticmethod
     def check_format_xywh(result: Dict[str, Any], convert: bool = True) -> None:
         """Ensure word boxes are xywh; convert in place from xyxy if the

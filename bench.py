@@ -298,24 +298,47 @@ def _bench_chain(box, icr, upload_format, pages):
     }
 
 
+def _relay_rtt_ms(n=9):
+    """Minimum device round trip of a TRIVIAL program through this
+    environment's TPU relay — the physical floor under any single-request
+    latency (measured 25-27 ms here; on directly-attached TPU hardware
+    this is sub-millisecond).  Reported so single_page.p50 is readable:
+    p50 ≈ rtt_floor + dispatch + device program."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(jnp.arange(8, dtype=jnp.int32))
+    f = jax.jit(lambda v: v.sum())
+    jax.device_get(f(x))  # compile/load outside the timed loop
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        jax.device_get(f(x))
+        ts.append(time.time() - t0)
+    ts.sort()
+    return round(ts[len(ts) // 2] * 1000, 1)
+
+
 def _bench_single_page(engine, pages):
     """BASELINE config 1: single-page OCR latency (the reference's
-    examples/batch_document_ocr.py one-page case).  Exercises the
-    single-page fused program (`_fused_page`) rather than the batched
-    compact program."""
+    examples/batch_document_ocr.py one-page case).  Single pages run the
+    psize=1 rung of the compact program family (packed upload)."""
     engine.extract(pages[:1])  # compile/load the single-page program
     times = []
     for k in range(3):
         t0 = time.time()
         engine.extract([pages[k % len(pages)]])
         times.append(time.time() - t0)
-    return {
-        "single_page": {
-            "p50_page_latency_ms": round(sorted(times)[1] * 1000, 1),
-            "best_ms": round(min(times) * 1000, 1),
-            "pass_times_s": [round(t, 3) for t in times],
-        }
+    out = {
+        "p50_page_latency_ms": round(sorted(times)[1] * 1000, 1),
+        "best_ms": round(min(times) * 1000, 1),
+        "pass_times_s": [round(t, 3) for t in times],
     }
+    try:
+        out["relay_rtt_floor_ms"] = _relay_rtt_ms()
+    except Exception as ex:  # noqa: BLE001
+        print(f"rtt probe failed: {ex!r}", file=sys.stderr)
+    return {"single_page": out}
 
 
 def _bench_classify_split(engine, pages):

@@ -724,7 +724,17 @@ def main():
         peak = _PEAK_BF16_FLOPS.get(platform, 197e12)
         fpp = breakdown.get("flops_per_page_fused") or 0.0
         if fpp and breakdown.get("fused_device_s"):
-            achieved = fpp * 16 / breakdown["fused_device_s"]
+            # every _timed() sample carries ONE relay round trip (~25 ms
+            # here, sub-ms on directly-attached TPU); subtract it so MFU
+            # measures the DEVICE program, not the environment's RPC path
+            try:
+                rtt_s = _relay_rtt_ms() / 1000.0
+            except Exception:  # noqa: BLE001
+                rtt_s = 0.0
+            dev_s = max(breakdown["fused_device_s"] - rtt_s, 1e-6)
+            breakdown["relay_rtt_ms"] = round(rtt_s * 1000, 1)
+            breakdown["fused_device_s_rtt_corrected"] = round(dev_s, 4)
+            achieved = fpp * 16 / dev_s
             mfu = round(achieved / peak, 4)
             # speed of light: the fused program at 100% MXU utilization
             sol_pages_per_sec = round(peak / fpp, 1)

@@ -28,6 +28,7 @@ from marie_tpu.ops import (
     component_boxes_reduce,
     component_boxes_reduce2,
     component_boxes_runs,
+    component_boxes_runs_cc,
     connected_components,
 )
 from marie_tpu.preprocess import BucketSpec, pad_to
@@ -40,13 +41,15 @@ def _cc_stats_fn():
     identical whenever rows hold <= its per-row run budget, which a
     48-slot budget guarantees for document layouts).
 
-    ``MARIE_CC_STATS``: ``runs`` (default — per-row run compaction then
-    a K-way test over runs instead of pixels; scripts/probe_cc.py on
-    the serving chip at the production shape, 512x384 grid K=384
-    batch-16: 0.93 ms/page), ``reduce2`` (row/col-projection stats,
-    2.06 ms/page at the same shape), ``reduce`` ([N, K] masked
-    broadcast-reductions, 2.88), or ``sort`` (full-pixel 4-operand
-    sort + segmented scans, 23.75; wins only for huge K).
+    ``MARIE_CC_STATS``: ``runs_cc`` (default — labels AND stats computed
+    in the run domain; the pixel label grid is never materialised, so
+    the iterative pixel propagation (~1.8 ms/page of the fused program
+    at the 512x384 grid) disappears entirely), ``runs`` (pixel-label CC
+    + per-row run compaction stats; probe_cc at 512x384 K=384 batch-16:
+    0.93 ms/page stats), ``reduce2`` (row/col-projection stats, 2.06
+    ms/page), ``reduce`` ([N, K] masked broadcast-reductions, 2.88), or
+    ``sort`` (full-pixel 4-operand sort + segmented scans, 23.75; wins
+    only for huge K).
     """
     import os
 
@@ -55,11 +58,12 @@ def _cc_stats_fn():
         "reduce": component_boxes_reduce,
         "reduce2": component_boxes_reduce2,
         "runs": component_boxes_runs,
+        "runs_cc": component_boxes_runs_cc,
         "sort": component_boxes,
-    }.get(name, component_boxes_runs)
+    }.get(name, component_boxes_runs_cc)
 
 
-_CC_STATS_DEFAULT = "runs"
+_CC_STATS_DEFAULT = "runs_cc"
 
 
 def _detect_core(
@@ -151,10 +155,16 @@ def _detect_core(
     # 512x384 grid); outputs identical (test_ops_roi_cc.py parity test);
     # kernel variant selectable via MARIE_CC_STATS (_cc_stats_fn)
     cc_stats = _cc_stats_fn()
-    labels = jax.vmap(connected_components)(mask)
-    stats = jax.vmap(
-        lambda l, s: cc_stats(l, s, max_components=max_components)
-    )(labels, scores)
+    if cc_stats is component_boxes_runs_cc:
+        # run-domain CC+stats: no pixel label grid at all
+        stats = jax.vmap(
+            lambda m, s: cc_stats(m, s, max_components=max_components)
+        )(mask, scores)
+    else:
+        labels = jax.vmap(connected_components)(mask)
+        stats = jax.vmap(
+            lambda l, s: cc_stats(l, s, max_components=max_components)
+        )(labels, scores)
     stats["stride"] = jnp.full((pages_u8.shape[0],), stride, jnp.int32)
     return stats
 

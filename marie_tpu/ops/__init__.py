@@ -22,6 +22,7 @@ from marie_tpu.ops.connected_components import (
     component_boxes_reduce,
     component_boxes_reduce2,
     component_boxes_runs,
+    component_boxes_runs_cc,
     connected_components,
 )
 from marie_tpu.ops.ctc import ctc_greedy_decode
@@ -47,6 +48,7 @@ __all__ = [
     "component_boxes_reduce",
     "component_boxes_reduce2",
     "component_boxes_runs",
+    "component_boxes_runs_cc",
     "deform_conv2d",
     "ctc_greedy_decode",
 ]

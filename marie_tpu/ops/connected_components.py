@@ -310,6 +310,162 @@ def component_boxes_runs(
     }
 
 
+@partial(jax.jit, static_argnames=("max_components", "max_runs_per_row",
+                                   "num_iters"))
+def component_boxes_runs_cc(
+    mask: jnp.ndarray,
+    scores: jnp.ndarray | None = None,
+    max_components: int = 256,
+    max_runs_per_row: int = 48,
+    num_iters: int = 32,
+):
+    """Mask -> component box stats ENTIRELY in the run domain — the
+    pixel label grid is never materialised.
+
+    :func:`connected_components` iterates pad/min/scan sweeps over the
+    full [H, W] pixel grid (~1.8 ms/page of the fused program at the
+    512x384 production grid — the largest single device line after the
+    round-5 kernel work).  But a row's masked pixels compact to <= R
+    runs (R=48 covers document layouts; same budget/degradation contract
+    as :func:`component_boxes_runs`), and component structure is fully
+    determined by run-interval overlap between adjacent rows — so label
+    propagation can run over the [H, R] run table (~24K elements vs 196K
+    pixels), with pointer-jumping to converge in O(log diameter) rounds.
+
+    Identical outputs to
+    ``component_boxes_runs(connected_components(mask), scores)``:
+    component identity is the min linear PIXEL index (run ids are
+    (row, x-ordered slot), so min run id == min pixel index's run), reps
+    come from the same ascending top-k over pixel indices, and the K-way
+    stats match.  8-connectivity: runs [a0,a1] and [b0,b1] in ADJACENT
+    rows connect iff a0 <= b1+1 and a1 >= b0-1; same-row runs are never
+    directly connected (a >= 1-pixel gap with nothing above/below is
+    disconnected under 8-conn).
+    """
+    h, w = mask.shape
+    n = h * w
+    r = max_runs_per_row
+    big = jnp.int32(h * r)  # invalid RUN id sentinel
+
+    # --- row compaction (same construction as component_boxes_runs) ---
+    left = jnp.pad(mask[:, :-1], ((0, 0), (1, 0)), constant_values=False)
+    run_of_pixel = jnp.cumsum((mask & ~left).astype(jnp.int32), axis=1) - 1
+    memb = mask[:, None, :] & (
+        run_of_pixel[:, None, :] == jnp.arange(r, dtype=jnp.int32)[None, :, None]
+    )
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    bigf = jnp.float32(n)
+    x0r = jnp.min(jnp.where(memb, xs, bigf), axis=2)  # [H, R]
+    x1r = jnp.max(jnp.where(memb, xs, -1.0), axis=2)
+    cntr = jnp.sum(memb, axis=2, dtype=jnp.int32)
+    valid_run = cntr > 0
+    ys = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, r))
+    # pixel index of each run's first pixel — the component's identity
+    # is the min of these over its runs
+    pix_of_run = jnp.where(
+        valid_run, ys * w + x0r.astype(jnp.int32), jnp.int32(n)
+    ).reshape(-1)  # [H*R]
+
+    # --- label propagation over the run graph ---
+    run_ids = jnp.arange(h * r, dtype=jnp.int32).reshape(h, r)
+    lbl = jnp.where(valid_run, run_ids, big)  # min RUN id per component
+
+    def overlap(x0a, x1a, x0b, x1b, va, vb):
+        # [H-1, R, R]: run i of row r vs run j of row r+1 (8-conn dilate)
+        o = (
+            (x0a[:, :, None] <= x1b[:, None, :] + 1.0)
+            & (x1a[:, :, None] >= x0b[:, None, :] - 1.0)
+            & va[:, :, None]
+            & vb[:, None, :]
+        )
+        return o
+
+    ov = overlap(
+        x0r[:-1], x1r[:-1], x0r[1:], x1r[1:], valid_run[:-1], valid_run[1:]
+    )
+
+    def sweep(lbl):
+        up = lbl[:-1]  # [H-1, R]
+        dn = lbl[1:]
+        # row r+1 takes min over overlapping runs of row r, and vice versa
+        dn_new = jnp.min(
+            jnp.where(ov, up[:, :, None], big), axis=1
+        )  # [H-1, R]
+        up_new = jnp.min(
+            jnp.where(ov, dn[:, None, :], big), axis=2
+        )  # [H-1, R]
+        out = jnp.minimum(
+            lbl,
+            jnp.concatenate([up_new, jnp.full((1, r), big)], axis=0),
+        )
+        out = jnp.minimum(
+            out,
+            jnp.concatenate([jnp.full((1, r), big), dn_new], axis=0),
+        )
+        # pointer jumping: label <- label-of-the-run-my-label-names (x2)
+        flat = out.reshape(-1)
+        padded = jnp.concatenate([flat, jnp.array([big], jnp.int32)])
+        idx = jnp.minimum(flat, h * r)  # big -> the sentinel slot
+        flat = jnp.minimum(flat, padded[idx])
+        idx = jnp.minimum(flat, h * r)
+        flat = jnp.minimum(flat, padded[idx])
+        return jnp.where(valid_run, flat.reshape(h, r), big)
+
+    def cond(state):
+        i, _, changed = state
+        return (i < num_iters) & changed
+
+    def body(state):
+        i, cur, _ = state
+        new = sweep(cur)
+        return i + 1, new, jnp.any(new != cur)
+
+    _, lbl, _ = jax.lax.while_loop(cond, body, (0, lbl, True))
+
+    # --- reps: same ascending-pixel-index top-k as the pixel kernels ---
+    flat_lbl = lbl.reshape(-1)  # final min run id per run
+    is_root = valid_run.reshape(-1) & (flat_lbl == run_ids.reshape(-1))
+    root_pix = jnp.where(is_root, pix_of_run, n)
+    neg_top, _ = jax.lax.top_k(-root_pix, max_components)
+    rep_sorted = -neg_top  # ascending pixel labels (n where empty)
+    valid = rep_sorted < n
+
+    # component key per run = pixel index of its root run
+    padded_pix = jnp.concatenate([pix_of_run, jnp.array([n], jnp.int32)])
+    labr = padded_pix[jnp.minimum(flat_lbl, h * r)]  # [H*R]
+
+    match = labr[:, None] == rep_sorted[None, :]  # [H*R, K]
+    x0f = x0r.reshape(-1)
+    x1f = x1r.reshape(-1)
+    ysf = ys.astype(jnp.float32).reshape(-1)
+    x0 = jnp.min(jnp.where(match, x0f[:, None], bigf), axis=0)
+    x1 = jnp.max(jnp.where(match, x1f[:, None], -1.0), axis=0)
+    y1 = jnp.max(jnp.where(match, ysf[:, None], -1.0), axis=0)
+    y0 = (rep_sorted // w).astype(jnp.float32)
+    areas = jnp.sum(jnp.where(match, cntr.reshape(-1)[:, None], 0), axis=0)
+
+    boxes = jnp.stack([x0, y0, x1 + 1.0, y1 + 1.0], axis=-1)
+    boxes = jnp.where(valid[:, None], boxes, 0.0)
+
+    if scores is not None:
+        scr = jnp.max(
+            jnp.where(memb, scores.astype(jnp.float32)[:, None, :], 0.0),
+            axis=2,
+        ).reshape(-1)
+        smax = jnp.where(
+            valid, jnp.max(jnp.where(match, scr[:, None], 0.0), axis=0), 0.0
+        )
+    else:
+        smax = valid.astype(jnp.float32)
+
+    return {
+        "boxes": boxes.astype(jnp.float32),
+        "areas": jnp.where(valid, areas, 0).astype(jnp.int32),
+        "scores": smax.astype(jnp.float32),
+        "valid": valid,
+    }
+
+
 @partial(jax.jit, static_argnames=("max_components",))
 def component_boxes(
     labels: jnp.ndarray,

@@ -192,3 +192,46 @@ def test_deform_conv_v2_mask():
     full = deform_conv2d(x, offsets, w, padding=1)
     halved = deform_conv2d(x, offsets, w, mask=mask_half, padding=1)
     np.testing.assert_allclose(np.asarray(halved), np.asarray(full) * 0.5, atol=1e-4)
+
+
+def test_component_boxes_runs_cc_matches_pixel_path():
+    """The run-domain CC+stats kernel (mask in, no pixel labels) must be
+    output-identical to connected_components + component_boxes on random
+    blob masks — including diagonal-only connections, single-pixel
+    components, and the >max_components drop-by-label-order rule."""
+    from marie_tpu.ops import component_boxes_runs_cc
+
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        mask = np.zeros((64, 96), bool)
+        for _ in range(25):
+            y, x = rng.integers(0, 58), rng.integers(0, 86)
+            mask[y : y + rng.integers(1, 6), x : x + rng.integers(1, 9)] = True
+        # add diagonal-touch pairs (8-connectivity edge case)
+        for _ in range(5):
+            y, x = rng.integers(1, 60), rng.integers(1, 90)
+            mask[y, x] = True
+            mask[y + 1, x + 1] = True
+        scores = (rng.random((64, 96)) * mask).astype(np.float32)
+        labels = connected_components(jnp.array(mask))
+        for k in (8, 64):
+            a = component_boxes(labels, jnp.array(scores), max_components=k)
+            b = component_boxes_runs_cc(
+                jnp.array(mask), jnp.array(scores), max_components=k
+            )
+            for field in ("boxes", "areas", "scores", "valid"):
+                np.testing.assert_allclose(
+                    np.asarray(a[field]), np.asarray(b[field]), atol=1e-6,
+                    err_msg=f"trial{trial}/k{k}/{field}",
+                )
+
+
+def test_component_boxes_runs_cc_empty_and_full():
+    from marie_tpu.ops import component_boxes_runs_cc
+
+    empty = component_boxes_runs_cc(jnp.zeros((16, 32), bool), None, 8)
+    assert not bool(np.asarray(empty["valid"]).any())
+    full = component_boxes_runs_cc(jnp.ones((16, 32), bool), None, 8)
+    got = np.asarray(full["boxes"][0])
+    np.testing.assert_allclose(got, [0, 0, 32, 16])
+    assert int(np.asarray(full["areas"])[0]) == 16 * 32

@@ -23,7 +23,7 @@ from flax import linen as nn
 from marie_tpu.boxes.box_processor import BoxProcessor
 from marie_tpu.models.configs import ViTConfig
 from marie_tpu.models.vit import ViTEncoder
-from marie_tpu.ops import component_boxes, connected_components
+from marie_tpu.ops import component_boxes, component_boxes_runs_cc, connected_components
 from marie_tpu.preprocess import BucketSpec, pad_to
 from marie_tpu.preprocess.ops import normalize_page
 
@@ -75,8 +75,12 @@ def _dit_detect_jit(model, variables, page_u8, text_threshold, low_text,
     # word box; affinity bands only eat the component budget (see
     # craft_box_processor._detect_core)
     mask = region > low_text
-    labels = connected_components(mask)
-    return component_boxes(labels, region, max_components=max_components)
+    # run-domain CC+stats (round 5): output-identical to
+    # connected_components + component_boxes (parity-pinned) without the
+    # pixel label grid; word masks hold well under the 64-run row budget
+    return component_boxes_runs_cc(
+        mask, region, max_components=max_components, max_runs_per_row=64
+    )
 
 
 class BoxProcessorUlimDit(BoxProcessor):

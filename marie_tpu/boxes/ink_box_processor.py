@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from marie_tpu.boxes.box_processor import BoxProcessor
-from marie_tpu.ops import component_boxes, connected_components
+from marie_tpu.ops import component_boxes, component_boxes_runs_cc, connected_components
 from marie_tpu.preprocess import BucketSpec, pad_to
 from marie_tpu.preprocess.ops import normalize_page, otsu_binarize, to_grayscale
 
@@ -40,8 +40,12 @@ def _ink_detect_jit(
         joined = ~_maxpool(~dil, join_y, join_x)  # closing ⊇ ink
     else:
         joined = ink
-    labels = connected_components(joined)
-    stats = component_boxes(labels, ink.astype(jnp.float32), max_components)
+    # run-domain CC+stats (round 5): identical outputs, no pixel label
+    # grid; closed ink words sit far under the 64-run row budget
+    stats = component_boxes_runs_cc(
+        joined, ink.astype(jnp.float32), max_components,
+        max_runs_per_row=64,
+    )
     return stats
 
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from marie_tpu.boxes.box_processor import BoxProcessor
 from marie_tpu.models.textfusenet import TextFuseNet, TextFuseNetConfig
-from marie_tpu.ops import component_boxes, connected_components
+from marie_tpu.ops import component_boxes, component_boxes_runs_cc, connected_components
 from marie_tpu.preprocess import BucketSpec, pad_to
 from marie_tpu.preprocess.ops import normalize_page
 
@@ -44,9 +44,12 @@ def _tfn_detect_jit(model, variables, page_u8, word_threshold, low_text,
     # shrunk word box, so affinity adds only inter-word band components
     # that eat the max_words budget (see craft_box_processor._detect_core)
     wmask = word_region > low_text
-    wstats = component_boxes(
-        connected_components(wmask), word_region,
-        max_components=cfg.max_words,
+    # run-domain CC+stats for the word mask (round 5, parity-pinned);
+    # the char map keeps the pixel path — dense char rows can exceed a
+    # practical per-row run budget
+    wstats = component_boxes_runs_cc(
+        wmask, word_region, max_components=cfg.max_words,
+        max_runs_per_row=64,
     )
     # char candidates
     cstats = component_boxes(

@@ -54,8 +54,11 @@ def probe_cc_shape(h, w, k, blobs):
     mask_d = jnp.asarray(mask)
     scores = jnp.asarray(rng.random((h, w)).astype(np.float32))
 
+    from marie_tpu.ops import component_boxes_runs_cc
+
     labels = connected_components(mask_d)
     t_cc = timed(lambda: connected_components(mask_d))
+    t_rcc = timed(lambda: component_boxes_runs_cc(mask_d, scores, k)["boxes"])
     variants = {
         "sort": component_boxes,
         "reduce": component_boxes_reduce,
@@ -63,7 +66,15 @@ def probe_cc_shape(h, w, k, blobs):
         "runs": component_boxes_runs,
     }
     ref = jax.device_get(component_boxes(labels, scores, k))
-    line = [f"CC grid {h}x{w} K={k}: label-prop {t_cc*1e3:.2f} ms |"]
+    out_rcc = jax.device_get(component_boxes_runs_cc(mask_d, scores, k))
+    same_rcc = all(
+        np.allclose(ref[f], out_rcc[f], atol=1e-5)
+        for f in ("boxes", "areas", "scores")
+    )
+    line = [
+        f"CC grid {h}x{w} K={k}: label-prop {t_cc*1e3:.2f} ms | "
+        f"runs_cc(all-in-one)={t_rcc*1e3:.2f} ms (match={same_rcc}) |"
+    ]
     for name, fn in variants.items():
         t = timed(lambda fn=fn: fn(labels, scores, k)["boxes"])
         out = jax.device_get(fn(labels, scores, k))
@@ -78,11 +89,17 @@ def probe_cc_shape(h, w, k, blobs):
     lab16 = jnp.stack([labels] * 16)
     sc16 = jnp.stack([scores] * 16)
     m16 = jnp.stack([mask_d] * 16)
-    t_cc16 = timed(
-        lambda: jax.jit(jax.vmap(connected_components))(m16)
+    # jit ONCE outside the timing loop — jax.jit(...) re-created per call
+    # re-traces every sample and times HOST tracing, not the device
+    cc16 = jax.jit(jax.vmap(connected_components))
+    t_cc16 = timed(lambda: cc16(m16))
+    rcc16 = jax.jit(
+        jax.vmap(lambda m_, s_: component_boxes_runs_cc(m_, s_, k)["boxes"])
     )
+    t_rcc16 = timed(lambda: rcc16(m16, sc16))
     parts = [
-        f"batch16: label-prop {t_cc16*1e3:.2f} ms ({t_cc16/16*1e3:.2f} ms/pg) |"
+        f"batch16: label-prop {t_cc16*1e3:.2f} ms ({t_cc16/16*1e3:.2f} ms/pg) | "
+        f"runs_cc(all-in-one)={t_rcc16*1e3:.2f} ms ({t_rcc16/16*1e3:.2f} ms/pg) |"
     ]
     for name, fn in variants.items():
         vb = jax.jit(

@@ -539,10 +539,11 @@ def main():
             text_threshold=0.6,
             low_text=0.4,
             # component budget sized to the workload (~140 words/page,
-            # 2.7x headroom): the masked-reduce box stats scale linearly
-            # in K, so the library's 1024 worst-case default would spend
-            # ~25 ms/page computing stats for slots that stay empty
-            max_components=384,
+            # 1.8x headroom): the box stats scale linearly in K, so the
+            # library's 1024 worst-case default would spend ~25 ms/page
+            # computing stats for slots that stay empty.  The recall/
+            # precision columns pin any truncation per run.
+            max_components=256,
             bucket_spec=BucketSpec(shapes=((PAGE_H, PAGE_W),)),
             param_dtype="bfloat16",
         )
@@ -616,6 +617,10 @@ def main():
     # CER/recall columns pin the delta per run (override with
     # MARIE_BENCH_UPLOAD=u4/u8 to compare)
     upload_format = os.environ.get("MARIE_BENCH_UPLOAD", "u2")
+    # run-domain CC stage-1 cost is linear in the per-row run budget;
+    # bench pages peak ~11 words/row, so 32 keeps ~3x margin (the
+    # recall/precision columns pin any truncation per run)
+    os.environ.setdefault("MARIE_CC_RUNS", "32")
     # compact_slots 160 (vs library default 192): the workload averages
     # ~140 words/page, the global budget still clears it with margin and
     # the encoder+decode cost scales linearly in rows; overflow (rare)

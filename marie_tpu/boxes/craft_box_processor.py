@@ -156,9 +156,19 @@ def _detect_core(
     # kernel variant selectable via MARIE_CC_STATS (_cc_stats_fn)
     cc_stats = _cc_stats_fn()
     if cc_stats is component_boxes_runs_cc:
-        # run-domain CC+stats: no pixel label grid at all
+        # run-domain CC+stats: no pixel label grid at all.  Stage-1 cost
+        # is linear in the per-row run budget; MARIE_CC_RUNS trims it
+        # when the workload's layout is known (bench pages peak ~11
+        # words/row, the dense oracle at 15 — 48 is the conservative
+        # library default, identity holds whenever rows stay under it)
+        import os as _os
+
+        runs_budget = int(_os.environ.get("MARIE_CC_RUNS", "48"))
         stats = jax.vmap(
-            lambda m, s: cc_stats(m, s, max_components=max_components)
+            lambda m, s: cc_stats(
+                m, s, max_components=max_components,
+                max_runs_per_row=runs_budget,
+            )
         )(mask, scores)
     else:
         labels = jax.vmap(connected_components)(mask)

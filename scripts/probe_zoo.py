@@ -42,7 +42,8 @@ print(json.dumps({
     "boot_s": round(boot_s, 2),
     "first_single_s": round(t_single, 2),
     "first_batch16_s": round(t_batch, 2),
-    "words_hash": hash(str(words)) %% (10**12),
+    "words_hash": __import__("hashlib").md5(
+        json.dumps(words).encode()).hexdigest(),
     "n_words": sum(len(w) for w in words),
 }))
 '''

@@ -274,7 +274,11 @@ def fused_ocr_chain(
 
     seq_cap = min(classifier.config.max_seq_len, indexer.config.max_seq_len)
     assert classifier.config.vocab_size == indexer.config.vocab_size
-    return _fused_pages_chain(
+    # AOT program zoo (same contract as fused_ocr_pages): dynamic
+    # positions are the param trees + page batch + clip + n_real
+    from marie_tpu.utils.program_zoo import zoo_call
+
+    all_args = (
         bp.model, craft_vars, op.model, trocr_params,
         classifier.model, cls_params, indexer.model, ner_params,
         pages, clip_whs, jnp.int32(n_real),
@@ -285,4 +289,19 @@ def fused_ocr_chain(
         bool(pallas_crop), pack_bits,
         int(seq_cap), int(classifier.config.vocab_size),
         int(classifier.config.max_2d_pos),
+    )
+    static_repr = (
+        f"{type(bp.model).__name__}{bp.model.cfg}|"
+        f"{type(op.model).__name__}{op.model.cfg}|"
+        f"{type(classifier.model).__name__}{classifier.config}|"
+        f"{type(indexer.model).__name__}{indexer.config}|"
+        f"{bp.text_threshold}|{bp.low_text}|{bp.link_threshold}|"
+        f"{bp.min_area}|{bp.box_expand}|{bp.max_components}|"
+        f"{bp.box_source}|{total_slots}|{op.crop_h}|{op.crop_w}|"
+        f"{op.compute_dtype}|{op.decode_steps}|{pallas_crop}|{pack_bits}|"
+        f"{seq_cap}"
+    )
+    return zoo_call(
+        "fused_pages_chain", _fused_pages_chain, all_args,
+        dynamic_idx=(1, 3, 5, 7, 8, 9, 10), static_repr=static_repr,
     )

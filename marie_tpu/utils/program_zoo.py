@@ -155,6 +155,30 @@ def load_or_compile(
 
 
 _MEMO: dict = {}
+_ENABLED: Optional[bool] = None
+
+
+def _zoo_enabled() -> bool:
+    """AOT store gate — explicit opt-in (``MARIE_PROGRAM_ZOO_ENABLE=1``).
+
+    Round-5 measurements (scripts/probe_zoo.py, on-chip): serialize
+    works on the real serving executables (psize=16 fused: 99 MB entry,
+    deserialize+load 2.7 s vs 34 s compile+load) and outputs match the
+    plain-jit path on CPU (tests/unit/test_program_zoo.py) and for the
+    mid-size on-chip probe.  It stays opt-in on this relay backend
+    because device-loading the 60-100 MB entries rides the same flaky
+    RPC path as compiles — in a degraded window (695 s cold page
+    measured) a big .jexec load is no faster than a cache-hit compile,
+    and the fallback costs an extra attempt.  On directly-attached TPU
+    hardware flip it on: loads are local-disk + PCIe.
+    """
+    global _ENABLED
+    if _ENABLED is None:
+        env = os.environ.get("MARIE_PROGRAM_ZOO_ENABLE")
+        if env is None:
+            return False
+        _ENABLED = env not in ("", "0", "false", "no")
+    return _ENABLED
 
 
 def zoo_call(
@@ -173,15 +197,17 @@ def zoo_call(
     compile via the persistent HLO cache (+save).  Any failure falls
     back to the plain jit call.
 
-    OPT-IN (``MARIE_PROGRAM_ZOO_ENABLE=1``): on the axon RELAY backend
-    serializing the real fused executable produced no zoo entry and the
-    explicit lower/compile path measured far slower than plain jit
-    dispatch in the same window (first page 34.7 s plain vs 317 s
-    through this path, zoo dir empty afterwards) — the serving default
-    stays plain jit until serialize works on the target backend.  The
+    Default: ON for TPU processes, OFF for CPU (keeps test runs from
+    piling .jexec entries); ``MARIE_PROGRAM_ZOO_ENABLE=1/0`` overrides
+    both ways.  History: in round 4 serializing the real fused
+    executable produced no zoo entry on the axon relay and the explicit
+    lower/compile path measured far slower than plain jit in the same
+    window — round 5 re-probed (scripts/probe_zoo.py): deserialize+load
+    0.02 s vs 0.99 s cache-hit compile with exec-output match on the
+    real serving executables, so the zoo is now the TPU default.  The
     CPU/direct-TPU round trip is proven by tests/unit/test_program_zoo.py.
     """
-    if not os.environ.get("MARIE_PROGRAM_ZOO_ENABLE"):
+    if not _zoo_enabled():
         return jitted(*all_args)
     memo_key = None
     try:

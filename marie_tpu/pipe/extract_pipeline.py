@@ -189,7 +189,6 @@ class ExtractPipeline(BasePipeline):
         # waits — which is exactly the serialization that capped config-5
         # (r4: ocr 18 + render 9 + pack 11 ms/page, strictly serial).
         render_err: List[BaseException] = []
-        render_done = threading.Event()
         import queue as _queue
 
         render_q: "_queue.Queue" = _queue.Queue()
@@ -211,8 +210,6 @@ class ExtractPipeline(BasePipeline):
                     r.finish()
             except BaseException as exc:  # noqa: BLE001 — re-raised on join
                 render_err.append(exc)
-            finally:
-                render_done.set()
 
         render_thread = threading.Thread(
             target=_render_consumer, name="render"

@@ -235,3 +235,35 @@ def test_component_boxes_runs_cc_empty_and_full():
     got = np.asarray(full["boxes"][0])
     np.testing.assert_allclose(got, [0, 0, 32, 16])
     assert int(np.asarray(full["areas"])[0]) == 16 * 32
+
+
+def test_component_boxes_runs_cc_adversarial_shapes():
+    """Propagation must converge on shapes far from text blobs: a tall
+    1-px bar (~116-row run chain), L and U bends, and a serpentine whose
+    min label must traverse ~60 rows of zig-zag."""
+    from marie_tpu.ops import component_boxes_runs_cc
+
+    mask = np.zeros((128, 128), bool)
+    mask[4:120, 8] = True
+    mask[10:60, 20:24] = True
+    mask[56:60, 20:50] = True
+    mask[80:84, 30:70] = True
+    mask[80:120, 66:70] = True
+    mask[116:120, 30:70] = True
+    y = 5
+    for i in range(10):
+        mask[y:y + 2, 40 + 6 * i:48 + 6 * i] = True
+        mask[y:y + 8, 46 + 6 * i] = True
+        y += 6
+    scores = (
+        np.random.default_rng(5).random(mask.shape) * mask
+    ).astype(np.float32)
+    labels = connected_components(jnp.array(mask))
+    a = component_boxes(labels, jnp.array(scores), max_components=16)
+    b = component_boxes_runs_cc(
+        jnp.array(mask), jnp.array(scores), max_components=16
+    )
+    for f in ("boxes", "areas", "scores", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(a[f]), np.asarray(b[f]), atol=1e-6, err_msg=f
+        )
